@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-aware defaults.
+
+The engine targets a multi-executor cluster reading ~100 TB; tests run
+on local[N].  All tuning lives here so both paths share one config
+surface:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+- shuffle partitions sized for the local test harness; on a real
+  cluster AQE coalesces the 2000-partition default down, so we set a
+  modest local value and let ``spark.sql.adaptive.coalescePartitions``
+  handle the rest.
+- Arrow enabled for any pandas interchange (vectorized UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vcfdbr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` when no
+    cluster master is configured — on a real deployment spark-submit
+    supplies the master and this falls through.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet writes: dictionary + stats give the min/max pruning
+        # that stands in for the reference's SQLite B-tree indexes
+        # (pipeline/03-index-db.R:37-65).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
