@@ -1,0 +1,153 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.vcf_fixture import SAMPLES, write_vcf
+from vcfdbr_spark.sources.vcf import read_vcf
+
+
+@pytest.fixture(scope="module")
+def vcf_path(tmp_path_factory):
+    return write_vcf(str(tmp_path_factory.mktemp("vcf") / "toy.vcf"))
+
+
+@pytest.fixture(scope="module")
+def tables(spark, vcf_path):
+    return read_vcf(spark, vcf_path)
+
+
+def test_header(tables):
+    h = tables.header
+    assert h.samples == SAMPLES
+    assert list(h.contigs) == ["1", "2", "X"]
+    assert h.csq_columns is not None
+    assert h.csq_columns[0] == (
+        "consequence_annotations_from_ensembl_vep__format__allele"
+    )
+    assert h.csq_columns[1:4] == ["consequence", "impact", "symbol"]
+
+
+def test_variant_info(tables):
+    info = tables.variant_info.orderBy("variant_id")
+    rows = info.collect()
+    assert [r["variant_id"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert [r["chr"] for r in rows] == ["1", "1", "1", "2", "2", "X"]
+    # indel end arithmetic: start + len(ref) - 1
+    r5 = rows[4]
+    assert (r5["start"], r5["end"], r5["ref"], r5["alt"]) == (120, 121, "AT", "A")
+    # '.' qual → null
+    assert rows[2]["qual"] is None
+    # Flag INFO
+    assert [r["db"] for r in rows] == [False, True, False, False, False, True]
+    # typed INFO scalars (Number=A with biallelic input → scalar)
+    assert rows[0]["af"] == 0.25 and rows[0]["ac"] == 1 and rows[0]["an"] == 8
+    # CSQ and clinvar_sig must NOT be variant_info columns (routed away)
+    assert "csq" not in info.columns and "clinvar_sig" not in info.columns
+
+
+def test_variant_impact(tables):
+    imp = tables.variant_impact
+    rows = imp.orderBy("variant_id", "feature", "consequence").collect()
+    # rec1: 2 transcripts; rec2: 1 transcript x 2 '&'-consequences;
+    # rec4: 1; rec5: 1; rec3/rec6 no CSQ → dropped by inner unnest
+    assert len(rows) == 6
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["variant_id"], []).append(r)
+    assert len(by_vid[1]) == 2 and len(by_vid[2]) == 2
+    assert sorted(r["consequence"] for r in by_vid[2]) == [
+        "splice_region_variant",
+        "synonymous_variant",
+    ]
+    # flags
+    splice = [r for r in by_vid[2] if r["consequence"] == "splice_region_variant"][0]
+    assert splice["is_splicing"] is True and splice["is_lof"] is False
+    lof = by_vid[5][0]
+    assert lof["is_lof"] is True  # HIGH + protein_coding
+    intronic = [r for r in by_vid[1] if r["feature"] == "ENST02"][0]
+    assert intronic["is_intronic"] is True
+    exonic_vals = {r["is_exonic"] for r in rows}
+    # reference quirk: biotype tested against consequence vocabulary
+    assert exonic_vals == {False}
+    # dropped columns: *_af and clin_sig and the long allele column
+    assert "gnomad_af" not in imp.columns
+    assert "clin_sig" not in imp.columns
+    assert (
+        "consequence_annotations_from_ensembl_vep__format__allele"
+        not in imp.columns
+    )
+    # clinvar routed from INFO
+    assert by_vid[1][0]["clinvar_sig"] == "benign"
+    assert by_vid[4][0]["clinvar_sig"] == "pathogenic"
+    assert by_vid[2][0]["clinvar_sig"] is None
+
+
+def test_variant_impact_exonic_on_consequence(spark, vcf_path):
+    t = read_vcf(spark, vcf_path, exonic_on_consequence=True)
+    rows = t.variant_impact.collect()
+    ex = {r["consequence"]: r["is_exonic"] for r in rows}
+    assert ex["missense_variant"] is True
+    assert ex["frameshift_variant"] is True
+    assert ex["synonymous_variant"] is True
+    assert ex["intron_variant"] is False
+
+
+def test_variant_geno(tables):
+    geno = tables.variant_geno.orderBy("variant_id", "sample")
+    rows = geno.collect()
+    assert len(rows) == 6 * 4  # n_variants x n_samples invariant
+    g = {(r["variant_id"], r["sample"]): r for r in rows}
+    # gt2snp recode parity table
+    assert g[(1, "HG001")]["gt"] == 0.0 and g[(1, "HG001")]["gt_raw"] == "0|0"
+    assert g[(1, "HG002")]["gt"] == 1.0
+    assert g[(1, "HG003")]["gt"] == 2.0
+    assert g[(1, "HG004")]["gt"] is None and g[(1, "HG004")]["gt_raw"] == "./."
+    assert g[(3, "HG001")]["gt"] == 0.0  # "0/."
+    assert g[(3, "HG002")]["gt"] == 0.0  # bare "0"
+    assert g[(3, "HG003")]["gt"] == 1.0  # bare "1"
+    assert g[(3, "HG004")]["gt"] is None  # "2/2"
+    assert g[(2, "HG003")]["gt"] == 1.0  # "./1"
+    assert g[(2, "HG004")]["gt"] == 1.0  # "1/."
+    # typed scalars + missing
+    assert g[(1, "HG001")]["dp"] == 10 and g[(1, "HG004")]["dp"] is None
+    # multi-value FORMAT melted to ad_1/ad_2 (Number=R, biallelic → 2)
+    assert g[(1, "HG001")]["ad_1"] == 8 and g[(1, "HG001")]["ad_2"] == 2
+    assert g[(5, "HG002")]["ad_1"] is None
+    # all-missing FT skipped by the schema probe
+    assert "ft" not in tables.variant_geno.columns
+
+
+def test_variant_geno_array_mode(spark, vcf_path):
+    t = read_vcf(spark, vcf_path, multi_value="array")
+    row = (
+        t.variant_geno.filter((F.col("variant_id") == 1) & (F.col("sample") == "HG001"))
+        .first()
+    )
+    assert row["ad"] == [8, 2]
+
+
+def test_variant_geno_skip_mode(spark, vcf_path):
+    t = read_vcf(spark, vcf_path, multi_value="skip")
+    assert "ad" not in t.variant_geno.columns
+    assert "ad_1" not in t.variant_geno.columns
+
+
+def test_rejects_channel(spark, tmp_path):
+    p = write_vcf(str(tmp_path / "multi.vcf"), include_multiallelic=True)
+    t = read_vcf(spark, p)
+    rej = t.rejects.collect()
+    assert len(rej) == 1 and rej[0]["alt"] == "G,T"
+    # multiallelic row excluded from the built tables
+    assert t.variant_info.count() == 6
+
+
+def test_samples_and_metadata(tables):
+    s = tables.samples.orderBy("name").collect()
+    assert [r["value"] for r in s] == SAMPLES
+    assert [r["name"] for r in s] == [1, 2, 3, 4]
+    assert set(tables.metadata) >= {"INFO", "FORMAT", "FILTER", "contig"}
+    info_meta = {r["name"]: r for r in tables.metadata["INFO"].collect()}
+    assert info_meta["AC"]["Number"] == "A"
+    assert info_meta["CSQ"]["Type"] == "String"

@@ -1,0 +1,150 @@
+"""Physical layout: Parquet tables standing in for SQLite + indexes.
+
+The reference's index stage (pipeline/03-index-db.R) creates 13 B-tree
+indexes; a columnar store replaces them with LAYOUT (SURVEY.md §4):
+
+- ``variant_info``  → range-partitioned + sorted by ``variant_id``:
+  Parquet row-group min/max stats give point/IN-list pruning (B1).
+- ``variant_geno``  → same on ``variant_id``(, sample) — the layout
+  that makes genotype pull feasible (B2); in ``file`` mode it is
+  additionally hive-partitioned into fixed-width id buckets, the
+  capability analog of one-file-per-variant (README.md:32-36) with
+  O(1) files touched per id.
+- ``variant_impact`` → range-partitioned + sorted by ``symbol`` so the
+  canonical gene query prunes row groups (B3); low-cardinality flag
+  columns rely on dictionary + stats pruning.
+- ``gene_map``      → distinct gene/transcript dimension
+  (pipeline/03-index-db.R:86-101), '' normalized to NULL (:95).
+
+At cluster scale each table write is a single shuffle; bucket width
+controls file count (tune so one bucket ≈ one HDFS-block-sized file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.sources.vcf import VcfTables
+
+GENE_MAP_COLS = [
+    "symbol",
+    "symbol_source",
+    "gene",
+    "source",
+    "feature",
+    "canonical",
+    "ensp",
+    "ccds",
+    "motif_name",
+    "feature_type",
+]
+
+_TABLES = ("variant_info", "variant_impact", "variant_geno", "samples", "gene_map")
+
+
+def build_gene_map(variant_impact: DataFrame) -> DataFrame:
+    """Distinct gene/transcript dimension (pipeline/03-index-db.R:86-101):
+    ``select(any_of(GENE_MAP_COLS)) %>% distinct()`` with '' → NULL."""
+    cols = [c for c in GENE_MAP_COLS if c in variant_impact.columns]
+    out = variant_impact.select(*cols).distinct()
+    for c in cols:
+        out = out.withColumn(c, F.when(F.col(c) == "", None).otherwise(F.col(c)))
+    # '' and NULL collapse to the same value after normalization —
+    # re-distinct to keep the set semantics of the reference (which
+    # normalizes before writing the distinct frame).
+    return out.distinct()
+
+
+def write_vcfdb(
+    tables: VcfTables,
+    path: str,
+    mode: str = "table",
+    geno_bucket_width: int = 100_000,
+    info_partitions: int | None = None,
+) -> None:
+    """Write the relational store.  ``mode='file'`` hive-partitions the
+    geno table by id bucket (file-mode analog); ``'table'`` writes one
+    range-sorted table (table-mode analog, pipeline/02-build-db.R:461-473).
+    """
+    assert mode in ("table", "file")
+    info = tables.variant_info
+    range_args = [info_partitions] if info_partitions else []
+    (
+        info.repartitionByRange(*range_args, "variant_id")
+        .sortWithinPartitions("variant_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/variant_info")
+    )
+    if tables.variant_impact is not None:
+        (
+            tables.variant_impact.repartitionByRange("symbol", "variant_id")
+            .sortWithinPartitions("symbol", "variant_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/variant_impact")
+        )
+        build_gene_map(tables.variant_impact).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/gene_map")
+    if tables.variant_geno is not None:
+        geno = tables.variant_geno
+        if mode == "file":
+            (
+                geno.withColumn(
+                    "vbucket",
+                    (F.col("variant_id") / geno_bucket_width).cast("long"),
+                )
+                .repartition("vbucket")
+                .sortWithinPartitions("variant_id", "sample")
+                .write.mode("overwrite")
+                .partitionBy("vbucket")
+                .parquet(f"{path}/variant_geno")
+            )
+        else:
+            (
+                geno.repartitionByRange("variant_id", "sample")
+                .sortWithinPartitions("variant_id", "sample")
+                .write.mode("overwrite")
+                .parquet(f"{path}/variant_geno")
+            )
+    tables.samples.coalesce(1).write.mode("overwrite").parquet(f"{path}/samples")
+    for section, df in tables.metadata.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta/{section}")
+    manifest = {
+        "mode": mode,
+        "geno_bucket_width": geno_bucket_width,
+        "sections": sorted(tables.metadata),
+        "samples": tables.header.samples,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_vcfdb_manifest.json", "w") as fh:
+        json.dump(manifest, fh)
+
+
+class VcfDb:
+    """Handle over a written store — the engine's analog of a SQLite
+    connection (benchmarks/00-benchmark-functions.R:75)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(f"{path}/_vcfdb_manifest.json") as fh:
+            self.manifest = json.load(fh)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/{name}")
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in _TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def meta(self, section: str) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/_meta/{section}")
+
+
+def open_vcfdb(spark: SparkSession, path: str) -> VcfDb:
+    return VcfDb(spark, path)

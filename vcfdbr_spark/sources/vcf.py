@@ -1,0 +1,385 @@
+"""VCF → three linked DataFrames, Spark-first.
+
+Reference pipeline being re-expressed (citations into /root/reference):
+``pipeline/01-generate-variant-ranges-index.R`` (scan planning +
+multiallelic reject channel) and ``pipeline/02-build-db.R`` (chunked
+parse into ``variant_info`` / ``variant_impact`` / ``variant_geno`` +
+header metadata tables).
+
+Architecture notes (how this differs from the reference, on purpose):
+
+- The reference pre-plans ~1000-variant tabix windows and loops over
+  them with explicit checkpointing because R holds one chunk in memory
+  at a time.  Spark's partition-at-a-time execution IS that loop: one
+  distributed text scan, Catalyst handles chunking/parallelism, and a
+  transactional Parquet write replaces the progress file.
+- SQLite can't store lists, so the reference stringifies or drops
+  multi-valued fields (README.md:111).  We keep native ``ArrayType``
+  columns (``multi_value='array'``) and also offer the reference's
+  melt-to-``field_k`` shape (``'melt'``, pipeline/02-build-db.R:395-409)
+  and its default skip behavior (``'skip'``, :164-167).
+- The whole parse is built-in-function column algebra (split /
+  str_to_map / explode / when) — no Python UDFs anywhere, so the plan
+  stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.functions.genotype import gt2snp
+from vcfdbr_spark.functions.impact import impact_flags
+from vcfdbr_spark.operators.ids import with_dense_ids
+from vcfdbr_spark.schema import VcfField, VcfHeader, mangle_name, read_header
+
+# Columns dropped from variant_impact after the CSQ explode
+# (pipeline/02-build-db.R:284): every "*_af" plus this fixed list.
+_IMPACT_DROP = {
+    "clin_sig",
+    "pheno",
+    "somatic",
+    "pubmed",
+    "consequence_annotations_from_ensembl_vep__format__allele",
+}
+# INFO fields routed to variant_impact instead of variant_info when CSQ
+# exists (pipeline/02-build-db.R:287-305, :319).
+_CLINVAR_FIELDS = ("clinvar_sig", "clinvar_disease_name")
+
+
+@dataclass
+class VcfTables:
+    """The relational form of one VCF (SURVEY.md §1.1)."""
+
+    header: VcfHeader
+    variant_info: DataFrame
+    variant_impact: DataFrame | None
+    variant_geno: DataFrame | None
+    samples: DataFrame
+    metadata: dict[str, DataFrame] = dc_field(default_factory=dict)
+    rejects: DataFrame | None = None
+
+    def tables(self) -> dict[str, DataFrame]:
+        out = {"variant_info": self.variant_info, "samples": self.samples}
+        if self.variant_impact is not None:
+            out["variant_impact"] = self.variant_impact
+        if self.variant_geno is not None:
+            out["variant_geno"] = self.variant_geno
+        return out
+
+
+def _null_if_dot(c: Column) -> Column:
+    return F.when(c == ".", F.lit(None)).otherwise(c)
+
+
+def _cast_scalar(c: Column, f: VcfField) -> Column:
+    return _null_if_dot(c).try_cast(f.spark_type)
+
+
+def _cast_array(c: Column, f: VcfField) -> Column:
+    elem = F.split(_null_if_dot(c), ",")
+    return F.transform(elem, lambda x: x.try_cast(f.spark_type))
+
+
+def _info_column(info_map: Column, f: VcfField, n_alts: int = 1) -> Column:
+    raw = info_map.getItem(f.id)
+    if f.is_flag:
+        return F.map_contains_key(info_map, f.id)
+    n = f.scalar_count(n_alts=n_alts)
+    if n == 1:
+        return _cast_scalar(raw, f)
+    return _cast_array(raw, f)
+
+
+def read_vcf(
+    spark: SparkSession,
+    path: str,
+    *,
+    multi_value: str = "melt",
+    probe_rows: int = 1000,
+    exonic_on_consequence: bool = False,
+    id_partitions: int | None = None,
+) -> VcfTables:
+    """Parse a (biallelic-split) VCF into the three-table relational
+    model.  One distributed text scan; ids dense in (contig, pos, ref,
+    alt) order — the Spark rendering of the reference's chunk-order id
+    (pipeline/02-build-db.R:258-259).
+
+    ``multi_value``: 'melt' → reference's ``field_k`` columns
+    (pipeline/02-build-db.R:395-409); 'array' → native ArrayType
+    columns (Spark-native improvement); 'skip' → reference default
+    (:164-167).
+    """
+    assert multi_value in ("melt", "array", "skip")
+    header = read_header(path)
+
+    raw = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    c = F.split(F.col("value"), "\t")
+    base_cols = [
+        c.getItem(0).alias("chr"),
+        c.getItem(1).try_cast("long").alias("start"),
+        c.getItem(3).alias("ref"),
+        c.getItem(4).alias("alt"),
+        _null_if_dot(c.getItem(5)).try_cast("double").alias("qual"),
+        c.getItem(6).alias("filter"),
+        F.str_to_map(c.getItem(7), F.lit(";"), F.lit("=")).alias("_info"),
+    ]
+    if header.samples:
+        base_cols.append(c.getItem(8).alias("_format"))
+        base_cols += [
+            c.getItem(9 + i).alias(f"_s{i}") for i in range(len(header.samples))
+        ]
+    parsed = raw.select(*base_cols)
+
+    # Multiallelic reject channel (pipeline/01:43-53): the build aborts
+    # on alt lists; we surface them as a DataFrame for the caller.
+    rejects = parsed.filter(F.col("alt").contains(",")).select(
+        "chr", "start", "ref", "alt"
+    )
+    ok = parsed.filter(~F.col("alt").contains(","))
+
+    # Dense sequential variant_id in (contig-rank, pos, ref, alt) order.
+    contig_rank = {ctg: i for i, ctg in enumerate(header.contigs)}
+    if contig_rank:
+        rank_expr = F.coalesce(
+            *(
+                [
+                    F.when(F.col("chr") == ctg, F.lit(i))
+                    for ctg, i in contig_rank.items()
+                ]
+                + [F.lit(len(contig_rank))]
+            )
+        )
+    else:
+        rank_expr = F.lit(0)
+    ok = ok.withColumn("_crank", rank_expr)
+    ok = with_dense_ids(
+        ok,
+        ["_crank", "chr", "start", "ref", "alt"],
+        id_col="variant_id",
+        num_partitions=id_partitions,
+    ).drop("_crank")
+    # Three tables branch off this parse: materialize it once.
+    ok = ok.persist()
+
+    csq_cols = header.csq_columns
+    info_fields = [f for k, f in header.info.items()]
+
+    # ---- variant_info (pipeline/02-build-db.R:316-335) ----
+    skip_info = {"CSQ"} if csq_cols else set()
+    if csq_cols:
+        skip_info |= {
+            k for k in header.info if mangle_name(k) in _CLINVAR_FIELDS
+        }
+    info_cols: list[Column] = [
+        F.col("variant_id"),
+        F.col("chr"),
+        F.col("start"),
+        (F.col("start") + F.length("ref") - 1).alias("end"),
+        F.col("ref"),
+        F.col("alt"),
+        F.col("qual"),
+        F.col("filter"),
+    ]
+    seen = {"variant_id", "chr", "start", "end", "ref", "alt", "qual", "filter"}
+    for f_ in info_fields:
+        if f_.id in skip_info:
+            continue
+        name = mangle_name(f_.id)
+        if name in seen:  # first occurrence wins (02:348)
+            continue
+        seen.add(name)
+        info_cols.append(_info_column(F.col("_info"), f_).alias(name))
+    variant_info = ok.select(*info_cols)
+
+    # ---- variant_impact (pipeline/02-build-db.R:269-306) ----
+    variant_impact = None
+    if csq_cols:
+        csq_arr = F.split(F.col("_info").getItem("CSQ"), ",")
+        imp = (
+            ok.select(
+                "variant_id",
+                "_info",
+                F.explode(csq_arr).alias("_csq"),  # unnest(CSQ): inner, drops null
+            )
+            .withColumn("_f", F.split(F.col("_csq"), r"\|"))
+        )
+        picked, seen_imp = [], set()
+        for i, name in enumerate(csq_cols):
+            if name in seen_imp:
+                continue
+            seen_imp.add(name)
+            picked.append(F.coalesce(F.get("_f", i), F.lit("")).alias(name))
+        imp = imp.select("variant_id", "_info", *[p for p in picked])
+        # separate_rows(consequence, sep='&') (02:279)
+        if "consequence" in seen_imp:
+            imp = imp.withColumn(
+                "consequence", F.explode(F.split(F.col("consequence"), "&"))
+            )
+            flags = impact_flags(
+                F.col("consequence"),
+                F.col("impact") if "impact" in seen_imp else F.lit(None),
+                F.col("biotype") if "biotype" in seen_imp else F.lit(None),
+                F.col("intron") if "intron" in seen_imp else F.lit(""),
+                exonic_on_consequence=exonic_on_consequence,
+            )
+            for fname, expr in flags.items():
+                imp = imp.withColumn(fname, expr)
+        # drop *_af + fixed list (02:284)
+        drop = [
+            n
+            for n in imp.columns
+            if n.endswith("_af") or n in _IMPACT_DROP
+        ]
+        imp = imp.drop(*drop)
+        # clinvar enrichment from INFO (02:287-305) — same row, no join
+        # needed: the reference only joins because it re-derives the
+        # column from a separate tibble; on a single parsed record the
+        # value is already in scope.
+        for k in header.info:
+            if mangle_name(k) in _CLINVAR_FIELDS:
+                imp = imp.withColumn(
+                    mangle_name(k),
+                    _cast_scalar(F.col("_info").getItem(k), header.info[k]),
+                )
+        variant_impact = imp.drop("_info")
+
+    # ---- variant_geno (pipeline/02-build-db.R:368-424) ----
+    variant_geno = None
+    if header.samples and header.format:
+        kept = _probe_format_fields(ok, header, probe_rows, multi_value)
+        if kept:
+            variant_geno = _build_geno(ok, header, kept, multi_value)
+
+    # ---- samples + header metadata (02:110-136) ----
+    samples = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(header.samples)],
+        "name long, value string",  # explicit schema: may be empty (sites-only VCF)
+    )
+    metadata: dict[str, DataFrame] = {}
+    for section, rows in header.raw_sections.items():
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        data = [tuple(r.get(k) for k in keys) for r in rows]
+        metadata[section] = spark.createDataFrame(
+            data, ["name" if k == "ID" else k for k in keys]
+        )
+
+    return VcfTables(
+        header=header,
+        variant_info=variant_info,
+        variant_impact=variant_impact,
+        variant_geno=variant_geno,
+        samples=samples,
+        metadata=metadata,
+        rejects=rejects,
+    )
+
+
+def _probe_format_fields(
+    ok: DataFrame, header: VcfHeader, probe_rows: int, multi_value: str
+) -> list[VcfField]:
+    """First-chunk schema probe (pipeline/02-build-db.R:140-177): drop
+    FORMAT fields that are entirely missing in the first ``probe_rows``
+    records; drop multi-value fields under ``multi_value='skip'``.
+
+    The probe is a bounded read (``limit``) — one tiny job, mirroring
+    the reference's single-chunk peek.
+    """
+    fields = list(header.format.values())
+    sample_cols = [f"_s{i}" for i in range(len(header.samples))]
+    probe = ok.select("_format", *sample_cols).limit(probe_rows)
+    checks = []
+    for f_ in fields:
+        pos = F.array_position(F.split(F.col("_format"), ":"), f_.id)
+        any_present = F.max(
+            F.when(
+                pos > 0,
+                F.greatest(
+                    *[
+                        (~F.coalesce(
+                            F.get(F.split(F.col(sc), ":"), (pos - 1).cast("int")),
+                            F.lit("."),
+                        ).rlike(r"^\.?(/\.|\|\.)*$")).cast("int")
+                        for sc in sample_cols
+                    ]
+                ),
+            ).otherwise(F.lit(0))
+        ).alias(f_.id)
+        checks.append(any_present)
+    present = probe.agg(*checks).first()
+    kept = []
+    for f_ in fields:
+        if not present[f_.id]:
+            continue  # all-missing → skipped (02:146-154)
+        if f_.scalar_count() != 1 and multi_value == "skip":
+            continue  # reference default skips arrays (02:164-167)
+        kept.append(f_)
+    # GT first — the reference builds the long table from the first
+    # geno field and binds the rest (02:370-394); column order parity.
+    kept.sort(key=lambda f_: (f_.id != "GT",))
+    return kept
+
+
+def _build_geno(
+    ok: DataFrame, header: VcfHeader, kept: list[VcfField], multi_value: str
+) -> DataFrame:
+    """Wide FORMAT matrix → long (variant_id, sample, fields…) in ONE
+    explode: per row, build array<struct{sample, raw}> over the sample
+    columns, explode it, then slice fields out of the raw string by the
+    per-row FORMAT layout.  This is the Spark-native rendering of the
+    reference's gather/bind_cols melt (02:368-394) — no shuffle at all;
+    row count multiplies by n_samples inside the stage.
+    """
+    per_sample = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("sample"), F.col(f"_s{i}").alias("raw")
+            )
+            for i, name in enumerate(header.samples)
+        ]
+    )
+    g = ok.select(
+        "variant_id",
+        F.split(F.col("_format"), ":").alias("_fmt"),
+        F.explode(per_sample).alias("_sg"),
+    ).select(
+        "variant_id",
+        F.col("_sg.sample").alias("sample"),
+        F.split(F.col("_sg.raw"), ":").alias("_vals"),
+        "_fmt",
+    )
+
+    def raw_field(fid: str) -> Column:
+        pos = F.array_position(F.col("_fmt"), fid)
+        return F.when(pos > 0, F.get(F.col("_vals"), (pos - 1).cast("int")))
+
+    out_cols: list[Column] = [F.col("variant_id"), F.col("sample")]
+    has_gt = False
+    for f_ in kept:
+        name = mangle_name(f_.id)
+        n = f_.scalar_count()
+        raw = raw_field(f_.id)
+        if f_.id == "GT":
+            has_gt = True
+            out_cols.append(gt2snp(raw).alias("gt"))
+            continue
+        if n == 1:
+            out_cols.append(_cast_scalar(raw, f_).alias(name))
+        elif multi_value == "array":
+            out_cols.append(_cast_array(raw, f_).alias(name))
+        else:  # melt → field_k scalar columns (02:395-409)
+            arr = F.split(raw, ",")
+            width = n if n is not None else 2
+            for k in range(width):
+                out_cols.append(
+                    _cast_scalar(F.get(arr, k), f_).alias(f"{name}_{k + 1}")
+                )
+    if has_gt:
+        out_cols.append(raw_field("GT").alias("gt_raw"))
+    return g.select(*out_cols)
