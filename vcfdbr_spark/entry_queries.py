@@ -1,0 +1,583 @@
+"""Driver-facing query suite: every entry pairs a Spark DataFrame
+program (built from the engine's operators) with an equivalent ANSI
+SQL oracle that DuckDB runs over the same parquet tables.
+
+Determinism rules that make value-hash comparison possible:
+- integers everywhere arithmetic matters (modular derivations,
+  quantized embeddings, decimal-cast sums → one final double);
+- doubles only born from a single identical expression per row, or
+  rounded after exact-integer computation;
+- every ranking has a total order (unique-key tiebreak);
+- timestamps serialized to strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vcfdbr_spark import simdata
+from vcfdbr_spark.functions.text import lang_guess, quality_stats, token_count
+from vcfdbr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from vcfdbr_spark.operators.query import interval_query, per_gene_counts, pull_vars_by_id
+from vcfdbr_spark.operators.similarity import brute_force_topk, lsh_topk
+from vcfdbr_spark.sources.store import build_gene_map
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events parquet stores TIMESTAMP(NANOS) which Spark's reader
+    rejects; read nanos as long and floor-convert to microseconds —
+    the same truncation DuckDB applies when it reads the file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
+# --------------------------------------------------------------------
+# VCF-domain semantics under the oracle (via simdata derivations)
+# --------------------------------------------------------------------
+
+def q_vcfsim_info_rare(spark, sf_dir):
+    """A1/A13-A15 parity: typed variant_info build + rare-variant filter."""
+    info = simdata.sim_info(_t(spark, sf_dir, "orders"))
+    return info.filter(F.col("af") < 0.05)
+
+
+SQL_VCFSIM_INFO_RARE = f"""
+SELECT * FROM ({simdata.SIM_INFO_SQL}) WHERE af < 0.05
+"""
+
+
+def q_vcfsim_impact_flags(spark, sf_dir):
+    """A6-A9 parity: CSQ-style '&' explode + derived boolean flags."""
+    imp = simdata.sim_impact(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return imp.filter(F.col("variant_id") % 50 < 2)
+
+
+SQL_VCFSIM_IMPACT_FLAGS = f"""
+SELECT * FROM ({simdata.SIM_IMPACT_SQL}) WHERE variant_id % 50 < 2
+"""
+
+
+def q_vcfsim_gt_recode(spark, sf_dir):
+    """A16/A18 parity: long genotype build + exact gt2snp regex recode."""
+    geno = simdata.sim_geno(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return geno.filter(F.col("variant_id") % 50 < 2)
+
+
+SQL_VCFSIM_GT_RECODE = f"""
+SELECT * FROM ({simdata.SIM_GENO_SQL}) WHERE variant_id % 50 < 2
+"""
+
+
+def q_vcfsim_filter_test(spark, sf_dir):
+    """The reference's canonical read workload (C1-C5, C10, C12):
+    per-gene rare-variant counts + benchmark bin, one aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return per_gene_counts(
+        simdata.sim_impact(orders, li), simdata.sim_info(orders), af=0.02
+    )
+
+
+SQL_VCFSIM_FILTER_TEST = f"""
+WITH impact AS ({simdata.SIM_IMPACT_SQL}), info AS ({simdata.SIM_INFO_SQL}),
+pairs AS (
+  SELECT DISTINCT i.variant_id, i.symbol
+  FROM impact i JOIN info v USING (variant_id) WHERE v.af < 0.02
+)
+SELECT symbol, COUNT(*) AS n_vars,
+       CAST(ceil(COUNT(*) / 500.0) AS BIGINT) AS bin
+FROM pairs GROUP BY symbol
+"""
+
+
+def q_vcfsim_geno_pull(spark, sf_dir):
+    """C6/C8 parity: genotype pull by id set as one semi-join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    geno = simdata.sim_geno(orders, li)
+    ids = simdata.sim_info(orders).filter(F.col("variant_id") % 211 == 0)
+    return pull_vars_by_id(geno, ids.select("variant_id"))
+
+
+SQL_VCFSIM_GENO_PULL = f"""
+WITH geno AS ({simdata.SIM_GENO_SQL})
+SELECT * FROM geno WHERE variant_id IN (
+  SELECT variant_id FROM ({simdata.SIM_INFO_SQL}) WHERE variant_id % 211 = 0)
+"""
+
+
+def q_vcfsim_gene_map(spark, sf_dir):
+    """B5 parity: distinct gene/transcript dimension build."""
+    imp = simdata.sim_impact(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return build_gene_map(imp)
+
+
+SQL_VCFSIM_GENE_MAP = f"""
+SELECT DISTINCT symbol, symbol_source, gene, feature, feature_type
+FROM ({simdata.SIM_IMPACT_SQL})
+"""
+
+
+def q_vcfsim_interval(spark, sf_dir):
+    """GRanges-sidecar parity (B6): locus overlap query."""
+    info = simdata.sim_info(_t(spark, sf_dir, "orders"))
+    return interval_query(info, "2", 2_000, 4_000)
+
+
+SQL_VCFSIM_INTERVAL = f"""
+SELECT * FROM ({simdata.SIM_INFO_SQL})
+WHERE chr = '2' AND start <= 4000 AND "end" >= 2000
+"""
+
+
+# --------------------------------------------------------------------
+# Generic relational operators over the TPC-H-ish tables
+# --------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """Partial-aggregation shape: wide groupBy-agg with exact decimal
+    sums (map-side combine; one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-07-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-07-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_distinct_join_count(spark, sf_dir):
+    """filter_test's structural shape on TPC-H tables (C1-C5 + C10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    d = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    j = d.join(
+        orders.filter(F.col("o_totalprice") < 150_000).select("o_orderkey"),
+        d.l_orderkey == F.col("o_orderkey"),
+        "inner",
+    )
+    return j.agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_FILTER_DISTINCT_JOIN_COUNT = """
+SELECT COUNT(*) AS n FROM (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') d
+JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice < 150000) o
+  ON d.l_orderkey = o.o_orderkey
+"""
+
+_PULL_IDS = [0, 997, 1994, 2991, 3988, 4985, 5982, 6979, 7976, 8973, 9970, 10967, 11964, 12961, 13958]
+
+
+def q_in_list_pull(spark, sf_dir):
+    """C6 IN-list pull with pushdown-able literal predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").isin(_PULL_IDS)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+SQL_IN_LIST_PULL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey IN ({",".join(map(str, _PULL_IDS))})
+"""
+
+
+def q_dim_scan_distinct(spark, sf_dir):
+    """C11 dimension scan: compound predicate + distinct + not-null."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000))
+        .select(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .distinct()
+        .filter(F.col("nationkey").isNotNull())
+    )
+
+
+SQL_DIM_SCAN_DISTINCT = """
+SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000 AND c_nationkey IS NOT NULL
+"""
+
+
+def q_per_key_count_binned(spark, sf_dir):
+    """C10+C12: per-key counts re-binned (cut_width semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_cust.withColumn(
+            "bin", F.ceil(F.col("n") / F.lit(5.0)).cast("long")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+SQL_PER_KEY_COUNT_BINNED = """
+SELECT CAST(ceil(n / 5.0) AS BIGINT) AS bin, COUNT(*) AS n_keys
+FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# Events (stream-shaped table; batch windowed agg)
+# --------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (same plan Structured Streaming
+    runs incrementally); decimal-exact sums → one double."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured extraction: JSON props → typed column → agg."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n, MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# Training-data operators: dedup / text / similarity
+# --------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    stats = quality_stats(F.col("text"))
+    cols = [F.col("doc_id")] + [v.alias(k) for k, v in stats.items()]
+    return docs.select(*cols, token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('the','a','and','of','to','in','is','on','for','with'))) AS BIGINT) AS n_stopwords,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_guess(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+_SW = {
+    "en": "('the','a','and','of','to','in','is','on','for','with')",
+    "de": "('der','die','das','und','ist','ein','zu','mit','von','auf')",
+    "fr": "('le','la','et','de','un','une','est','pour','dans','sur')",
+}
+SQL_LANG_GUESS = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(lower(text),' '), t -> t IN {_SW['en']})) AS en,
+         len(list_filter(string_split(lower(text),' '), t -> t IN {_SW['de']})) AS de,
+         len(list_filter(string_split(lower(text),' '), t -> t IN {_SW['fr']})) AS fr
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN en >= de AND en >= fr THEN 'en'
+            WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_guess
+FROM scored
+"""
+
+_SHINGLE_SQL = """
+  SELECT doc_id, substr(substr(text, 1, 200), i, 5) AS sh
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1,
+                greatest(length(substr(text, 1, 200)) - 4, 1))) AS i) t
+"""
+
+_SIG_SQL = f"""
+  SELECT doc_id,
+         {", ".join(f"min(md5('{s}|' || sh)) AS h{s}" for s in range(8))}
+  FROM ({_SHINGLE_SQL}) GROUP BY doc_id
+"""
+
+
+def q_minhash_sig(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_SIG = _SIG_SQL
+
+_BANDS_SQL = f"""
+  SELECT doc_id, b.band, b.bucket
+  FROM ({_SIG_SQL}) s,
+       LATERAL (VALUES (0, md5(s.h0 || s.h1)), (1, md5(s.h2 || s.h3)),
+                       (2, md5(s.h4 || s.h5)), (3, md5(s.h6 || s.h7))) b(band, bucket)
+"""
+
+_PAIRS_SQL = f"""
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM ({_BANDS_SQL}) x JOIN ({_BANDS_SQL}) y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_PAIRS = _PAIRS_SQL
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, minhash_dedup_pairs(docs))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH cand AS ({_PAIRS_SQL}),
+shd AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_SQL})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.a
+  JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b)
+SELECT i.a, i.b, i.n_inter, na.n AS n_a, nb.n AS n_b,
+       round(CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.a
+JOIN sizes nb ON nb.doc_id = i.b
+"""
+
+_HEX15 = "(" + "+".join(
+    f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+) + ")"
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+th AS (SELECT doc_id, {_HEX15} AS h FROM tok),
+bitsum AS (
+  SELECT doc_id, j.j, SUM(CASE WHEN (h >> (j.j % 60)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, LATERAL (SELECT unnest(generate_series(0, 62)) AS j) j
+  GROUP BY doc_id, j.j)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+_EMB_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries, k=5)
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_EMB_QUANT} AS qv FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cand_id, {_EMB_QUANT} AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.cand_id,
+         list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS dot,
+         list_sum(list_transform(q.qv, x -> x * x)) AS qn,
+         list_sum(list_transform(c.cv, x -> x * x)) AS cn
+  FROM c, q WHERE c.cand_id <> q.query_id),
+ranked AS (
+  SELECT query_id, cand_id,
+         round(CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6) AS score
+  FROM scored)
+SELECT query_id, cand_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+FROM ranked
+QUALIFY rank <= 5
+"""
+
+_EMB_BUCKET = (
+    "list_aggregate(list_transform(embedding[1:8], "
+    "x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries, k=5)
+
+
+SQL_EMBEDDING_LSH_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_EMB_QUANT} AS qv, {_EMB_BUCKET} AS bucket
+  FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cand_id, {_EMB_QUANT} AS cv, {_EMB_BUCKET} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.cand_id,
+         list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS dot,
+         list_sum(list_transform(q.qv, x -> x * x)) AS qn,
+         list_sum(list_transform(c.cv, x -> x * x)) AS cn
+  FROM c JOIN q USING (bucket) WHERE c.cand_id <> q.query_id),
+ranked AS (
+  SELECT query_id, cand_id,
+         round(CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6) AS score
+  FROM scored)
+SELECT query_id, cand_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+FROM ranked
+QUALIFY rank <= 5
+"""
+
+
+# --------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "vcfsim_info_rare": q_vcfsim_info_rare,
+    "vcfsim_impact_flags": q_vcfsim_impact_flags,
+    "vcfsim_gt_recode": q_vcfsim_gt_recode,
+    "vcfsim_filter_test": q_vcfsim_filter_test,
+    "vcfsim_geno_pull": q_vcfsim_geno_pull,
+    "vcfsim_gene_map": q_vcfsim_gene_map,
+    "vcfsim_interval": q_vcfsim_interval,
+    "tpch_q1": q_tpch_q1,
+    "filter_distinct_join_count": q_filter_distinct_join_count,
+    "in_list_pull": q_in_list_pull,
+    "dim_scan_distinct": q_dim_scan_distinct,
+    "per_key_count_binned": q_per_key_count_binned,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_guess": q_lang_guess,
+    "minhash_sig": q_minhash_sig,
+    "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+}
+
+ORACLE: dict[str, str] = {
+    "vcfsim_info_rare": SQL_VCFSIM_INFO_RARE,
+    "vcfsim_impact_flags": SQL_VCFSIM_IMPACT_FLAGS,
+    "vcfsim_gt_recode": SQL_VCFSIM_GT_RECODE,
+    "vcfsim_filter_test": SQL_VCFSIM_FILTER_TEST,
+    "vcfsim_geno_pull": SQL_VCFSIM_GENO_PULL,
+    "vcfsim_gene_map": SQL_VCFSIM_GENE_MAP,
+    "vcfsim_interval": SQL_VCFSIM_INTERVAL,
+    "tpch_q1": SQL_TPCH_Q1,
+    "filter_distinct_join_count": SQL_FILTER_DISTINCT_JOIN_COUNT,
+    "in_list_pull": SQL_IN_LIST_PULL,
+    "dim_scan_distinct": SQL_DIM_SCAN_DISTINCT,
+    "per_key_count_binned": SQL_PER_KEY_COUNT_BINNED,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_json": SQL_EVENTS_JSON,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_guess": SQL_LANG_GUESS,
+    "minhash_sig": SQL_MINHASH_SIG,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "simhash": SQL_SIMHASH,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
+}

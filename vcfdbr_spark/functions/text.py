@@ -1,0 +1,82 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure built-in column algebra (JVM-side, codegen-friendly): token
+counting, quality stats, stopword-based language scoring, and a
+rolling document fingerprint.  Designed to run over a ``documents``
+table with a ``text`` column at 100 TB — per-row expressions only, no
+shuffles, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny public stopword lists (enough for a deterministic heuristic).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "pour", "dans", "sur"],
+}
+
+# BPE-ish pre-tokenization: words | numbers | single non-space symbols.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split, matching the simple
+    oracle-SQL string_split semantics)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Regex token count (BPE-ish pre-tokenizer)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(ws_tokens(F.lower(text)), lambda t: t.isin(*words))
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Deterministic stopword-vote language id: highest hit count wins,
+    ties broken en > de > fr (fixed evaluation order)."""
+    en, de, fr = (stopword_count(text, l) for l in ("en", "de", "fr"))
+    return (
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+
+
+def quality_stats(text: Column) -> dict[str, Column]:
+    """Length/type-token/punctuation/stopword quality signals."""
+    toks = ws_tokens(text)
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_types": F.size(F.array_distinct(toks)).cast("long"),
+        "n_punct": F.size(
+            F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).cast("long"),
+        "n_stopwords": stopword_count(text).cast("long"),
+    }
+
+
+def shingles(text: Column, k: int = 5, prefix_len: int | None = 200) -> Column:
+    """Character k-shingles (over an optional prefix cap so signature
+    cost is bounded per document)."""
+    src = F.substring(text, 1, prefix_len) if prefix_len else text
+    n = F.greatest(F.length(src) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: src.substr(i, F.lit(k)))
+
+
+def fingerprint(text: Column, prefix_len: int = 200) -> Column:
+    """Deterministic engine-portable document fingerprint: md5 of the
+    sorted distinct 5-shingle set of the text prefix."""
+    sh = F.array_sort(F.array_distinct(shingles(text, 5, prefix_len)))
+    return F.md5(F.concat_ws("\x00", sh))

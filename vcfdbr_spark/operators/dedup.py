@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-frugal and engine-portable:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle, map-side
+  partial agg.
+- **MinHash + LSH**: shingle → k md5-minhashes → banded buckets →
+  bucket-join candidate pairs.  The md5-lexicographic-min family is a
+  valid uniform minhash (128-bit) and, unlike integer-mix hashes, is
+  bit-identical across engines, so the whole pipeline is
+  oracle-checkable in SQL.
+- **n-gram Jaccard**: exact pairwise Jaccard over candidate pairs
+  (bounded by the LSH buckets — never all-pairs).
+- **SimHash**: 63-bit sign-aggregated token fingerprint; near-dups
+  differ in few bits.
+
+Scale notes: candidate generation is |bands| × |docs| rows; the
+bucket self-join only materializes same-bucket pairs (skew-safe under
+AQE).  All-pairs similarity is deliberately absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.functions.text import shingles
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (text_hash, keep_id = min id, n_dups)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    prefix_len: int = 200,
+) -> DataFrame:
+    """(id, h0..h{n-1}) md5-min signatures over character shingles.
+
+    min() over the shingle multiset == min over the set, so no
+    distinct pass is needed before aggregation.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_k, prefix_len)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, bucket): hash each band of the signature."""
+    hcols = [c for c in sigs.columns if c != id_col]
+    n_bands = len(hcols) // rows_per_band
+    bands = [
+        F.md5(F.concat(*[F.col(hcols[b * rows_per_band + r]) for r in range(rows_per_band)]))
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        id_col, F.posexplode(F.array(*bands)).alias("band", "bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (a, b) with a < b sharing any band bucket."""
+    left = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("b")
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 5,
+    prefix_len: int = 200,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup candidates."""
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_k, prefix_len
+    )
+    return lsh_candidate_pairs(
+        minhash_band_buckets(sigs, id_col, rows_per_band), id_col
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    prefix_len: int = 200,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (a, b) pairs.
+
+    Computed via exploded shingle sets + group sizes: |A∩B| from a
+    join on shingle value, |A∪B| = |A|+|B|-|A∩B| — integer arithmetic
+    only, so the score (``round(…, 6)``) is engine-portable.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(
+            F.array_distinct(shingles(F.col(text_col), shingle_k, prefix_len))
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        candidates.join(sh.withColumnRenamed("_id", "a"), "a")
+        .join(sh.select(F.col("_id").alias("b"), F.col("sh")), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("n").alias("n_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .select("a", "b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 63,
+) -> DataFrame:
+    """63-bit SimHash over whitespace tokens.
+
+    Token hash = first 15 hex chars of md5 (60 bits, extended to
+    ``bits`` by reusing low bits) — chosen over xxhash/murmur because
+    md5 is identical in every engine, keeping the operator
+    oracle-checkable.  Per bit j: sum_t (2*bit_j(h(t)) - 1); sign
+    packs into the output.  Integer-only → deterministic.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long"),
+    )
+    bit = tok.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn(
+        "vote",
+        # shiftright/shiftleft take a Column shift only via SQL expr
+        F.expr("shiftright(h, CAST(j % 60 AS INT)) & 1") * 2 - 1,
+    )
+    return (
+        bit.groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
