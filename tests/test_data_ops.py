@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.functions.text import lang_guess, quality_stats, token_count
+from vcfdbr_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_band_buckets,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from vcfdbr_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "der hund und die katze sind mit von auf"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    assert len(out) == 4  # 5 docs, one exact dup collapses
+    by_hash = {r["text_hash"]: r for r in out}
+    dup = [r for r in out if r["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    docs = _docs(spark)
+    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs).collect()}
+    assert (1, 2) in pairs  # identical text shares every band
+    # jaccard on candidates: exact dup = 1.0, near dup high, computed exactly
+    jac = ngram_jaccard_pairs(docs, minhash_dedup_pairs(docs))
+    got = {(r["a"], r["b"]): r["jaccard"] for r in jac.collect()}
+    assert got[(1, 2)] == 1.0
+    if (1, 3) in got:
+        assert 0.5 < got[(1, 3)] < 1.0
+
+
+def test_minhash_signature_is_md5_min(spark):
+    docs = _docs(spark).filter(F.col("doc_id") == 4)
+    sig = minhash_signatures(docs, num_hashes=2).first()
+    text = "completely different text about spark engines"[:200]
+    shs = [text[i : i + 5] for i in range(len(text) - 4)]
+    want_h0 = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shs)
+    assert sig["h0"] == want_h0
+
+
+def test_band_buckets_shape(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=8)
+    b = minhash_band_buckets(sigs)
+    rows = b.collect()
+    assert len(rows) == 5 * 4  # 8 hashes / 2 rows-per-band = 4 bands per doc
+    assert lsh_candidate_pairs(b).filter(F.col("a") >= F.col("b")).count() == 0
+
+
+def test_simhash_properties(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert out[1] == out[2]  # identical text → identical fingerprint
+    assert out[1] != out[4]
+    # near-dup differs in few bits
+    ham = bin(out[1] ^ out[3]).count("1")
+    assert ham < 20
+
+
+def test_text_functions(spark):
+    df = _docs(spark)
+    stats = df.select(
+        "doc_id", *[v.alias(k) for k, v in quality_stats(F.col("text")).items()]
+    )
+    r = {x["doc_id"]: x for x in stats.collect()}
+    assert r[1]["n_tokens"] == 9
+    assert r[1]["n_types"] == 8  # 'the' twice
+    assert r[1]["n_stopwords"] == 2  # 'the' twice; no other list words
+    tk = df.select(token_count(F.col("text")).alias("n")).first()["n"]
+    assert tk == 9
+    lg = {x["doc_id"]: x["g"] for x in df.select("doc_id", lang_guess(F.col("text")).alias("g")).collect()}
+    assert lg[1] == "en"
+    assert lg[5] == "de"
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 1)
+    out = brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r["cand_id"] for r in out] == [2, 3]
+    assert out[0]["score"] > 0.99
+
+
+def test_lsh_topk_bucket_restriction(spark):
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (2, [0.9, 0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (3, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 1)
+    out = lsh_topk(emb, q, k=5).collect()
+    assert {r["cand_id"] for r in out} == {2}  # 3 excluded by sign bucket

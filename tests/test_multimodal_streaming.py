@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.vcf_fixture import write_vcf
+from vcfdbr_spark.operators.multimodal import (
+    decode_image,
+    decode_media,
+    fake_decode,
+    frame_sample_plan,
+)
+from vcfdbr_spark.streaming.ingest import (
+    run_stream_to_memory,
+    stream_events,
+    stream_vcf_ingest,
+)
+
+
+def _media(spark):
+    return spark.createDataFrame(
+        [
+            (1, "image", b"\x89PNGfakebytes", {"n_frames": "0"}),
+            (2, "video", b"\x00\x00movbytes", {"n_frames": "25"}),
+            (3, "audio", b"RIFFbytes", {}),
+        ],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+
+
+def test_decode_media_stub(spark):
+    out = decode_media(_media(spark)).orderBy("media_id").collect()
+    assert len(out) == 3
+    r = out[0]
+    assert r["n_bytes"] == 13 and len(r["features"]) == 8
+    # deterministic: same input → same features
+    again = decode_media(_media(spark)).orderBy("media_id").first()
+    assert again["features"] == r["features"]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"anything")
+
+
+def test_frame_sample_plan(spark):
+    out = frame_sample_plan(_media(spark), every_n=10).collect()
+    # only the video row explodes; frames 0,10,20 of 25
+    assert [(r["media_id"], r["frame_idx"]) for r in out] == [
+        (2, 0),
+        (2, 10),
+        (2, 20),
+    ]
+
+
+def test_stream_events_windowed(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:55:00", 1, "click", 2.0, "{}"),
+            (3, "2024-01-01 11:05:00", 2, "view", 3.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    agg = stream_events(spark, src, watermark="1 hour", window="1 hour")
+    run_stream_to_memory(agg, "evt_agg")
+    rows = spark.sql("SELECT * FROM evt_agg ORDER BY window_start").collect()
+    assert len(rows) == 2
+    assert rows[0]["n"] == 2 and rows[0]["total"] == 3.0
+    assert rows[1]["event_type"] == "view"
+
+
+def test_stream_vcf_ingest_resumable(spark, tmp_path):
+    vcf_dir = tmp_path / "vcf_in"
+    vcf_dir.mkdir()
+    header_path = write_vcf(str(tmp_path / "header.vcf"))
+    write_vcf(str(vcf_dir / "chunk1.vcf"))
+    out = str(tmp_path / "db")
+    ckpt = str(tmp_path / "ckpt")
+    stream_vcf_ingest(spark, str(vcf_dir), out, ckpt, header_path)
+    info = spark.read.parquet(f"{out}/variant_info")
+    assert info.count() == 6
+    assert info.agg(F.max("variant_id")).first()[0] == 6
+    # drop a second file in: ids continue from the stored max (resume)
+    import shutil
+
+    src2 = write_vcf(str(tmp_path / "tmp2.vcf"))
+    shutil.copy(src2, str(vcf_dir / "chunk2.vcf"))
+    stream_vcf_ingest(spark, str(vcf_dir), out, ckpt, header_path)
+    info = spark.read.parquet(f"{out}/variant_info")
+    assert info.count() == 12
+    assert info.agg(F.max("variant_id")).first()[0] == 12
+    assert info.select("variant_id").distinct().count() == 12

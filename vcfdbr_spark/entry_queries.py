@@ -320,6 +320,75 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via partitioned
+    window functions — per-user windows parallelize; no global sort."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_sec"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: documents→binary media table →
+    Arrow-batched mapInPandas decode (deterministic stub decoder).
+    Not SQL-expressible (pandas UDF) → rows-only driver check."""
+    from vcfdbr_spark.operators.multimodal import decode_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.create_map(
+            F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")
+        ).alias("meta"),
+    )
+    return decode_media(media)
+
+
 # --------------------------------------------------------------------
 # Training-data operators: dedup / text / similarity
 # --------------------------------------------------------------------
@@ -545,6 +614,8 @@ QUERIES: dict[str, QueryFn] = {
     "per_key_count_binned": q_per_key_count_binned,
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
+    "events_sessions": q_events_sessions,
+    "multimodal_decode": q_multimodal_decode,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_guess": q_lang_guess,
@@ -571,6 +642,8 @@ ORACLE: dict[str, str] = {
     "per_key_count_binned": SQL_PER_KEY_COUNT_BINNED,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json": SQL_EVENTS_JSON,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    # multimodal_decode: no oracle (mapInPandas) → rows-only check
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_guess": SQL_LANG_GUESS,

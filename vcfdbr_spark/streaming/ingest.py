@@ -1,0 +1,131 @@
+"""Structured Streaming surfaces.
+
+The reference is pure batch, but its chunked, checkpointed,
+resumable ingest loop (pipeline/02-build-db.R:249-529) is exactly the
+contract Structured Streaming provides natively: source offsets +
+checkpointLocation replace the .progress.RData file, and
+``Trigger.AvailableNow`` replaces the --end-chunk partial-run flag
+(pipeline/02-build-db.R:34-38).  We expose:
+
+- ``stream_events``: watermarked tumbling-window aggregation over an
+  event stream — the streaming rendering of the batch
+  ``events_hourly`` query (same logical plan, incremental state).
+- ``stream_vcf_ingest``: file-source streaming VCF ingest.  Dense
+  global ids can't come from a streaming window; ``foreachBatch``
+  assigns per-batch dense ids continuing from the stored max —
+  the exact analog of the reference's cross-chunk ``index_start``
+  carry (pipeline/02-build-db.R:258-259, :522).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked windowed aggregation over a file-source stream.
+    Late rows beyond the watermark are dropped from state — bounded
+    memory at any scale."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain an aggregation stream into an in-memory table with
+    AvailableNow (process-everything-then-stop) semantics."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_vcf_ingest(
+    spark: SparkSession,
+    vcf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    header_path: str,
+) -> None:
+    """Streaming VCF ingest: new VCF text files appearing in
+    ``vcf_dir`` are parsed and transactionally appended to the
+    variant_info parquet table, with dense ids continuing across
+    batches via a driver-side max-id carry (the streaming analog of
+    the reference's resumable chunk loop)."""
+    from vcfdbr_spark.operators.ids import with_dense_ids
+    from vcfdbr_spark.schema import read_header
+    from vcfdbr_spark.sources import vcf as vcf_mod
+
+    header = read_header(header_path)
+    lines = spark.readStream.format("text").load(vcf_dir)
+    records = lines.filter(~F.col("value").startswith("#"))
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_l = batch_df.sparkSession
+        try:
+            existing = spark_l.read.parquet(f"{out_dir}/variant_info")
+            start = (existing.agg(F.max("variant_id")).first()[0] or 0) + 1
+        except Exception:
+            start = 1
+        c = F.split(F.col("value"), "\t")
+        parsed = batch_df.select(
+            c.getItem(0).alias("chr"),
+            c.getItem(1).try_cast("long").alias("start"),
+            c.getItem(3).alias("ref"),
+            c.getItem(4).alias("alt"),
+            F.str_to_map(c.getItem(7), F.lit(";"), F.lit("=")).alias("_info"),
+        ).filter(~F.col("alt").contains(","))
+        keyed = with_dense_ids(
+            parsed, ["chr", "start", "ref", "alt"], id_col="variant_id", start=start
+        )
+        out_cols = [
+            F.col("variant_id"),
+            F.col("chr"),
+            F.col("start"),
+            (F.col("start") + F.length("ref") - 1).alias("end"),
+            F.col("ref"),
+            F.col("alt"),
+        ]
+        for fid, f_ in header.info.items():
+            if fid == "CSQ":
+                continue
+            out_cols.append(
+                vcf_mod._info_column(F.col("_info"), f_).alias(
+                    vcf_mod.mangle_name(fid)
+                )
+            )
+        keyed.select(*out_cols).write.mode("append").parquet(
+            f"{out_dir}/variant_info"
+        )
+
+    q = (
+        records.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
