@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.vcf_fixture import write_vcf
+from vcfdbr_spark.cli import main as cli_main
+from vcfdbr_spark.operators.query import filter_test
+from vcfdbr_spark.plans.layout import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    pushed_filters,
+    scan_schemas,
+)
+
+
+def test_cli_build_and_query(spark, tmp_path, capsys):
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    prefix = str(tmp_path / "db")
+    assert cli_main(["build", "--vcf", vcf, "--prefix", prefix,
+                     "--include-multivalue-gt"]) == 0
+    assert cli_main(["filter", "--prefix", prefix, "--symbol", "GENE2",
+                     "--af", "0.9"]) == 0
+    out = capsys.readouterr().out
+    assert "rows)" in out
+    assert cli_main(["pull", "--prefix", prefix, "--ids", "1,2"]) == 0
+    assert "(8 rows)" in capsys.readouterr().out
+    assert cli_main(["interval", "--prefix", prefix, "--chr", "1",
+                     "--start", "200", "--end", "310"]) == 0
+    assert "(2 rows)" in capsys.readouterr().out
+
+
+def test_cli_build_rejects_multiallelic(spark, tmp_path):
+    vcf = write_vcf(str(tmp_path / "bad.vcf"), include_multiallelic=True)
+    prefix = str(tmp_path / "db2")
+    assert cli_main(["build", "--vcf", vcf, "--prefix", prefix]) == 2
+    import os
+
+    assert os.path.exists(f"{prefix}-multiallelic-sites.tsv")
+
+
+def test_filter_test_plan_properties(spark, tmp_path):
+    """The canonical query must: push the symbol filter to the scan,
+    prune columns, broadcast the filtered side, avoid cartesians."""
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    from vcfdbr_spark.sources.store import open_vcfdb, write_vcfdb
+    from vcfdbr_spark.sources.vcf import read_vcf
+
+    write_vcfdb(read_vcf(spark, vcf), str(tmp_path / "db"))
+    db = open_vcfdb(spark, str(tmp_path / "db"))
+    q = filter_test(db.variant_impact, db.variant_info, "GENE2", af=0.9)
+    q.collect()  # finalize AQE plan
+    assert_no_cartesian(q)
+    assert_broadcast_join(q)
+    pf = " ".join(pushed_filters(q))
+    assert "symbol" in pf  # predicate reached the parquet scan
+    assert "af" in pf
+    for schema in scan_schemas(q):
+        # column pruning: no scan should read the wide geno/exon cols
+        assert "gt_raw" not in schema and "biotype" not in schema

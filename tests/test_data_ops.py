@@ -45,14 +45,15 @@ def test_minhash_finds_near_dups(spark):
     got = {(r["a"], r["b"]): r["jaccard"] for r in jac.collect()}
     assert got[(1, 2)] == 1.0
     if (1, 3) in got:
-        assert 0.5 < got[(1, 3)] < 1.0
+        # 1-word difference on a 9-word doc: 4 of 7 word-trigrams shared
+        assert 0.3 < got[(1, 3)] < 1.0
 
 
 def test_minhash_signature_is_md5_min(spark):
     docs = _docs(spark).filter(F.col("doc_id") == 4)
     sig = minhash_signatures(docs, num_hashes=2).first()
-    text = "completely different text about spark engines"[:200]
-    shs = [text[i : i + 5] for i in range(len(text) - 4)]
+    words = "completely different text about spark engines".split(" ")
+    shs = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
     want_h0 = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shs)
     assert sig["h0"] == want_h0
 

@@ -1,0 +1,118 @@
+"""Command-line surface mirroring the reference's ``VCFdb.R`` flags
+(VCFdb.R:13-124) plus query subcommands for the built store.
+
+    python -m vcfdbr_spark.cli build --vcf in.vcf --prefix out/db \\
+        --mode table|file [--include-multivalue-gt] [--threads N]
+    python -m vcfdbr_spark.cli filter --prefix out/db --symbol GENE1 [--af 0.01]
+    python -m vcfdbr_spark.cli pull --prefix out/db --ids 1,2,3
+    python -m vcfdbr_spark.cli interval --prefix out/db --chr 1 --start 100 --end 5000
+
+The reference's ``--threads`` becomes local core count; on a cluster
+spark-submit supplies parallelism and the flag is ignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="vcfdb", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="VCF → relational store (stages 01-03)")
+    b.add_argument("--vcf", required=True)
+    b.add_argument("--prefix", required=True, help="output store directory")
+    b.add_argument("--mode", choices=["table", "file"], default="table")
+    b.add_argument(
+        "--include-multivalue-gt",
+        action="store_true",
+        help="melt multi-value FORMAT fields to field_k columns "
+        "(reference default skips them)",
+    )
+    b.add_argument(
+        "--multivalue-as-array",
+        action="store_true",
+        help="keep multi-value FORMAT fields as native arrays",
+    )
+    b.add_argument("--threads", type=int, default=None)
+
+    f = sub.add_parser("filter", help="per-gene rare-variant query")
+    f.add_argument("--prefix", required=True)
+    f.add_argument("--symbol", required=True)
+    f.add_argument("--af", type=float, default=0.01)
+
+    g = sub.add_parser("pull", help="genotype pull by variant ids")
+    g.add_argument("--prefix", required=True)
+    g.add_argument("--ids", required=True, help="comma-separated variant ids")
+
+    iv = sub.add_parser("interval", help="locus range query")
+    iv.add_argument("--prefix", required=True)
+    iv.add_argument("--chr", required=True)
+    iv.add_argument("--start", type=int, required=True)
+    iv.add_argument("--end", type=int, required=True)
+
+    args = p.parse_args(argv)
+
+    from vcfdbr_spark import get_spark
+
+    spark = get_spark(
+        app_name=f"vcfdb-{args.cmd}",
+        master=(
+            f"local[{args.threads}]"
+            if getattr(args, "threads", None)
+            else None
+        ),
+    )
+
+    if args.cmd == "build":
+        from vcfdbr_spark.sources.store import write_vcfdb
+        from vcfdbr_spark.sources.vcf import read_vcf
+
+        multi = (
+            "array"
+            if args.multivalue_as_array
+            else ("melt" if args.include_multivalue_gt else "skip")
+        )
+        tables = read_vcf(spark, args.vcf, multi_value=multi)
+        n_rejects = tables.rejects.count()
+        if n_rejects:
+            reject_path = f"{args.prefix}-multiallelic-sites.tsv"
+            tables.rejects.toPandas().to_csv(reject_path, sep="\t", index=False)
+            # reference aborts the build on multiallelic input
+            # (pipeline/01-generate-variant-ranges-index.R:43-53)
+            print(
+                f"ERROR: {n_rejects} multiallelic sites — rejects written to "
+                f"{reject_path}; split multiallelics and re-run",
+                file=sys.stderr,
+            )
+            return 2
+        write_vcfdb(tables, args.prefix, mode=args.mode)
+        print(f"built {args.prefix} (mode={args.mode})")
+        return 0
+
+    from vcfdbr_spark.operators.query import (
+        filter_test,
+        interval_query,
+        pull_vars_by_id,
+    )
+    from vcfdbr_spark.sources.store import open_vcfdb
+
+    db = open_vcfdb(spark, args.prefix)
+    if args.cmd == "filter":
+        out = filter_test(db.variant_impact, db.variant_info, args.symbol, args.af)
+    elif args.cmd == "pull":
+        ids = [int(x) for x in args.ids.split(",")]
+        out = pull_vars_by_id(db.variant_geno, ids)
+    else:
+        out = interval_query(db.variant_info, args.chr, args.start, args.end)
+    rows = out.collect()
+    for r in rows[:50]:
+        print(r.asDict())
+    print(f"({len(rows)} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

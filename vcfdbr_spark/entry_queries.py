@@ -447,10 +447,10 @@ FROM scored
 """
 
 _SHINGLE_SQL = """
-  SELECT doc_id, substr(substr(text, 1, 200), i, 5) AS sh
-  FROM documents,
+  SELECT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+  FROM (SELECT doc_id, string_split(text, ' ')[1:50] AS words FROM documents) w,
        LATERAL (SELECT unnest(generate_series(1,
-                greatest(length(substr(text, 1, 200)) - 4, 1))) AS i) t
+                greatest(len(words) - 2, 1))) AS i) t
 """
 
 _SIG_SQL = f"""
@@ -494,19 +494,20 @@ def q_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = f"""
 WITH cand AS ({_PAIRS_SQL}),
-shd AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_SQL})),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-inter AS (
-  SELECT c.a, c.b, COUNT(*) AS n_inter
+sets_ AS (
+  SELECT doc_id, list_distinct(list(sh)) AS s
+  FROM ({_SHINGLE_SQL}) GROUP BY doc_id),
+scored AS (
+  SELECT c.a, c.b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+         CAST(len(sa.s) AS BIGINT) AS n_a,
+         CAST(len(sb.s) AS BIGINT) AS n_b
   FROM cand c
-  JOIN shd sa ON sa.doc_id = c.a
-  JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-  GROUP BY c.a, c.b)
-SELECT i.a, i.b, i.n_inter, na.n AS n_a, nb.n AS n_b,
-       round(CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE), 6) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.a
-JOIN sizes nb ON nb.doc_id = i.b
+  JOIN sets_ sa ON sa.doc_id = c.a
+  JOIN sets_ sb ON sb.doc_id = c.b)
+SELECT a, b, n_inter, n_a, n_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+FROM scored
 """
 
 _HEX15 = "(" + "+".join(

@@ -75,6 +75,18 @@ def shingles(text: Column, k: int = 5, prefix_len: int | None = 200) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: src.substr(i, F.lit(k)))
 
 
+def word_shingles(text: Column, n: int = 3, max_words: int = 50) -> Column:
+    """Word n-gram shingles over the first ``max_words`` tokens — the
+    standard dedup shingle space for documents (far more
+    discriminative than character shingles on natural text)."""
+    words = F.slice(F.split(text, " "), 1, max_words)
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
 def fingerprint(text: Column, prefix_len: int = 200) -> Column:
     """Deterministic engine-portable document fingerprint: md5 of the
     sorted distinct 5-shingle set of the text prefix."""

@@ -78,8 +78,10 @@ def sim_info_keyed(orders: DataFrame) -> DataFrame:
     )
 
 
-def sim_info(orders: DataFrame) -> DataFrame:
-    return sim_info_keyed(orders).drop("o_orderkey")
+def sim_info(orders: DataFrame, keyed: DataFrame | None = None) -> DataFrame:
+    return (keyed if keyed is not None else sim_info_keyed(orders)).drop(
+        "o_orderkey"
+    )
 
 
 SIM_INFO_KEYED_SQL = """
@@ -102,10 +104,14 @@ SIM_INFO_KEYED_SQL = """
 """
 
 
-def sim_impact(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def sim_impact(
+    orders: DataFrame, lineitem: DataFrame, keyed: DataFrame | None = None
+) -> DataFrame:
     """variant_impact-shaped frame: lineitem ⋈ derived info key, then
     the reference's explode path ('&'-split) + derived flags."""
-    keyed = sim_info_keyed(orders).select("variant_id", "o_orderkey")
+    keyed = (
+        keyed if keyed is not None else sim_info_keyed(orders)
+    ).select("variant_id", "o_orderkey")
     li = lineitem.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag"
     )
@@ -192,9 +198,13 @@ SIM_IMPACT_SQL = f"""
 """
 
 
-def sim_geno(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def sim_geno(
+    orders: DataFrame, lineitem: DataFrame, keyed: DataFrame | None = None
+) -> DataFrame:
     """variant_geno-shaped frame over the full gt2snp input space."""
-    keyed = sim_info_keyed(orders).select("variant_id", "o_orderkey")
+    keyed = (
+        keyed if keyed is not None else sim_info_keyed(orders)
+    ).select("variant_id", "o_orderkey")
     li = lineitem.select("l_orderkey", "l_linenumber", "l_suppkey")
     j = li.join(keyed, li.l_orderkey == keyed.o_orderkey, "inner")
     gt_key = ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 13).cast("int")
