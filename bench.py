@@ -36,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DATA_QUERIES = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "filter_distinct_join_count",
     "per_key_count_binned",
     "events_hourly",
@@ -47,6 +49,8 @@ DATA_QUERIES = [
     "simhash",
     "embedding_topk",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "embedding_dup_pairs",
     "multimodal_decode",
 ]
 

@@ -136,10 +136,15 @@ def test_variant_geno_skip_mode(spark, vcf_path):
 
 def test_rejects_channel(spark, tmp_path):
     p = write_vcf(str(tmp_path / "multi.vcf"), include_multiallelic=True)
+    # append a malformed record (unparseable POS)
+    with open(p, "a") as fh:
+        fh.write("1\tBADPOS\t.\tA\tG\t50\tPASS\tAN=8\tGT:DP:GQ:AD:FT\t"
+                 + "\t".join(["0/1:1:1:1,1:."] * 4) + "\n")
     t = read_vcf(spark, p)
-    rej = t.rejects.collect()
-    assert len(rej) == 1 and rej[0]["alt"] == "G,T"
-    # multiallelic row excluded from the built tables
+    rej = {r["reason"]: r for r in t.rejects.collect()}
+    assert rej["multiallelic"]["alt"] == "G,T"
+    assert rej["malformed"]["start"] is None
+    # both excluded from the built tables
     assert t.variant_info.count() == 6
 
 

@@ -83,8 +83,9 @@ def main(argv: list[str] | None = None) -> int:
             # reference aborts the build on multiallelic input
             # (pipeline/01-generate-variant-ranges-index.R:43-53)
             print(
-                f"ERROR: {n_rejects} multiallelic sites — rejects written to "
-                f"{reject_path}; split multiallelics and re-run",
+                f"ERROR: {n_rejects} rejected records (multiallelic/"
+                f"malformed) — written to {reject_path}; fix the input "
+                f"and re-run",
                 file=sys.stderr,
             )
             return 2

@@ -270,6 +270,101 @@ GROUP BY 1
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """Shipping-priority shape: 3-way join with selective dim filter
+    (broadcast) + top-k — exercises Catalyst join ordering."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    j = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(rev)
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+    return j
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """Local-supplier-volume shape: 6-table star join, small dims
+    broadcast, one aggregation shuffle."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(rev)
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------
 # Events (stream-shaped table; batch windowed agg)
 # --------------------------------------------------------------------
@@ -596,6 +691,85 @@ QUALIFY rank <= 5
 """
 
 
+_EMB_BASE = f"""
+  SELECT vec_id, {_EMB_QUANT} AS v,
+         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
+  FROM embeddings
+"""
+
+
+def _cos_sql(va, vb, na, nb):
+    dot = f"list_sum(list_transform(list_zip({va}, {vb}), p -> p[1] * p[2]))"
+    return (
+        f"round(CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6)"
+    )
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN — the |corpus| >> 10^6 scale path: score only
+    the nprobe nearest inverted lists."""
+    from vcfdbr_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5, nlist_mod=25, nprobe=3)
+
+
+SQL_EMBEDDING_IVF_TOPK = f"""
+WITH base AS ({_EMB_BASE}),
+cents AS (SELECT vec_id AS cent_id, v AS cv, n AS cn FROM base WHERE vec_id % 25 = 0),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT b.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cos_sql('b.v', 'c.cv', 'b.n', 'c.cn')} DESC,
+                                       c.cent_id) AS r
+    FROM base b, cents c) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM base WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, cent_id, qv, qn FROM (
+    SELECT q.query_id, c.cent_id, q.qv, q.qn,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qv', 'c.cv', 'q.qn', 'c.cn')} DESC,
+                                       c.cent_id) AS r
+    FROM q, cents c) WHERE r <= 3),
+scored AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS cand_id,
+         {_cos_sql('p.qv', 'b.v', 'p.qn', 'b.n')} AS score
+  FROM probes p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN base b ON b.vec_id = a.vec_id
+  WHERE b.vec_id <> p.query_id)
+SELECT query_id, cand_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-LSH buckets."""
+    from vcfdbr_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = f"""
+WITH base AS (
+  SELECT vec_id, {_EMB_QUANT} AS v,
+         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n,
+         {_EMB_BUCKET} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       {_cos_sql('a.v', 'b.v', 'a.n', 'b.n')} AS score
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.v', 'b.v', 'a.n', 'b.n')} >= 0.2
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -609,6 +783,8 @@ QUERIES: dict[str, QueryFn] = {
     "vcfsim_gene_map": q_vcfsim_gene_map,
     "vcfsim_interval": q_vcfsim_interval,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "filter_distinct_join_count": q_filter_distinct_join_count,
     "in_list_pull": q_in_list_pull,
     "dim_scan_distinct": q_dim_scan_distinct,
@@ -626,6 +802,8 @@ QUERIES: dict[str, QueryFn] = {
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
 }
 
 ORACLE: dict[str, str] = {
@@ -637,6 +815,8 @@ ORACLE: dict[str, str] = {
     "vcfsim_gene_map": SQL_VCFSIM_GENE_MAP,
     "vcfsim_interval": SQL_VCFSIM_INTERVAL,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "filter_distinct_join_count": SQL_FILTER_DISTINCT_JOIN_COUNT,
     "in_list_pull": SQL_IN_LIST_PULL,
     "dim_scan_distinct": SQL_DIM_SCAN_DISTINCT,
@@ -654,4 +834,6 @@ ORACLE: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
+    "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
 }

@@ -133,12 +133,20 @@ def read_vcf(
         ]
     parsed = raw.select(*base_cols)
 
-    # Multiallelic reject channel (pipeline/01:43-53): the build aborts
-    # on alt lists; we surface them as a DataFrame for the caller.
-    rejects = parsed.filter(F.col("alt").contains(",")).select(
-        "chr", "start", "ref", "alt"
+    # Reject channel: multiallelic sites (pipeline/01:43-53 — the
+    # reference aborts the build on these) plus malformed records
+    # (unparseable POS), surfaced as a DataFrame with a reason column
+    # instead of silently ingesting NULL coordinates.
+    is_multi = F.col("alt").contains(",")
+    is_malformed = F.col("start").isNull()
+    rejects = parsed.filter(is_multi | is_malformed).select(
+        "chr",
+        "start",
+        "ref",
+        "alt",
+        F.when(is_multi, "multiallelic").otherwise("malformed").alias("reason"),
     )
-    ok = parsed.filter(~F.col("alt").contains(","))
+    ok = parsed.filter(~is_multi & ~is_malformed)
 
     # Dense sequential variant_id in (contig-rank, pos, ref, alt) order.
     contig_rank = {ctg: i for i, ctg in enumerate(header.contigs)}
