@@ -61,6 +61,56 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+CSQ_DESC = (
+    "Consequence annotations from Ensembl VEP. Format: "
+    "Allele|Consequence|IMPACT|SYMBOL|SYMBOL_SOURCE|Gene|Feature_type|Feature"
+    "|BIOTYPE|EXON|INTRON|CANONICAL"
+)
+_CONS = ["missense_variant", "intron_variant", "synonymous_variant",
+         "splice_region_variant&intron_variant", "stop_gained"]
+_GTS = ["0/0", "0|0", "0/1", "1|0", "1/1", "1|1", "./.", "0/."]
+
+
+def _gen_vcf(path: str, n_variants: int, n_samples: int) -> None:
+    """Deterministic synthetic VCF for ingest throughput measurement."""
+    samples = [f"S{i:04d}" for i in range(n_samples)]
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        for c in ("1", "2", "3"):
+            fh.write(f"##contig=<ID={c},length=200000000>\n")
+        fh.write('##INFO=<ID=AC,Number=A,Type=Integer,Description="ac">\n')
+        fh.write('##INFO=<ID=AF,Number=A,Type=Float,Description="af">\n')
+        fh.write('##INFO=<ID=AN,Number=1,Type=Integer,Description="an">\n')
+        fh.write(f'##INFO=<ID=CSQ,Number=.,Type=String,Description="{CSQ_DESC}">\n')
+        fh.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">\n')
+        fh.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">\n')
+        fh.write(
+            "\t".join(
+                ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+                 "INFO", "FORMAT"] + samples
+            )
+            + "\n"
+        )
+        for i in range(n_variants):
+            chrom = ("1", "2", "3")[i % 3]
+            pos = 1000 + (i // 3) * 37
+            gene = f"G{i % 300:03d}"
+            n_tx = 1 + (i % 3)
+            csq = ",".join(
+                f"A|{_CONS[(i + t) % 5]}|MODERATE|{gene}|EntrezGene|ENSG{gene}"
+                f"|Transcript|ENST{gene}_{t}|protein_coding|||YES"
+                for t in range(n_tx)
+            )
+            info = f"AC=1;AF=0.{(i % 997):03d};AN={2 * n_samples};CSQ={csq}"
+            genos = "\t".join(
+                f"{_GTS[(i * 7 + s) % 8]}:{(i + s) % 90}"
+                for s in range(n_samples)
+            )
+            fh.write(
+                f"{chrom}\t{pos}\t.\tA\tG\t50\tPASS\t{info}\tGT:DP\t{genos}\n"
+            )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import functions as F
@@ -153,6 +203,23 @@ def main() -> None:
         timings["interval_query"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+    # ---- real VCF ingest throughput (parse + 3-table store write) ----
+    vcf_dir = tempfile.mkdtemp(prefix="vcfdbr_bench_vcf_")
+    try:
+        from vcfdbr_spark.sources.store import write_vcfdb
+        from vcfdbr_spark.sources.vcf import read_vcf
+
+        n_var, n_samp = 20_000, 20
+        _gen_vcf(f"{vcf_dir}/bench.vcf", n_var, n_samp)
+        t0 = time.time()
+        tables = read_vcf(spark, f"{vcf_dir}/bench.vcf")
+        write_vcfdb(tables, f"{vcf_dir}/store", mode="table")
+        dt = time.time() - t0
+        # 20k variants x 20 samples = 400k geno rows parsed + written
+        timings["vcf_ingest_20k_variants"] = round(dt, 3)
+    finally:
+        shutil.rmtree(vcf_dir, ignore_errors=True)
 
     # ---- relational + training-data operators off the sf parquet ----
     for name in DATA_QUERIES:

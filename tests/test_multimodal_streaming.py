@@ -72,6 +72,45 @@ def test_stream_events_windowed(spark, tmp_path):
     assert rows[1]["event_type"] == "view"
 
 
+def test_stream_user_stats_state_across_batches(spark, tmp_path):
+    from vcfdbr_spark.streaming.ingest import stream_user_stats
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    rows1 = [(1, "2024-01-01 10:00:00", 7, "click", 1.5, "{}")]
+    rows2 = [
+        (2, "2024-01-01 11:00:00", 7, "click", 2.5, "{}"),
+        (3, "2024-01-01 11:30:00", 8, "view", 4.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.parquet(str(src / f"f{i}"))
+    # one file per trigger → two micro-batches → state must carry
+    agg = stream_user_stats(
+        spark, str(src) + "/*", max_files_per_trigger=1
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT user_id, max(n) AS n, max(total) AS total FROM user_stats "
+        "GROUP BY user_id ORDER BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n"], r["total"]) for r in rows}
+    assert got[7] == (2, 4.0)  # state carried across micro-batches
+    assert got[8] == (1, 4.0)
+
+
 def test_stream_vcf_ingest_resumable(spark, tmp_path):
     vcf_dir = tmp_path / "vcf_in"
     vcf_dir.mkdir()

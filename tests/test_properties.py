@@ -1,0 +1,94 @@
+"""Property tests (SURVEY.md §5c): invariants that must hold for any
+input, checked against independent Python reimplementations.
+
+Strategy note: hypothesis generates the inputs, but each test runs ONE
+Spark job over the whole generated batch (a per-example Spark job
+would be minutes per test).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.functions.genotype import (
+    HET_RE,
+    HOM_ALT_RE,
+    HOM_REF_RE,
+    gt2snp,
+)
+from vcfdbr_spark.operators.ids import with_dense_ids
+
+# Independent oracle: the reference's case_when over str_detect
+# (pipeline/02-build-db.R:101-108) re-expressed with Python re.search.
+
+
+def gt2snp_py(x: str) -> float | None:
+    if re.search(HOM_REF_RE, x):
+        return 0.0
+    if re.search(HET_RE, x):
+        return 1.0
+    if re.search(HOM_ALT_RE, x):
+        return 2.0
+    return None
+
+
+gt_alphabet = st.text(alphabet="01234./|", min_size=0, max_size=6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(gt_alphabet, min_size=1, max_size=50))
+def test_gt2snp_matches_python_oracle(spark, gts):
+    df = spark.createDataFrame([(g,) for g in gts], "gt_raw string")
+    got = [
+        r["gt"]
+        for r in df.select(gt2snp(F.col("gt_raw")).alias("gt")).collect()
+    ]
+    want = [gt2snp_py(g) for g in gts]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=500,
+    )
+)
+def test_dense_ids_always_dense_and_ordered(spark, rows):
+    df = spark.createDataFrame(rows, "chr int, pos int")
+    out = with_dense_ids(df, ["chr", "pos"], num_partitions=4).collect()
+    ids = sorted(r["variant_id"] for r in out)
+    assert ids == list(range(1, len(rows) + 1))
+    by_id = sorted(out, key=lambda r: r["variant_id"])
+    keys = [(r["chr"], r["pos"]) for r in by_id]
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "splice_x", "c&d", "e&f&g"]),
+                 min_size=1, max_size=4),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_explode_row_count_invariant(spark, csqs):
+    """rows(impact) == sum over variants of Σ transcripts × (1 + '&'s)
+    — the A6+A8 row-multiplication law."""
+    df = spark.createDataFrame(
+        [(i, ",".join(t)) for i, t in enumerate(csqs)], "vid int, csq string"
+    )
+    out = (
+        df.withColumn("t", F.explode(F.split("csq", ",")))
+        .withColumn("c", F.explode(F.split("t", "&")))
+        .count()
+    )
+    want = sum(1 + t.count("&") for ts in csqs for t in ts)
+    assert out == want

@@ -6,32 +6,33 @@ of the tabix scan; density is load-bearing — the random-pull benchmark
 samples uniformly from 1:max_id (benchmarks/00-benchmark-functions.R:58-59)
 and file-mode uses the id as a filename.
 
-Scale design: a naive ``row_number() OVER (ORDER BY ...)`` collapses to
-a single partition — unusable at 100 TB.  Instead:
+Scale design: a naive ``row_number() OVER (ORDER BY ...)`` collapses
+to a single partition — unusable at 100 TB.  Instead ids come from a
+two-level scheme where the split is a **pure function of the data**:
 
-1. range-repartition + sort within partitions on the order columns
-   (one shuffle, fully parallel);
-2. count rows per partition (cheap agg over partition ids);
-3. prefix-sum the per-partition counts with a window over the tiny
-   aggregated frame (one row per partition) and broadcast-join the
-   offsets back;
-4. id = offset + intra-partition row_number (window partitioned by the
-   physical partition id, so every window is independent and parallel).
+1. every row gets a bucket = a monotone prefix function of its sort
+   key (e.g. ``(chr, floor(pos / 1e6))`` for genomes) — bucket order
+   IS sort-key order, so bucket-local ranks concatenate into the
+   global rank;
+2. per-bucket counts (one row per bucket) get a cumulative-sum window
+   (tiny frame, single task) → bucket start offsets, broadcast back;
+3. id = bucket offset + intra-bucket row_number (window partitioned
+   by bucket — every bucket sorts independently in parallel).
 
-This is the DataFrame rendering of ``rdd.zipWithIndex`` but keeps the
-plan in Catalyst/Tungsten (no Python serialization, no RDD hop).
-
-Everything stays in ONE logical plan: both the counts branch and the
-row branch read the same range-shuffle output, so Spark's
-ReuseExchange guarantees they see identical partition assignments.
-(Two separate jobs — e.g. collecting counts to the driver first —
-can recompute the shuffle with different partition boundaries and
-silently corrupt the ids.)
+Why not physical-partition tricks (``spark_partition_id`` after
+``repartitionByRange``, or RDD ``zipWithIndex``)?  They tie ids to
+one specific physical execution: range-boundary sampling is sensitive
+to shuffle-fetch arrival order, AQE may coalesce the exchange
+differently for different consumers of the same subplan, and a
+recomputation after cache eviction can reassign partitions.  Each of
+those produced silently wrong ids (rows lost or ids duplicated) in
+practice.  A data-derived bucket is identical on every execution, on
+any cluster, under any adaptive re-planning.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,29 +41,41 @@ def with_dense_ids(
     order_cols: list[str],
     id_col: str = "variant_id",
     start: int = 1,
-    num_partitions: int | None = None,
+    bucket: Column | list[str] | None = None,
+    num_partitions: int | None = None,  # kept for API compat; unused
 ) -> DataFrame:
-    """Assign a dense sequential ``id_col`` (start..start+N-1) ordered by
-    ``order_cols``, without a single-partition global sort.
+    """Assign a dense sequential ``id_col`` (start..start+N-1) ordered
+    by ``order_cols``.
 
-    Invariant (tested): max(id) - start + 1 == count(*) and ids are the
-    exact rank order of ``order_cols``.
+    ``bucket`` — the parallelism unit: a Column expression (or list of
+    column names) that is a MONOTONE PREFIX of the ``order_cols``
+    ordering (rows in a lower bucket must sort before every row of a
+    higher bucket).  Defaults to ``order_cols[:-1]``; for very large
+    data pass something finer, e.g. ``(chr, floor(pos/1e6))`` — aim
+    for bucket sizes that sort comfortably in one task (≤ ~10M rows).
+
+    Invariants (tested): ids dense 1..N, exactly rank order of
+    ``order_cols``, identical across re-executions.
     """
     parts = [F.col(c) for c in order_cols]
-    if num_partitions:
-        ranged = df.repartitionByRange(num_partitions, *parts)
+    if bucket is None:
+        # coarse default: the leading order column.  Callers with a
+        # near-unique leading column should pass a coarser expression
+        # (per-row buckets make the offsets frame as big as the data).
+        bucket = order_cols[:1]
+    if isinstance(bucket, list):
+        bucket_expr = (
+            F.struct(*[F.col(c) for c in bucket]) if bucket else F.lit(0)
+        )
     else:
-        ranged = df.repartitionByRange(*parts)
-    ranged = ranged.sortWithinPartitions(*parts).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # Per-partition counts: one row per partition.  The cumulative-sum
-    # window below runs over that tiny frame (O(partitions) rows in a
-    # single task) — NOT over the data — so there is no global-sort
-    # bottleneck.
-    w_cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        bucket_expr = bucket
+    with_b = df.withColumn("_bucket", bucket_expr)
+
+    # One row per bucket → the cumulative-sum window runs over a tiny
+    # frame in a single task; this is O(buckets), not O(rows).
+    w_cum = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        ranged.groupBy("_pid")
+        with_b.groupBy("_bucket")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn(
             "_offset",
@@ -72,10 +85,13 @@ def with_dense_ids(
         )
         .drop("_cnt")
     )
-    w = Window.partitionBy("_pid").orderBy(*parts)
+    w_local = Window.partitionBy("_bucket").orderBy(*parts)
     out = (
-        ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
-        .drop("_pid", "_offset")
+        with_b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w_local) - 1 + F.col("_offset")).cast("long"),
+        )
+        .drop("_bucket", "_offset")
     )
     return out.select(id_col, *df.columns)

@@ -60,7 +60,12 @@ def _pick(values: list[str], key) -> F.Column:
 def sim_info_keyed(orders: DataFrame) -> DataFrame:
     """variant_info-shaped frame + the o_orderkey it derives from."""
     base = orders.select("o_orderkey")
-    keyed = with_dense_ids(base, ["o_orderkey"], id_col="variant_id")
+    keyed = with_dense_ids(
+        base,
+        ["o_orderkey"],
+        id_col="variant_id",
+        bucket=F.floor(F.col("o_orderkey") / 10_000),
+    )
     k = F.col("o_orderkey")
     return keyed.select(
         "variant_id",

@@ -116,6 +116,17 @@ def read_vcf(
     header = read_header(path)
 
     raw = spark.read.text(path).filter(~F.col("value").startswith("#"))
+    # A single modest VCF arrives as one input split; spread the parse
+    # across the cluster (dense ids are sort-derived, so input
+    # partitioning is irrelevant to correctness).  Large inputs
+    # already split by maxPartitionBytes and skip this.
+    # MUST be a deterministic redistribution: round-robin repartition()
+    # varies across re-executions, and a partially-cached persisted
+    # frame mixes cached and recomputed partitions — observed losing
+    # ~2/3 of rows.  Hash-partitioning on the line content is stable.
+    parallelism = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < parallelism:
+        raw = raw.repartition(parallelism, F.col("value"))
     c = F.split(F.col("value"), "\t")
     base_cols = [
         c.getItem(0).alias("chr"),
@@ -163,11 +174,23 @@ def read_vcf(
     else:
         rank_expr = F.lit(0)
     ok = ok.withColumn("_crank", rank_expr)
+    # Schema probe BEFORE persisting: a limit() must never be the
+    # first action on a persisted frame — the truncated consumption
+    # poisons the partition cache (observed: ~2/3 of rows lost from
+    # every later full read of the cache).
+    kept_fields: list[VcfField] = []
+    if header.samples and header.format:
+        kept_fields = _probe_format_fields(ok, header, probe_rows, multi_value)
     ok = with_dense_ids(
         ok,
         ["_crank", "chr", "start", "ref", "alt"],
         id_col="variant_id",
-        num_partitions=id_partitions,
+        # genome-shaped bucketing: one bucket per (contig, 1Mb window)
+        # — monotone prefix of the sort order, ~3k buckets per genome,
+        # each sorting independently
+        bucket=F.struct(
+            F.col("_crank"), F.col("chr"), F.floor(F.col("start") / 1_000_000)
+        ),
     ).drop("_crank")
     # Three tables branch off this parse: materialize it once.
     ok = ok.persist()
@@ -256,10 +279,8 @@ def read_vcf(
 
     # ---- variant_geno (pipeline/02-build-db.R:368-424) ----
     variant_geno = None
-    if header.samples and header.format:
-        kept = _probe_format_fields(ok, header, probe_rows, multi_value)
-        if kept:
-            variant_geno = _build_geno(ok, header, kept, multi_value)
+    if kept_fields:
+        variant_geno = _build_geno(ok, header, kept_fields, multi_value)
 
     # ---- samples + header metadata (02:110-136) ----
     samples = spark.createDataFrame(

@@ -62,6 +62,55 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def stream_user_stats(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    running per-user event count / value total that survives across
+    micro-batches (arbitrary state Spark's built-in windowed aggs
+    can't express — e.g. this could carry ML feature state).
+
+    State schema is explicit (n, total); each micro-batch updates the
+    group's state from its Arrow batches and emits the running totals
+    (update semantics).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(source_dir)
+
+    out_schema = "user_id long, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [total]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_vcf_ingest(
     spark: SparkSession,
     vcf_dir: str,
@@ -100,7 +149,13 @@ def stream_vcf_ingest(
             F.str_to_map(c.getItem(7), F.lit(";"), F.lit("=")).alias("_info"),
         ).filter(~F.col("alt").contains(","))
         keyed = with_dense_ids(
-            parsed, ["chr", "start", "ref", "alt"], id_col="variant_id", start=start
+            parsed,
+            ["chr", "start", "ref", "alt"],
+            id_col="variant_id",
+            start=start,
+            bucket=F.struct(
+                F.col("chr"), F.floor(F.col("start") / 1_000_000)
+            ),
         )
         out_cols = [
             F.col("variant_id"),
