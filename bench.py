@@ -141,21 +141,21 @@ def main() -> None:
         keyed = simdata.sim_info_keyed(orders).persist()
         (
             simdata.sim_info(orders, keyed=keyed)
-            .repartitionByRange("variant_id")
+            .repartitionByRange(8, "variant_id")
             .sortWithinPartitions("variant_id")
             .write.mode("overwrite")
             .parquet(f"{store}/variant_info")
         )
         (
             simdata.sim_impact(orders, li, keyed=keyed)
-            .repartitionByRange("symbol", "variant_id")
+            .repartitionByRange(8, "symbol", "variant_id")
             .sortWithinPartitions("symbol", "variant_id")
             .write.mode("overwrite")
             .parquet(f"{store}/variant_impact")
         )
         (
             simdata.sim_geno(orders, li, keyed=keyed)
-            .repartitionByRange("variant_id", "sample")
+            .repartitionByRange(8, "variant_id", "sample")
             .sortWithinPartitions("variant_id", "sample")
             .write.mode("overwrite")
             .parquet(f"{store}/variant_geno")

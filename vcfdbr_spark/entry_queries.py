@@ -541,6 +541,28 @@ SELECT doc_id, lang,
 FROM scored
 """
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprint per document (char-shingle set hash)."""
+    from vcfdbr_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+WITH sh AS (
+  SELECT doc_id, substr(substr(text, 1, 200), i, 5) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1,
+                greatest(length(substr(text, 1, 200)) - 4, 1))) AS i) t)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(list(s))), chr(31))) AS fp
+FROM sh GROUP BY doc_id
+"""
+
+
 _SHINGLE_SQL = """
   SELECT doc_id, array_to_string(words[i:i+2], ' ') AS sh
   FROM (SELECT doc_id, string_split(text, ' ')[1:50] AS words FROM documents) w,
@@ -796,6 +818,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_guess": q_lang_guess,
+    "doc_fingerprint": q_doc_fingerprint,
     "minhash_sig": q_minhash_sig,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -828,6 +851,7 @@ ORACLE: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_guess": SQL_LANG_GUESS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "minhash_sig": SQL_MINHASH_SIG,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

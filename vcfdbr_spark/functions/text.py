@@ -89,6 +89,8 @@ def word_shingles(text: Column, n: int = 3, max_words: int = 50) -> Column:
 
 def fingerprint(text: Column, prefix_len: int = 200) -> Column:
     """Deterministic engine-portable document fingerprint: md5 of the
-    sorted distinct 5-shingle set of the text prefix."""
+    sorted distinct 5-shingle set of the text prefix (rolling-window
+    shingles ≈ a rolling-hash content signature, robust to word
+    reordering of distant parts)."""
     sh = F.array_sort(F.array_distinct(shingles(text, 5, prefix_len)))
-    return F.md5(F.concat_ws("\x00", sh))
+    return F.md5(F.concat_ws("\x1f", sh))
