@@ -38,6 +38,26 @@ def test_cli_build_rejects_multiallelic(spark, tmp_path):
     assert os.path.exists(f"{prefix}-multiallelic-sites.tsv")
 
 
+def test_file_mode_pull_prunes_partitions(spark, tmp_path):
+    """db.pull in file mode must reach the scan as a PARTITION filter
+    on vbucket — touching O(buckets) directories, not the whole table."""
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    from vcfdbr_spark.plans.layout import formatted_plan
+    from vcfdbr_spark.sources.store import open_vcfdb, write_vcfdb
+    from vcfdbr_spark.sources.vcf import read_vcf
+
+    write_vcfdb(read_vcf(spark, vcf), str(tmp_path / "db"),
+                mode="file", geno_bucket_width=2)
+    db = open_vcfdb(spark, str(tmp_path / "db"))
+    q = db.pull([4, 5])
+    rows = q.collect()
+    assert {r["variant_id"] for r in rows} == {4, 5} and len(rows) == 8
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "vbucket" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+
+
 def test_filter_test_plan_properties(spark, tmp_path):
     """The canonical query must: push the symbol filter to the scan,
     prune columns, broadcast the filtered side, avoid cartesians."""

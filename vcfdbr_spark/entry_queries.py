@@ -541,6 +541,34 @@ SELECT doc_id, lang,
 FROM scored
 """
 
+def q_deterministic_sample(spark, sf_dir):
+    """C13 sampling parity, engine-portable: md5-keyed Bernoulli at
+    2/16 plus a stratified 4/16-'en' variant, union'd with a tag."""
+    from vcfdbr_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    plain = deterministic_sample(docs, "doc_id", 2).select(
+        F.lit("plain").alias("which"), "doc_id", "lang"
+    )
+    strat = stratified_sample(
+        docs, "doc_id", "lang", {"en": 4, "de": 2}
+    ).select(F.lit("strat").alias("which"), "doc_id", "lang")
+    return plain.unionByName(strat)
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT 'plain' AS which, doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+UNION ALL
+SELECT 'strat' AS which, doc_id, lang FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3'))
+   OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1'))
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Content fingerprint per document (char-shingle set hash)."""
     from vcfdbr_spark.functions.text import fingerprint
@@ -819,6 +847,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
+    "deterministic_sample": q_deterministic_sample,
     "minhash_sig": q_minhash_sig,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -852,6 +881,7 @@ ORACLE: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "lang_guess": SQL_LANG_GUESS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "minhash_sig": SQL_MINHASH_SIG,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

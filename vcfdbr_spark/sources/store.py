@@ -145,6 +145,23 @@ class VcfDb:
     def meta(self, section: str) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/_meta/{section}")
 
+    def pull(self, ids: list[int]) -> DataFrame:
+        """Genotype pull that exploits the store layout: in file mode
+        the id→bucket arithmetic becomes a hive PARTITION filter, so
+        only O(|distinct buckets|) directories are touched — the
+        engine's rendering of the reference's one-file-per-variant
+        O(1) access (README.md:32-36); in table mode the IN-list
+        predicate prunes row groups on the id-sorted layout."""
+        geno = self.variant_geno
+        if self.manifest["mode"] == "file":
+            width = int(self.manifest["geno_bucket_width"])
+            buckets = sorted({i // width for i in ids})
+            return geno.filter(
+                F.col("vbucket").isin(buckets)
+                & F.col("variant_id").isin(list(ids))
+            )
+        return geno.filter(F.col("variant_id").isin(list(ids)))
+
 
 def open_vcfdb(spark: SparkSession, path: str) -> VcfDb:
     return VcfDb(spark, path)
