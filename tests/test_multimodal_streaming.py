@@ -72,6 +72,39 @@ def test_stream_events_windowed(spark, tmp_path):
     assert rows[1]["event_type"] == "view"
 
 
+def test_stream_dedup_drops_duplicates_across_batches(spark, tmp_path):
+    from vcfdbr_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, ts string, text string"
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "alpha"), (2, "2024-01-01 10:01:00", "beta")],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(src / "f0")
+    )
+    # second batch: one dup of 'alpha', one new
+    spark.createDataFrame(
+        [(3, "2024-01-01 10:02:00", "alpha"), (4, "2024-01-01 10:03:00", "gamma")],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(src / "f1")
+    )
+    dedup = stream_dedup(spark, str(src) + "/*")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT text, doc_id FROM dedup_stream").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]  # dup 'alpha' dropped
+
+
 def test_stream_user_stats_state_across_batches(spark, tmp_path):
     from vcfdbr_spark.streaming.ingest import stream_user_stats
 

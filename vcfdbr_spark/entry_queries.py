@@ -541,6 +541,62 @@ SELECT doc_id, lang,
 FROM scored
 """
 
+def q_text_quality_score(spark, sf_dir):
+    """Composite quality scoring + keep/flag labels — the filter rule
+    a pretraining pipeline applies before sampling.  Integer-derived
+    ratios rounded to 6 dp → portable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    ttr = F.round(F.size(F.array_distinct(toks)) / n_tokens, 6)
+    stop_ratio = F.round(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda t: t.isin(
+                    "the", "a", "and", "of", "to", "in", "is", "on", "for", "with"
+                ),
+            )
+        )
+        / n_tokens,
+        6,
+    )
+    mean_word_len = F.round(
+        (F.length("text") - F.size(toks) + 1) / n_tokens, 6
+    )
+    label = (
+        F.when(n_tokens < 20, "too_short")
+        .when(ttr < 0.3, "repetitive")
+        .otherwise("keep")
+    )
+    return docs.select(
+        "doc_id",
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        label.alias("label"),
+    )
+
+
+SQL_TEXT_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_types,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> x IN ('the','a','and','of','to','in','is','on','for','with'))) AS DOUBLE) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       round(n_types / n_tokens, 6) AS ttr,
+       round(n_stop / n_tokens, 6) AS stop_ratio,
+       round((length(text) - n_tokens + 1) / n_tokens, 6) AS mean_word_len,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_types / n_tokens < 0.3 THEN 'repetitive'
+            ELSE 'keep' END AS label
+FROM t
+"""
+
+
 def q_deterministic_sample(spark, sf_dir):
     """C13 sampling parity, engine-portable: md5-keyed Bernoulli at
     2/16 plus a stratified 4/16-'en' variant, union'd with a tag."""
@@ -848,6 +904,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "deterministic_sample": q_deterministic_sample,
+    "text_quality_score": q_text_quality_score,
     "minhash_sig": q_minhash_sig,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -882,6 +939,7 @@ ORACLE: dict[str, str] = {
     "lang_guess": SQL_LANG_GUESS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "text_quality_score": SQL_TEXT_QUALITY_SCORE,
     "minhash_sig": SQL_MINHASH_SIG,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -62,6 +62,24 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "doc_id long, ts timestamp, text string",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen wins on the content hash,
+    duplicate arrivals dropped from the stream.  State is bounded by
+    the watermark (hashes older than it are evicted) — the streaming
+    twin of ``operators.dedup.exact_dedup``."""
+    stream = spark.readStream.schema(schema).format("parquet").load(source_dir)
+    return (
+        stream.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["text_hash"])
+    )
+
+
 def stream_user_stats(
     spark: SparkSession,
     source_dir: str,
