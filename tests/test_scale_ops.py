@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.operators.sampling import deterministic_sample, stratified_sample
+from vcfdbr_spark.operators.skew import salted_join
+from vcfdbr_spark.operators.udf import apply_per_group
+from vcfdbr_spark.plans.bucketing import write_bucketed
+from vcfdbr_spark.plans.layout import formatted_plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables must join without a shuffle: the plan's
+    SortMergeJoin reads both scans directly (no Exchange operators)."""
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("variant_id"), (F.col("id") % 97).alias("af_bin")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("variant_id"), (F.col("id") % 7).alias("gt")
+    )
+    spark.sql("DROP TABLE IF EXISTS b_info")
+    spark.sql("DROP TABLE IF EXISTS b_geno")
+    write_bucketed(left, "b_info", ["variant_id"], 8,
+                   sort_cols=["variant_id"], path=str(tmp_path / "b_info"))
+    write_bucketed(right, "b_geno", ["variant_id"], 8,
+                   sort_cols=["variant_id"], path=str(tmp_path / "b_geno"))
+    j = (
+        spark.table("b_info")
+        .hint("merge")
+        .join(spark.table("b_geno"), "variant_id")
+    )
+    assert j.count() == 10_000
+    plan = formatted_plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: no shuffle anywhere
+    spark.sql("DROP TABLE IF EXISTS b_info")
+    spark.sql("DROP TABLE IF EXISTS b_geno")
+
+
+def test_salted_join_equals_plain_join(spark):
+    large = spark.range(0, 5_000).select(
+        # pathological skew: 80% of rows share one key
+        F.when(F.col("id") % 5 != 0, "HOT").otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("symbol"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", 1), ("k0", 2), ("k5", 3), ("MISSING", 4)],
+        "symbol string, dim int",
+    )
+    got = salted_join(large, small, "symbol").orderBy("payload", "dim")
+    want = large.join(small, "symbol").orderBy("payload", "dim")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # left join parity incl. unmatched rows
+    got_l = salted_join(large, small, "symbol", how="left").count()
+    want_l = large.join(small, "symbol", "left").count()
+    assert got_l == want_l
+
+
+def test_apply_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double"
+    )
+
+    def span(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [pdf["g"].iloc[0]], "span": [pdf["v"].max() - pdf["v"].min()]}
+        )
+
+    out = {
+        r["g"]: r["span"]
+        for r in apply_per_group(df, ["g"], span, "g string, span double").collect()
+    }
+    assert out == {"a": 2.0, "b": 0.0}
+
+
+def test_sampling_rates_and_determinism(spark):
+    df = spark.range(0, 16_000).select(F.col("id").alias("doc_id"))
+    s1 = deterministic_sample(df, "doc_id", 2)
+    n1 = s1.count()
+    assert abs(n1 / 16_000 - 2 / 16) < 0.02  # ~12.5%
+    # repeatable: same rows every run
+    ids_a = {r["doc_id"] for r in s1.collect()}
+    ids_b = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 2).collect()}
+    assert ids_a == ids_b
+    # stratified drops unlisted strata
+    df2 = df.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("xx"))
+    st = stratified_sample(df2, "doc_id", "lang", {"en": 8})
+    assert st.filter(F.col("lang") == "xx").count() == 0
+    assert abs(st.count() / 8_000 - 0.5) < 0.05
