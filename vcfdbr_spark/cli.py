@@ -105,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         out = filter_test(db.variant_impact, db.variant_info, args.symbol, args.af)
     elif args.cmd == "pull":
         ids = [int(x) for x in args.ids.split(",")]
-        out = pull_vars_by_id(db.variant_geno, ids)
+        # store-aware pull: file mode prunes id-bucket partitions
+        out = db.pull(ids)
     else:
         out = interval_query(db.variant_info, args.chr, args.start, args.end)
     rows = out.collect()

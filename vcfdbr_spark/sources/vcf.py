@@ -139,9 +139,13 @@ def read_vcf(
     ]
     if header.samples:
         base_cols.append(c.getItem(8).alias("_format"))
-        base_cols += [
-            c.getItem(9 + i).alias(f"_s{i}") for i in range(len(header.samples))
-        ]
+        # ONE array column for all samples — never per-sample columns:
+        # a 2,504-sample cohort would otherwise put thousands of
+        # expression nodes in every operator (planning + codegen blow
+        # up quadratically; observed 185 s for 500 wide variants).
+        base_cols.append(
+            F.slice(c, 10, len(header.samples)).alias("_samples")
+        )
     parsed = raw.select(*base_cols)
 
     # Reject channel: multiallelic sites (pipeline/01:43-53 — the
@@ -317,30 +321,35 @@ def _probe_format_fields(
     FORMAT fields that are entirely missing in the first ``probe_rows``
     records; drop multi-value fields under ``multi_value='skip'``.
 
-    The probe is a bounded read (``limit``) — one tiny job, mirroring
-    the reference's single-chunk peek.
+    The probe explodes the bounded sample slice — simple expressions
+    over (probe_rows × n_samples) rows instead of a width-quadratic
+    expression tree; one tiny job, mirroring the reference's
+    single-chunk peek.
     """
     fields = list(header.format.values())
-    sample_cols = [f"_s{i}" for i in range(len(header.samples))]
-    probe = ok.select("_format", *sample_cols).limit(probe_rows)
+    probe = (
+        ok.select("_format", "_samples")
+        .limit(probe_rows)
+        .select(
+            F.split(F.col("_format"), ":").alias("_fmt"),
+            F.explode(F.col("_samples")).alias("_raw"),
+        )
+        .select("_fmt", F.split(F.col("_raw"), ":").alias("_vals"))
+    )
     checks = []
     for f_ in fields:
-        pos = F.array_position(F.split(F.col("_format"), ":"), f_.id)
-        any_present = F.max(
+        pos = F.array_position(F.col("_fmt"), f_.id)
+        present = F.max(
             F.when(
                 pos > 0,
-                F.greatest(
-                    *[
-                        (~F.coalesce(
-                            F.get(F.split(F.col(sc), ":"), (pos - 1).cast("int")),
-                            F.lit("."),
-                        ).rlike(r"^\.?(/\.|\|\.)*$")).cast("int")
-                        for sc in sample_cols
-                    ]
-                ),
+                (
+                    ~F.coalesce(
+                        F.get(F.col("_vals"), (pos - 1).cast("int")), F.lit(".")
+                    ).rlike(r"^\.?(/\.|\|\.)*$")
+                ).cast("int"),
             ).otherwise(F.lit(0))
         ).alias(f_.id)
-        checks.append(any_present)
+        checks.append(present)
     present = probe.agg(*checks).first()
     kept = []
     for f_ in fields:
@@ -359,28 +368,22 @@ def _build_geno(
     ok: DataFrame, header: VcfHeader, kept: list[VcfField], multi_value: str
 ) -> DataFrame:
     """Wide FORMAT matrix → long (variant_id, sample, fields…) in ONE
-    explode: per row, build array<struct{sample, raw}> over the sample
-    columns, explode it, then slice fields out of the raw string by the
-    per-row FORMAT layout.  This is the Spark-native rendering of the
-    reference's gather/bind_cols melt (02:368-394) — no shuffle at all;
-    row count multiplies by n_samples inside the stage.
+    posexplode of the sample-slice array, then slice fields out of the
+    raw string by the per-row FORMAT layout.  This is the Spark-native
+    rendering of the reference's gather/bind_cols melt (02:368-394) —
+    no shuffle at all; row count multiplies by n_samples inside the
+    stage.  Sample names resolve from a single array literal by
+    ordinal, so plan size is independent of cohort width.
     """
-    per_sample = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("sample"), F.col(f"_s{i}").alias("raw")
-            )
-            for i, name in enumerate(header.samples)
-        ]
-    )
+    names = F.array(*[F.lit(s) for s in header.samples])
     g = ok.select(
         "variant_id",
         F.split(F.col("_format"), ":").alias("_fmt"),
-        F.explode(per_sample).alias("_sg"),
+        F.posexplode(F.col("_samples")).alias("_sidx", "_raw"),
     ).select(
         "variant_id",
-        F.col("_sg.sample").alias("sample"),
-        F.split(F.col("_sg.raw"), ":").alias("_vals"),
+        F.element_at(names, F.col("_sidx") + 1).alias("sample"),
+        F.split(F.col("_raw"), ":").alias("_vals"),
         "_fmt",
     )
 
