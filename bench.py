@@ -218,6 +218,12 @@ def main() -> None:
         dt = time.time() - t0
         # 20k variants x 20 samples = 400k geno rows parsed + written
         timings["vcf_ingest_20k_variants"] = round(dt, 3)
+        # wide-cohort shape (the reference's 1KG regime: 2,504 samples)
+        _gen_vcf(f"{vcf_dir}/wide.vcf", 500, 2504)
+        t0 = time.time()
+        wide = read_vcf(spark, f"{vcf_dir}/wide.vcf")
+        wide.variant_geno.write.mode("overwrite").format("noop").save()
+        timings["vcf_ingest_wide_500x2504"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(vcf_dir, ignore_errors=True)
 
