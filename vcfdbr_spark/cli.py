@@ -100,7 +100,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     from vcfdbr_spark.sources.store import open_vcfdb
 
-    db = open_vcfdb(spark, args.prefix)
+    try:
+        db = open_vcfdb(spark, args.prefix)
+    except FileNotFoundError:
+        print(
+            f"ERROR: no vcfdb store at '{args.prefix}' "
+            f"(missing _vcfdb_manifest.json — run 'build' first)",
+            file=sys.stderr,
+        )
+        return 1
     if args.cmd == "filter":
         out = filter_test(db.variant_impact, db.variant_info, args.symbol, args.af)
     elif args.cmd == "pull":

@@ -365,6 +365,54 @@ GROUP BY n_name
 """
 
 
+def q_anti_join_orders(spark, sf_dir):
+    """Anti join (beyond the reference's surface, SURVEY §2 note):
+    orders with no lineitem rows — data-quality staple."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_anti",
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+SQL_ANTI_JOIN_ORDERS = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_left_join_fill(spark, sf_dir):
+    """Left outer join + null replace (C17 on the join path): every
+    nation with its BUILDING-segment customer count, zero-filled."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    counts = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        nation.join(counts, nation.n_nationkey == counts.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_building"),
+        )
+    )
+
+
+SQL_LEFT_JOIN_FILL = """
+SELECT n_name, CAST(coalesce(c.n, 0) AS BIGINT) AS n_building
+FROM nation
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n FROM customer
+           WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) c
+  ON n_nationkey = c.c_nationkey
+"""
+
+
 # --------------------------------------------------------------------
 # Events (stream-shaped table; batch windowed agg)
 # --------------------------------------------------------------------
@@ -892,6 +940,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "filter_distinct_join_count": q_filter_distinct_join_count,
+    "anti_join_orders": q_anti_join_orders,
+    "left_join_fill": q_left_join_fill,
     "in_list_pull": q_in_list_pull,
     "dim_scan_distinct": q_dim_scan_distinct,
     "per_key_count_binned": q_per_key_count_binned,
@@ -927,6 +977,8 @@ ORACLE: dict[str, str] = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "filter_distinct_join_count": SQL_FILTER_DISTINCT_JOIN_COUNT,
+    "anti_join_orders": SQL_ANTI_JOIN_ORDERS,
+    "left_join_fill": SQL_LEFT_JOIN_FILL,
     "in_list_pull": SQL_IN_LIST_PULL,
     "dim_scan_distinct": SQL_DIM_SCAN_DISTINCT,
     "per_key_count_binned": SQL_PER_KEY_COUNT_BINNED,
