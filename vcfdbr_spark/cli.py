@@ -93,11 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"built {args.prefix} (mode={args.mode})")
         return 0
 
-    from vcfdbr_spark.operators.query import (
-        filter_test,
-        interval_query,
-        pull_vars_by_id,
-    )
+    from vcfdbr_spark.operators.query import filter_test, interval_query
     from vcfdbr_spark.sources.store import open_vcfdb
 
     try:
