@@ -502,8 +502,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
@@ -529,7 +529,20 @@ def q_multimodal_decode(spark, sf_dir):
             F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")
         ).alias("meta"),
     )
-    return decode_media(media)
+    decoded = decode_media(media)
+    # Driver's rows-only canonicalizer sorts columns pandas-side and
+    # cannot hash array cells — serialize features for the entry query
+    # (the operator API keeps the native array<double>).
+    return decoded.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.round(x, 6).cast("string"))
+        ).alias("features_csv"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -778,7 +791,7 @@ bitsum AS (
   FROM th, LATERAL (SELECT unnest(generate_series(0, 62)) AS j) j
   GROUP BY doc_id, j.j)
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc_id
 """
 
