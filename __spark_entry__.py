@@ -26,8 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # vcf_ingest_* read a deterministic fixture VCF from a fixed path;
+    # materialize it up front so Spark and DuckDB see the same file
+    # regardless of which side the driver runs first.
+    from vcfdbr_spark.oracle_vcf import ensure_oracle_vcf
+
+    ensure_oracle_vcf()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    from vcfdbr_spark.oracle_vcf import ensure_oracle_vcf
+
+    ensure_oracle_vcf()
     return dict(ORACLE)

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vcfdbr_spark import oracle_vcf as _oracle_vcf
 from vcfdbr_spark import simdata
 from vcfdbr_spark.functions.text import lang_guess, quality_stats, token_count
 from vcfdbr_spark.operators.dedup import (
@@ -938,6 +939,50 @@ WHERE {_cos_sql('a.v', 'b.v', 'a.n', 'b.n')} >= 0.2
 
 
 # --------------------------------------------------------------------
+# Real-parser ingest under the oracle: read_vcf() on a deterministic
+# fixture VCF vs a pure-SQL DuckDB re-parse of the same file
+# (oracle_vcf.py).  Closes round-1 gap #1: A1/A3/A5-A18 get hard
+# CORRECTNESS rows instead of pytest-only coverage.
+# --------------------------------------------------------------------
+
+_VCF_FIXTURE_CACHE: dict[int, object] = {}
+
+
+def _vcf_fixture_tables(spark):
+    from vcfdbr_spark.oracle_vcf import ensure_oracle_vcf
+    from vcfdbr_spark.sources.vcf import read_vcf
+
+    key = id(spark)
+    if key not in _VCF_FIXTURE_CACHE:
+        _VCF_FIXTURE_CACHE[key] = read_vcf(spark, ensure_oracle_vcf())
+    return _VCF_FIXTURE_CACHE[key]
+
+
+def q_vcf_ingest_info(spark, sf_dir):
+    """A1/A5/A13-A15: fixed fields + typed INFO columns + dense ids
+    from the real parser (sources/vcf.py:96-230)."""
+    return _vcf_fixture_tables(spark).variant_info
+
+
+def q_vcf_ingest_impact(spark, sf_dir):
+    """A6-A12: CSQ explode, pipe-split, &-explode, derived flags,
+    column drops (sources/vcf.py:232-282)."""
+    return _vcf_fixture_tables(spark).variant_impact
+
+
+def q_vcf_ingest_geno(spark, sf_dir):
+    """A16-A18: wide→long melt, per-row FORMAT layout, gt2snp recode,
+    multi-value AD melt (sources/vcf.py:367-417)."""
+    return _vcf_fixture_tables(spark).variant_geno
+
+
+def q_vcf_ingest_rejects(spark, sf_dir):
+    """A3: multiallelic + malformed reject channel
+    (sources/vcf.py:151-164)."""
+    return _vcf_fixture_tables(spark).rejects
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -949,6 +994,10 @@ QUERIES: dict[str, QueryFn] = {
     "vcfsim_geno_pull": q_vcfsim_geno_pull,
     "vcfsim_gene_map": q_vcfsim_gene_map,
     "vcfsim_interval": q_vcfsim_interval,
+    "vcf_ingest_info": q_vcf_ingest_info,
+    "vcf_ingest_impact": q_vcf_ingest_impact,
+    "vcf_ingest_geno": q_vcf_ingest_geno,
+    "vcf_ingest_rejects": q_vcf_ingest_rejects,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -986,6 +1035,10 @@ ORACLE: dict[str, str] = {
     "vcfsim_geno_pull": SQL_VCFSIM_GENO_PULL,
     "vcfsim_gene_map": SQL_VCFSIM_GENE_MAP,
     "vcfsim_interval": SQL_VCFSIM_INTERVAL,
+    "vcf_ingest_info": _oracle_vcf.SQL_VCF_INGEST_INFO,
+    "vcf_ingest_impact": _oracle_vcf.sql_vcf_ingest_impact(),
+    "vcf_ingest_geno": _oracle_vcf.SQL_VCF_INGEST_GENO,
+    "vcf_ingest_rejects": _oracle_vcf.SQL_VCF_INGEST_REJECTS,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
