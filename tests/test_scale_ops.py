@@ -40,6 +40,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_geno")
 
 
+def test_ngram_jaccard_no_forced_broadcast(spark):
+    """Round-1 scale-killer regression: the per-doc shingle-set table
+    is O(corpus) and must not carry a forced broadcast hint; it must
+    be semi-joined down to candidate ids before the attach joins."""
+    from vcfdbr_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} a b c d e f g h w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    jac = ngram_jaccard_pairs(docs, minhash_dedup_pairs(docs))
+    optimized = jac._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in optimized.lower()  # no forced hint survives
+    assert "LeftSemi" in optimized  # sets reduced to candidate ids first
+    assert jac.count() > 0
+
+
 def test_salted_join_equals_plain_join(spark):
     large = spark.range(0, 5_000).select(
         # pathological skew: 80% of rows share one key

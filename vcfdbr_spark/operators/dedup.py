@@ -125,10 +125,17 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard for candidate (a, b) pairs.
 
     Each doc's distinct shingle set rides as ONE array row; the pair
-    score is ``size(array_intersect(A, B))`` computed in-task — two
-    hash joins total, no shingle-grain shuffle (the naive exploded
-    3-way join is quadratic in shingle rows and ~30× slower at sf0.1).
+    score is ``size(array_intersect(A, B))`` computed in-task — no
+    shingle-grain shuffle (the naive exploded 3-way join is quadratic
+    in shingle rows and ~30× slower at sf0.1).
     Integer arithmetic only → the rounded score is engine-portable.
+
+    Scale shape: the per-doc set table is O(corpus) and must NEVER be
+    force-broadcast (round-1 scale-killer).  Instead the sets are
+    first semi-joined down to ids that actually appear in a candidate
+    pair — after LSH that is a small fraction of the corpus — and the
+    two attach joins are left to Catalyst/AQE, which picks shuffle vs
+    broadcast from the *reduced* side's runtime size.
     """
     sets_ = docs.select(
         F.col(id_col).alias("_id"),
@@ -136,19 +143,19 @@ def ngram_jaccard_pairs(
             word_shingles(F.col(text_col), shingle_n, max_words)
         ).alias("_set"),
     )
-    # the per-doc set table is tiny next to the pair table — broadcast
-    # it so candidate pairs never shuffle with arrays attached
+    cand_ids = (
+        candidates.select(F.col("a").alias("_id"))
+        .union(candidates.select(F.col("b").alias("_id")))
+        .distinct()
+    )
+    sets_needed = sets_.join(cand_ids, "_id", "left_semi")
     out = (
         candidates.join(
-            F.broadcast(
-                sets_.select(F.col("_id").alias("a"), F.col("_set").alias("_sa"))
-            ),
+            sets_needed.select(F.col("_id").alias("a"), F.col("_set").alias("_sa")),
             "a",
         )
         .join(
-            F.broadcast(
-                sets_.select(F.col("_id").alias("b"), F.col("_set").alias("_sb"))
-            ),
+            sets_needed.select(F.col("_id").alias("b"), F.col("_set").alias("_sb")),
             "b",
         )
         .select(
