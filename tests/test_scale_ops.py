@@ -60,6 +60,44 @@ def test_ngram_jaccard_no_forced_broadcast(spark):
     assert jac.count() > 0
 
 
+def test_sign_band_buckets_bound_candidates(spark):
+    """Multi-band LSH must bound per-bucket population (wide 16-bit
+    buckets) while still colliding true near-dups in ≥1 band —
+    round-1's single 8-bit bucket was quadratic per bucket."""
+    import hashlib
+
+    from vcfdbr_spark.operators.similarity import (
+        embedding_dup_pairs,
+        sign_band_buckets,
+    )
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest() * 4
+        return [float(h[j] - 128) / 128.0 for j in range(64)]
+
+    rows = [(i, vec(i)) for i in range(200)]
+    near = list(vec(7))
+    near[0] *= 0.5  # same signs everywhere → collides in every band
+    rows.append((999, near))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bb = emb.select(
+        F.posexplode(sign_band_buckets(F.col("embedding"))).alias(
+            "band", "bucket"
+        )
+    )
+    biggest = (
+        bb.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert biggest <= 4  # 201 vectors over 2^16 buckets per band
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in embedding_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert (7, 999) in pairs
+
+
 def test_salted_join_equals_plain_join(spark):
     large = spark.range(0, 5_000).select(
         # pathological skew: 80% of rows share one key

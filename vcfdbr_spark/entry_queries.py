@@ -825,36 +825,55 @@ FROM ranked
 QUALIFY rank <= 5
 """
 
-_EMB_BUCKET = (
-    "list_aggregate(list_transform(embedding[1:8], "
-    "x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
-)
+def _emb_band_bucket(b: int, bits: int = 16) -> str:
+    lo, hi = b * bits + 1, (b + 1) * bits
+    return (
+        f"list_aggregate(list_transform(embedding[{lo}:{hi}], "
+        "x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1' ELSE '0' END), "
+        "'string_agg', '')"
+    )
+
+
+# one row per (vec_id, band, bucket) — mirrors sign_band_buckets'
+# posexplode over the 64-dim embeddings
+def _emb_bands(n_bands: int, bits: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_emb_band_bucket(b, bits)} AS bucket "
+        "FROM embeddings"
+        for b in range(n_bands)
+    )
+
+
+# dup-pairs (corpus self-join): wide 16-bit buckets bound the
+# quadratic term; topk (query side broadcast): 8-bit buckets trade
+# selectivity for recall — per-query candidate volume stays linear.
+_EMB_BANDS = _emb_bands(4, 16)
+_EMB_BANDS_TOPK = _emb_bands(8, 8)
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_topk(emb, queries, k=5)
+    return lsh_topk(emb, queries, k=5, n_bands=8, bits_per_band=8)
 
 
 SQL_EMBEDDING_LSH_TOPK = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, {_EMB_QUANT} AS qv, {_EMB_BUCKET} AS bucket
-  FROM embeddings WHERE vec_id % 100 = 0),
-c AS (SELECT vec_id AS cand_id, {_EMB_QUANT} AS cv, {_EMB_BUCKET} AS bucket FROM embeddings),
+WITH bands AS ({_EMB_BANDS_TOPK}),
+vecs AS (SELECT vec_id, {_EMB_QUANT} AS v,
+                list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
+         FROM embeddings),
+qb AS (SELECT * FROM bands WHERE vec_id % 100 = 0),
 scored AS (
-  SELECT q.query_id, c.cand_id,
-         list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS dot,
-         list_sum(list_transform(q.qv, x -> x * x)) AS qn,
-         list_sum(list_transform(c.cv, x -> x * x)) AS cn
-  FROM c JOIN q USING (bucket) WHERE c.cand_id <> q.query_id),
-ranked AS (
-  SELECT query_id, cand_id,
-         round(CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6) AS score
-  FROM scored)
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(CAST(list_sum(list_transform(list_zip(qv.v, cv.v), p -> p[1] * p[2])) AS DOUBLE)
+               / (sqrt(CAST(qv.n AS DOUBLE)) * sqrt(CAST(cv.n AS DOUBLE))), 6) AS score
+  FROM bands c
+  JOIN qb q ON c.band = q.band AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  JOIN vecs qv ON qv.vec_id = q.vec_id
+  JOIN vecs cv ON cv.vec_id = c.vec_id)
 SELECT query_id, cand_id, score,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
-FROM ranked
+FROM scored
 QUALIFY rank <= 5
 """
 
@@ -926,15 +945,18 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 
 SQL_EMBEDDING_DUP_PAIRS = f"""
-WITH base AS (
+WITH bands AS ({_EMB_BANDS}),
+base AS (
   SELECT vec_id, {_EMB_QUANT} AS v,
-         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n,
-         {_EMB_BUCKET} AS bucket
-  FROM embeddings)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       {_cos_sql('a.v', 'b.v', 'a.n', 'b.n')} AS score
-FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cos_sql('a.v', 'b.v', 'a.n', 'b.n')} >= 0.2
+         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
+  FROM embeddings),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT a, b, {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} AS score
+FROM cand JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
+WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2
 """
 
 

@@ -96,6 +96,31 @@ def sign_lsh_bucket(vec_col, n_components: int = 8):
     return F.concat_ws("", signs)
 
 
+def sign_band_buckets(vec_col, n_bands: int = 4, bits_per_band: int = 16):
+    """Array of per-band sign buckets; band b hashes components
+    [b·bpb, (b+1)·bpb).  The MinHash-style banding trade-off
+    (dedup.py:65-77) applied to hyperplane LSH: WIDE buckets bound the
+    per-bucket population (2^bits buckets ⇒ ~|C|/2^bits rows each, so
+    the bucket self-join is never quadratic in |C|), while MULTIPLE
+    bands restore recall (a near-dup pair agreeing on most signs
+    collides in ≥1 band w.h.p.).  Round-1's single 8-bit bucket was
+    the inverse — 256 buckets → O((|C|/256)²) pairs — a scale-killer
+    at 10⁹ vectors."""
+    bands = []
+    for b in range(n_bands):
+        sl = F.slice(vec_col, b * bits_per_band + 1, bits_per_band)
+        signs = F.transform(
+            sl,
+            lambda x: F.when(x.cast("double") >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        )
+        # bands past the vector's length would hash everything to "";
+        # NULL instead — equality joins drop NULL buckets
+        bands.append(F.when(F.size(sl) > 0, F.concat_ws("", signs)))
+    return F.array(*bands)
+
+
 def ivf_assign(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -205,25 +230,45 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_components: int = 8,
+    n_bands: int = 4,
+    bits_per_band: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates share a sign
-    bucket (LSH), exact rounded-cosine filter at ``threshold``."""
-    v = with_quantized(corpus, vec_col).select(
+    """Embedding-cosine near-duplicate pairs: candidates share ANY
+    sign band (multi-band LSH, see ``sign_band_buckets``), then exact
+    rounded-cosine filter at ``threshold``.
+
+    Plan shape for 10⁹ vectors: the banded self-join emits
+    ~n_bands·|C|²/2^bits same-bucket rows (tunable via bits_per_band),
+    pairs colliding in several bands are deduplicated BEFORE vectors
+    are re-attached (ids only through the distinct), and the two
+    attach joins carry no broadcast hint — Catalyst/AQE decides."""
+    bb = corpus.select(
         F.col(id_col).alias("_vid"),
-        sign_lsh_bucket(F.col(vec_col), n_components).alias("bucket"),
+        F.posexplode(
+            sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bb.select("band", "bucket", F.col("_vid").alias("a"))
+        .join(bb.select("band", "bucket", F.col("_vid").alias("b")), ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    vecs = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("_vid"),
         F.col("_qv").alias("v"),
         F.col("_norm").alias("n"),
     )
-    a = v.select(
-        F.col("_vid").alias("a"), "bucket", F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = v.select(
-        F.col("_vid").alias("b"), "bucket", F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(
+            vecs.select(F.col("_vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")),
+            "a",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "b",
+        )
         .withColumn(
             "score",
             cosine_score(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
@@ -239,31 +284,39 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_components: int = 8,
+    n_bands: int = 4,
+    bits_per_band: int = 16,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign
-    bucket, exact re-rank inside.  Recall < 1 by design; at 100 TB the
-    bucket join replaces the full cross product."""
-    c = with_quantized(corpus, vec_col).select(
+    """Approximate top-k: candidates share ANY sign band with the
+    query (multi-band LSH — wide buckets bound candidate volume,
+    multiple bands restore recall), exact re-rank inside.  The query
+    side stays broadcast (bounded); collisions across several bands
+    collapse via distinct on the deterministic score rows."""
+    cq = with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("cand_id"),
-        sign_lsh_bucket(F.col(vec_col), n_components).alias("bucket"),
+        F.posexplode(
+            sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
+        ).alias("band", "bucket"),
         F.col("_qv").alias("cv"),
         F.col("_norm").alias("cn"),
     )
     q = with_quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        sign_lsh_bucket(F.col(vec_col), n_components).alias("bucket"),
+        F.posexplode(
+            sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
+        ).alias("band", "bucket"),
         F.col("_qv").alias("qv"),
         F.col("_norm").alias("qn"),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        cq.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn(
             "score",
             cosine_score(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
         )
         .select("query_id", "cand_id", "score")
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("cand_id")
