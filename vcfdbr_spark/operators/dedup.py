@@ -192,6 +192,15 @@ def simhash(
     md5 is identical in every engine, keeping the operator
     oracle-checkable.  Per bit j: sum_t (2*bit_j(h(t)) - 1); sign
     packs into the output.  Integer-only → deterministic.
+
+    BIT-SLICED plan: one conditional-sum aggregate column per bit in a
+    single groupBy over token rows.  Round 1 exploded the token table
+    ×63 (a per-bit row for every token) before a two-level
+    aggregation; this shape keeps the row count at |tokens|, gets
+    map-side partial aggregation, and all 63 sums ride one shuffle of
+    |docs| rows.  (A zero-shuffle higher-order-function variant was
+    measured 4× slower: array lambdas evaluate interpreted, outside
+    whole-stage codegen.)
     """
     tok = docs.select(
         F.col(id_col),
@@ -200,25 +209,15 @@ def simhash(
         "h",
         F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long"),
     )
-    bit = tok.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-    ).withColumn(
-        "vote",
-        # shiftright/shiftleft take a Column shift only via SQL expr
-        F.expr("shiftright(h, CAST(j % 60 AS INT)) & 1") * 2 - 1,
-    )
-    return (
-        bit.groupBy(id_col, "j")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    votes = [
+        F.sum(
+            (F.shiftright("h", j % 60).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return per_doc.select(id_col, packed.cast("long").alias("simhash"))
