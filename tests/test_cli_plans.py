@@ -58,6 +58,33 @@ def test_file_mode_pull_prunes_partitions(spark, tmp_path):
     )[1][:200]
 
 
+def test_bucketed_store_pull_join_has_no_exchange(spark, tmp_path):
+    """Opt-in bucketed store: the recurring info⋈geno pull join must
+    read co-located buckets with ZERO Exchange in the plan (the
+    catalog route preserves the bucket layout across sessions)."""
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    from vcfdbr_spark.plans.layout import formatted_plan
+    from vcfdbr_spark.sources.store import open_vcfdb, write_vcfdb
+    from vcfdbr_spark.sources.vcf import read_vcf
+
+    write_vcfdb(
+        read_vcf(spark, vcf), str(tmp_path / "dbb"), bucketed=True, n_buckets=4
+    )
+    db = open_vcfdb(spark, str(tmp_path / "dbb"))
+    j = db.variant_info.hint("merge").join(db.variant_geno, "variant_id")
+    assert j.count() > 0
+    plan = formatted_plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # a fresh open must re-register and still avoid the shuffle
+    spark.sql(f"DROP TABLE IF EXISTS {db._catalog_base_name()}_variant_info")
+    spark.sql(f"DROP TABLE IF EXISTS {db._catalog_base_name()}_variant_geno")
+    db2 = open_vcfdb(spark, str(tmp_path / "dbb"))
+    j2 = db2.variant_info.hint("merge").join(db2.variant_geno, "variant_id")
+    plan2 = formatted_plan(j2)
+    assert "Exchange" not in plan2
+
+
 def test_filter_test_plan_properties(spark, tmp_path):
     """The canonical query must: push the symbol filter to the scan,
     prune columns, broadcast the filtered side, avoid cartesians."""

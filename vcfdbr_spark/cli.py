@@ -113,10 +113,14 @@ def main(argv: list[str] | None = None) -> int:
         out = db.pull(ids)
     else:
         out = interval_query(db.variant_info, args.chr, args.start, args.end)
-    rows = out.collect()
-    for r in rows[:50]:
+    # display cap: never collect the full result to the driver
+    # (a whole-chromosome pull would OOM it); the exact count runs
+    # as its own distributed aggregate
+    rows = out.limit(50).collect()
+    for r in rows:
         print(r.asDict())
-    print(f"({len(rows)} rows)")
+    n = out.count() if len(rows) == 50 else len(rows)
+    print(f"({n} rows)")
     return 0
 
 

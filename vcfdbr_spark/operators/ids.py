@@ -50,7 +50,8 @@ def with_dense_ids(
     ``bucket`` — the parallelism unit: a Column expression (or list of
     column names) that is a MONOTONE PREFIX of the ``order_cols``
     ordering (rows in a lower bucket must sort before every row of a
-    higher bucket).  Defaults to ``order_cols[:-1]``; for very large
+    higher bucket).  Defaults to ``order_cols[:1]`` (the leading
+    column — typically the contig, i.e. coarse); for very large
     data pass something finer, e.g. ``(chr, floor(pos/1e6))`` — aim
     for bucket sizes that sort comfortably in one task (≤ ~10M rows).
 

@@ -28,8 +28,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``large ⋈ small`` on ``on`` with the large side
-    salted ``n_salt`` ways.  Result equals the plain join (tested);
-    the small side is replicated, so keep it the dimension side."""
+    salted ``n_salt`` ways.  Result equals the plain join (tested)
+    for ``inner`` and ``left`` only: the small side is replicated
+    ``n_salt`` times, so right/full-outer (and right-semi/anti) would
+    emit each unmatched small-side row once per salt — those modes
+    are rejected rather than silently wrong.  Keep the small side the
+    dimension side."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "in right/full/semi/anti modes"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salt)

@@ -59,26 +59,59 @@ def build_gene_map(variant_impact: DataFrame) -> DataFrame:
     return out.distinct()
 
 
+def _catalog_base(path: str) -> str:
+    """Deterministic catalog-table name prefix for a store path."""
+    import re
+
+    return "vcfdb_" + re.sub(r"[^A-Za-z0-9_]", "_", os.path.abspath(path)).strip("_")
+
+
 def write_vcfdb(
     tables: VcfTables,
     path: str,
     mode: str = "table",
     geno_bucket_width: int = 100_000,
     info_partitions: int | None = None,
+    bucketed: bool = False,
+    n_buckets: int = 16,
 ) -> None:
     """Write the relational store.  ``mode='file'`` hive-partitions the
     geno table by id bucket (file-mode analog); ``'table'`` writes one
     range-sorted table (table-mode analog, pipeline/02-build-db.R:461-473).
+
+    ``bucketed=True`` (table mode only) additionally hash-buckets
+    variant_info and variant_geno on ``variant_id`` via the catalog
+    (plans/bucketing.py): the recurring info⋈geno pull join then reads
+    matching buckets side-by-side with NO Exchange — the Spark
+    rendering of the reference's "both tables indexed on variant_id"
+    (pipeline/03-index-db.R:37-43).  Trade-off: bucket-hash layout
+    replaces the id-range sort for variant_info, so id-range row-group
+    pruning weakens; each bucket is still sorted by variant_id.
     """
     assert mode in ("table", "file")
+    if bucketed and mode != "table":
+        raise ValueError("bucketed layout requires mode='table'")
     info = tables.variant_info
-    range_args = [info_partitions] if info_partitions else []
-    (
-        info.repartitionByRange(*range_args, "variant_id")
-        .sortWithinPartitions("variant_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/variant_info")
-    )
+    if bucketed:
+        from vcfdbr_spark.plans.bucketing import write_bucketed
+
+        base = _catalog_base(path)
+        write_bucketed(
+            info.repartition(n_buckets, "variant_id"),
+            f"{base}_variant_info",
+            ["variant_id"],
+            n_buckets,
+            sort_cols=["variant_id"],
+            path=f"{path}/variant_info",
+        )
+    else:
+        range_args = [info_partitions] if info_partitions else []
+        (
+            info.repartitionByRange(*range_args, "variant_id")
+            .sortWithinPartitions("variant_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/variant_info")
+        )
     if tables.variant_impact is not None:
         (
             tables.variant_impact.repartitionByRange("symbol", "variant_id")
@@ -103,6 +136,17 @@ def write_vcfdb(
                 .partitionBy("vbucket")
                 .parquet(f"{path}/variant_geno")
             )
+        elif bucketed:
+            from vcfdbr_spark.plans.bucketing import write_bucketed
+
+            write_bucketed(
+                geno.repartition(n_buckets, "variant_id"),
+                f"{_catalog_base(path)}_variant_geno",
+                ["variant_id"],
+                n_buckets,
+                sort_cols=["variant_id", "sample"],
+                path=f"{path}/variant_geno",
+            )
         else:
             (
                 geno.repartitionByRange("variant_id", "sample")
@@ -118,6 +162,8 @@ def write_vcfdb(
         "geno_bucket_width": geno_bucket_width,
         "sections": sorted(tables.metadata),
         "samples": tables.header.samples,
+        "bucketed": bool(bucketed),
+        "n_buckets": n_buckets if bucketed else None,
     }
     os.makedirs(path, exist_ok=True)
     with open(f"{path}/_vcfdb_manifest.json", "w") as fh:
@@ -135,7 +181,38 @@ class VcfDb:
             self.manifest = json.load(fh)
 
     def table(self, name: str) -> DataFrame:
+        if self.manifest.get("bucketed") and name in (
+            "variant_info",
+            "variant_geno",
+        ):
+            return self._bucketed_table(name)
         return self.spark.read.parquet(f"{self.path}/{name}")
+
+    def _catalog_base_name(self) -> str:
+        return _catalog_base(self.path)
+
+    def _bucketed_table(self, name: str) -> DataFrame:
+        """Read through the catalog so Spark sees the bucket layout
+        (a raw parquet read of the same files would forget it and
+        reintroduce the join Exchange).  The catalog is per-session;
+        a fresh session re-registers the external bucketed table over
+        the existing files."""
+        cat_name = f"{_catalog_base(self.path)}_{name}"
+        if not self.spark.catalog.tableExists(cat_name):
+            schema = self.spark.read.parquet(f"{self.path}/{name}").schema
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            sort_cols = (
+                "variant_id" if name == "variant_info" else "variant_id, sample"
+            )
+            self.spark.sql(
+                f"CREATE TABLE {cat_name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (variant_id) SORTED BY ({sort_cols}) "
+                f"INTO {int(self.manifest['n_buckets'])} BUCKETS "
+                f"LOCATION '{self.path}/{name}'"
+            )
+        return self.spark.table(cat_name)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in _TABLES:

@@ -69,14 +69,19 @@ def stream_dedup(
     watermark: str = "1 day",
 ) -> DataFrame:
     """Streaming exact dedup: first-seen wins on the content hash,
-    duplicate arrivals dropped from the stream.  State is bounded by
-    the watermark (hashes older than it are evicted) — the streaming
-    twin of ``operators.dedup.exact_dedup``."""
+    duplicate arrivals dropped from the stream — the streaming twin of
+    ``operators.dedup.exact_dedup``.
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates``
+    on a subset NOT containing the event-time column never evicts its
+    state (unbounded growth on a long-running stream); the
+    within-watermark variant expires each hash once it is older than
+    the watermark, so state is genuinely bounded."""
     stream = spark.readStream.schema(schema).format("parquet").load(source_dir)
     return (
         stream.withColumn("text_hash", F.md5("text"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 
@@ -137,10 +142,17 @@ def stream_vcf_ingest(
     header_path: str,
 ) -> None:
     """Streaming VCF ingest: new VCF text files appearing in
-    ``vcf_dir`` are parsed and transactionally appended to the
-    variant_info parquet table, with dense ids continuing across
-    batches via a driver-side max-id carry (the streaming analog of
-    the reference's resumable chunk loop)."""
+    ``vcf_dir`` are parsed and appended to the variant_info parquet
+    table, with dense ids continuing across batches via a driver-side
+    max-id carry (the streaming analog of the reference's resumable
+    chunk loop).
+
+    Idempotency: ``foreachBatch`` is at-least-once, so each batch
+    writes its own ``ingest_batch=<id>`` partition directory,
+    deleting any partial remnant of the same batch FIRST (before the
+    max-id read, so a retried batch recomputes the same id range).
+    A replayed batch therefore overwrites itself instead of
+    duplicating rows."""
     from vcfdbr_spark.operators.ids import with_dense_ids
     from vcfdbr_spark.schema import read_header
     from vcfdbr_spark.sources import vcf as vcf_mod
@@ -153,6 +165,14 @@ def stream_vcf_ingest(
         if batch_df.isEmpty():
             return
         spark_l = batch_df.sparkSession
+        batch_path = f"{out_dir}/variant_info/ingest_batch={batch_id}"
+        # drop any partial output of a previous attempt of THIS batch
+        # before reading max(variant_id), keeping the id carry exact
+        jvm = spark_l._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(batch_path)
+        fs = jpath.getFileSystem(spark_l._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
         try:
             existing = spark_l.read.parquet(f"{out_dir}/variant_info")
             start = (existing.agg(F.max("variant_id")).first()[0] or 0) + 1
@@ -165,7 +185,11 @@ def stream_vcf_ingest(
             c.getItem(3).alias("ref"),
             c.getItem(4).alias("alt"),
             F.str_to_map(c.getItem(7), F.lit(";"), F.lit("=")).alias("_info"),
-        ).filter(~F.col("alt").contains(","))
+        ).filter(
+            # same reject rules as the batch parser (sources/vcf.py):
+            # multiallelic + unparseable-POS records never get ids
+            ~F.col("alt").contains(",") & F.col("start").isNotNull()
+        )
         keyed = with_dense_ids(
             parsed,
             ["chr", "start", "ref", "alt"],
@@ -191,9 +215,7 @@ def stream_vcf_ingest(
                     vcf_mod.mangle_name(fid)
                 )
             )
-        keyed.select(*out_cols).write.mode("append").parquet(
-            f"{out_dir}/variant_info"
-        )
+        keyed.select(*out_cols).write.mode("overwrite").parquet(batch_path)
 
     q = (
         records.writeStream.foreachBatch(_write_batch)
