@@ -3,6 +3,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.vcf_fixture import write_vcf
 from vcfdbr_spark.operators.query import (
     filter_test,
@@ -126,6 +128,14 @@ def test_file_mode_layout(spark, tmp_path):
     assert len(got) == 4 and {r["variant_id"] for r in got} == {4}
     # partition pruning: the id → bucket predicate touches one bucket dir
     assert db.manifest["mode"] == "file"
+    # reference parity (02-build-db.R:433-436): file mode records each
+    # variant's genotype location in variant_info.geno, and
+    # filter_test's any_of projection surfaces it (00-benchmark:85)
+    info_row = db.variant_info.filter(F.col("variant_id") == 4).first()
+    assert info_row["geno"].endswith("/variant_geno/vbucket=2")
+    ft = filter_test(db.variant_impact, db.variant_info, "GENE2", af=2.0)
+    assert "geno" in ft.columns
+    assert all(r["geno"] is not None for r in ft.collect())
 
 
 def test_gene_map_empty_string_normalized(spark, tmp_path):

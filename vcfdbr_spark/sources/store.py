@@ -92,6 +92,20 @@ def write_vcfdb(
     if bucketed and mode != "table":
         raise ValueError("bucketed layout requires mode='table'")
     info = tables.variant_info
+    if mode == "file":
+        # reference parity: file mode records a per-variant genotype
+        # path in variant_info.geno (pipeline/02-build-db.R:433-436);
+        # the engine's unit of genotype storage is the id bucket, so
+        # the path points at the variant's vbucket partition directory
+        info = info.withColumn(
+            "geno",
+            F.concat(
+                F.lit(f"{path}/variant_geno/vbucket="),
+                (F.col("variant_id") / geno_bucket_width)
+                .cast("long")
+                .cast("string"),
+            ),
+        )
     if bucketed:
         from vcfdbr_spark.plans.bucketing import write_bucketed
 
