@@ -156,3 +156,53 @@ def test_samples_and_metadata(tables):
     info_meta = {r["name"]: r for r in tables.metadata["INFO"].collect()}
     assert info_meta["AC"]["Number"] == "A"
     assert info_meta["CSQ"]["Type"] == "String"
+
+
+def test_resumable_build_kill_and_resume(spark, tmp_path):
+    """A23 parity: a build stopped mid-way (--end-chunk) resumes from
+    its progress manifest and finishes with the SAME dense
+    non-duplicated ids as the single-pass read_vcf build — even after
+    a simulated mid-chunk crash leaves partial staging output."""
+
+    from vcfdbr_spark.sources.build import build_vcfdb_resumable
+    from vcfdbr_spark.sources.store import open_vcfdb
+
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    out = str(tmp_path / "db")
+
+    # partial run: contigs 1,2,X across 3 chunks, stop after chunk 0
+    prog = build_vcfdb_resumable(spark, vcf, out, n_chunks=3, end_chunk=0)
+    assert prog["chunks"]["0"]["done"] and not prog.get("tables_done")
+    assert prog["next_id"] == 4  # contig '1' holds variants 1-3
+
+    # simulated crash: partial (garbage) output for the NEXT chunk
+    crash_dir = tmp_path / "db" / "_staging" / "chunk=1"
+    crash_dir.mkdir(parents=True, exist_ok=True)
+    spark.createDataFrame(
+        [(99,)], "variant_id long"
+    ).write.mode("overwrite").parquet(str(crash_dir))
+
+    # resume: chunk 0 skipped, chunk 1 partial output overwritten
+    prog = build_vcfdb_resumable(spark, vcf, out, n_chunks=3)
+    assert prog["tables_done"]
+    assert [prog["chunks"][str(k)]["done"] for k in range(3)] == [True] * 3
+
+    db = open_vcfdb(spark, out)
+    ids = [r["variant_id"] for r in db.variant_info.orderBy("variant_id").collect()]
+    assert ids == [1, 2, 3, 4, 5, 6]  # dense, no dups, no 99 remnant
+
+    # equivalence with the single-pass path on every table
+    ref = read_vcf(spark, vcf)
+    for a, b in [
+        (db.variant_info, ref.variant_info),
+        (db.variant_impact, ref.variant_impact),
+        (db.variant_geno, ref.variant_geno),
+    ]:
+        al = sorted(map(tuple, a.collect()))
+        bl = sorted(map(tuple, b.collect()))
+        assert al == bl
+
+    # idempotent re-run of a finished build: no chunk re-staged
+    prog = build_vcfdb_resumable(spark, vcf, out, n_chunks=3)
+    assert prog["tables_done"]
+    assert db.variant_info.count() == 6

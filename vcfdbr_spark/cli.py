@@ -37,6 +37,21 @@ def main(argv: list[str] | None = None) -> int:
         help="keep multi-value FORMAT fields as native arrays",
     )
     b.add_argument("--threads", type=int, default=None)
+    b.add_argument(
+        "--resumable",
+        action="store_true",
+        help="chunked build with a progress manifest: a killed or "
+        "--end-chunk-limited run resumes where it stopped "
+        "(reference .progress.RData parity)",
+    )
+    b.add_argument(
+        "--chunks", type=int, default=4,
+        help="contig groups per resumable build (resume granularity)",
+    )
+    b.add_argument(
+        "--end-chunk", type=int, default=None,
+        help="stop after this chunk index (partial run; re-run to continue)",
+    )
 
     f = sub.add_parser("filter", help="per-gene rare-variant query")
     f.add_argument("--prefix", required=True)
@@ -75,6 +90,35 @@ def main(argv: list[str] | None = None) -> int:
             if args.multivalue_as_array
             else ("melt" if args.include_multivalue_gt else "skip")
         )
+        if args.resumable:
+            from vcfdbr_spark.sources.build import build_vcfdb_resumable
+
+            prog = build_vcfdb_resumable(
+                spark, args.vcf, args.prefix, mode=args.mode,
+                multi_value=multi, n_chunks=args.chunks,
+                end_chunk=args.end_chunk,
+            )
+            if not prog.get("tables_done"):
+                done = sum(1 for c in prog["chunks"].values() if c.get("done"))
+                print(
+                    f"partial build: {done} chunk(s) staged, "
+                    f"next_id={prog['next_id']} — re-run to continue"
+                )
+                return 0
+            rejects = spark.read.parquet(f"{args.prefix}/_rejects")
+            n_rejects = rejects.count()
+            if n_rejects:
+                reject_path = f"{args.prefix}-multiallelic-sites.tsv"
+                rejects.drop("chunk").toPandas().to_csv(
+                    reject_path, sep="\t", index=False
+                )
+                print(
+                    f"WARNING: {n_rejects} rejected records excluded "
+                    f"from the store — written to {reject_path}",
+                    file=sys.stderr,
+                )
+            print(f"built {args.prefix} (mode={args.mode}, resumable)")
+            return 0
         tables = read_vcf(spark, args.vcf, multi_value=multi)
         n_rejects = tables.rejects.count()
         if n_rejects:

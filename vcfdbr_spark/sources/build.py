@@ -1,0 +1,191 @@
+"""Resumable chunked batch build — A23 parity.
+
+The reference resumes a killed build from ``.progress.RData``
+(pipeline/02-build-db.R:521-528, resume load :216-218) and supports
+``--end-chunk`` partial runs (:34-38).  The Spark rendering:
+
+- **chunk** = a contiguous group of contigs in header order (a
+  monotone prefix of the dense-id sort order, so per-chunk ids with a
+  carried ``next_id`` concatenate into the same global dense sequence
+  ``read_vcf`` assigns in one pass);
+- each chunk's parsed + id'd rows land in their own
+  ``_staging/chunk=k`` parquet directory, deleted-before-rewrite so a
+  killed attempt is overwritten, never duplicated (same idempotency
+  scheme as streaming/ingest.py);
+- ``_build_progress.json`` records completed chunks and the id carry
+  — the ``.progress.RData`` analog;
+- after every chunk is staged, the three tables derive from ONE read
+  of the staging parquet (``vcf.derive_tables``) and write through
+  ``write_vcfdb`` — no re-parse of the VCF text.
+
+Trade-off vs the single-pass ``read_vcf`` path: each chunk re-scans
+the text file (predicate on contig; the reference's tabix windows
+seek instead), so use few, large chunks.  The default build stays
+single-pass; this path is for builds long enough to need kill-resume
+insurance, where n_chunks bounds the work lost to a crash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.operators.ids import with_dense_ids
+from vcfdbr_spark.schema import read_header
+from vcfdbr_spark.sources.store import write_vcfdb
+from vcfdbr_spark.sources.vcf import (
+    VcfTables,
+    _probe_format_fields,
+    build_metadata,
+    contig_rank_expr,
+    derive_tables,
+    parse_records,
+)
+
+
+def _progress_path(out_path: str) -> str:
+    return f"{out_path}/_build_progress.json"
+
+
+def _load_progress(out_path: str) -> dict:
+    try:
+        with open(_progress_path(out_path)) as fh:
+            return json.load(fh)
+    except OSError:
+        return {"chunks": {}, "next_id": 1, "tables_done": False}
+
+
+def _save_progress(out_path: str, prog: dict) -> None:
+    os.makedirs(out_path, exist_ok=True)
+    tmp = _progress_path(out_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(prog, fh)
+    os.replace(tmp, _progress_path(out_path))
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _contig_groups(contigs: list[str], n_chunks: int) -> list[list[str]]:
+    """Split contigs into ≤n_chunks contiguous header-order groups."""
+    if not contigs:
+        return [[]]
+    n_chunks = max(1, min(n_chunks, len(contigs)))
+    size = -(-len(contigs) // n_chunks)  # ceil
+    return [contigs[i : i + size] for i in range(0, len(contigs), size)]
+
+
+def build_vcfdb_resumable(
+    spark: SparkSession,
+    vcf_path: str,
+    out_path: str,
+    mode: str = "table",
+    multi_value: str = "melt",
+    n_chunks: int = 4,
+    end_chunk: int | None = None,
+    probe_rows: int = 1000,
+    geno_bucket_width: int = 100_000,
+    exonic_on_consequence: bool = False,
+) -> dict:
+    """Build (or resume building) a store; returns the final progress
+    dict.  Call again after a crash or an ``end_chunk`` partial run —
+    completed chunks are skipped, ids continue from the carry."""
+    header = read_header(vcf_path)
+    prog = _load_progress(out_path)
+    groups = _contig_groups(header.contigs, n_chunks)
+    staging = f"{out_path}/_staging"
+    rejects_dir = f"{out_path}/_rejects"
+
+    for k, group in enumerate(groups):
+        key = str(k)
+        if prog["chunks"].get(key, {}).get("done"):
+            continue
+        if end_chunk is not None and k > end_chunk:
+            break
+        parsed = parse_records(spark, vcf_path, header)
+        if group:
+            in_group = F.col("chr").isin(group)
+            # unknown contigs (absent from the header) ride the last chunk
+            if k == len(groups) - 1:
+                in_group = in_group | ~F.col("chr").isin(header.contigs)
+            parsed = parsed.filter(in_group)
+        is_multi = F.col("alt").contains(",")
+        is_malformed = F.col("start").isNull()
+        # idempotency: delete any partial output of THIS chunk before
+        # writing (and before counting, so the id carry stays exact)
+        _delete_dir(spark, f"{staging}/chunk={k}")
+        _delete_dir(spark, f"{rejects_dir}/chunk={k}")
+        (
+            parsed.filter(is_multi | is_malformed)
+            .select(
+                "chr", "start", "ref", "alt",
+                F.when(is_multi, "multiallelic")
+                .otherwise("malformed")
+                .alias("reason"),
+            )
+            .write.parquet(f"{rejects_dir}/chunk={k}")
+        )
+        ok = (
+            parsed.filter(~is_multi & ~is_malformed)
+            .withColumn("_crank", contig_rank_expr(header))
+        )
+        keyed = with_dense_ids(
+            ok,
+            ["_crank", "chr", "start", "ref", "alt"],
+            id_col="variant_id",
+            start=int(prog["next_id"]),
+            bucket=F.struct(
+                F.col("_crank"), F.col("chr"),
+                F.floor(F.col("start") / 1_000_000),
+            ),
+        ).drop("_crank")
+        keyed.write.parquet(f"{staging}/chunk={k}")
+        n = spark.read.parquet(f"{staging}/chunk={k}").count()
+        prog["chunks"][key] = {
+            "done": True,
+            "n_rows": n,
+            "id_start": int(prog["next_id"]),
+            "id_end": int(prog["next_id"]) + n - 1,
+            "contigs": group,
+        }
+        prog["next_id"] = int(prog["next_id"]) + n
+        _save_progress(out_path, prog)
+
+    if any(
+        not prog["chunks"].get(str(k), {}).get("done")
+        for k in range(len(groups))
+    ):
+        return prog  # partial run (end_chunk) — resumable later
+
+    # ---- all chunks staged: derive + write the store once ----
+    ok_all = spark.read.parquet(staging).drop("chunk")
+    kept_fields = []
+    if header.samples and header.format:
+        kept_fields = _probe_format_fields(ok_all, header, probe_rows, multi_value)
+    variant_info, variant_impact, variant_geno = derive_tables(
+        ok_all, header, kept_fields, multi_value, exonic_on_consequence
+    )
+    samples, metadata = build_metadata(spark, header)
+    rejects = spark.read.parquet(rejects_dir).drop("chunk")
+    tables = VcfTables(
+        header=header,
+        variant_info=variant_info,
+        variant_impact=variant_impact,
+        variant_geno=variant_geno,
+        samples=samples,
+        metadata=metadata,
+        rejects=rejects,
+    )
+    write_vcfdb(
+        tables, out_path, mode=mode, geno_bucket_width=geno_bucket_width
+    )
+    prog["tables_done"] = True
+    _save_progress(out_path, prog)
+    return prog

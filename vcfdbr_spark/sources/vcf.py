@@ -93,28 +93,29 @@ def _info_column(info_map: Column, f: VcfField, n_alts: int = 1) -> Column:
     return _cast_array(raw, f)
 
 
-def read_vcf(
-    spark: SparkSession,
-    path: str,
-    *,
-    multi_value: str = "melt",
-    probe_rows: int = 1000,
-    exonic_on_consequence: bool = False,
-    id_partitions: int | None = None,
-) -> VcfTables:
-    """Parse a (biallelic-split) VCF into the three-table relational
-    model.  One distributed text scan; ids dense in (contig, pos, ref,
-    alt) order — the Spark rendering of the reference's chunk-order id
-    (pipeline/02-build-db.R:258-259).
+def contig_rank_expr(header: VcfHeader) -> Column:
+    """Header-order contig rank (ids sort by header order, not string
+    order — pipeline/02-build-db.R:258-259); unknown contigs rank last."""
+    contig_rank = {ctg: i for i, ctg in enumerate(header.contigs)}
+    if not contig_rank:
+        return F.lit(0)
+    return F.coalesce(
+        *(
+            [
+                F.when(F.col("chr") == ctg, F.lit(i))
+                for ctg, i in contig_rank.items()
+            ]
+            + [F.lit(len(contig_rank))]
+        )
+    )
 
-    ``multi_value``: 'melt' → reference's ``field_k`` columns
-    (pipeline/02-build-db.R:395-409); 'array' → native ArrayType
-    columns (Spark-native improvement); 'skip' → reference default
-    (:164-167).
+
+def parse_records(spark: SparkSession, path: str, header: VcfHeader) -> DataFrame:
+    """Distributed text scan → typed base columns (no ids yet).
+
+    One select of built-in functions: fixed fields, INFO as a map,
+    FORMAT string, and ONE array column holding every sample cell.
     """
-    assert multi_value in ("melt", "array", "skip")
-    header = read_header(path)
-
     raw = spark.read.text(path).filter(~F.col("value").startswith("#"))
     # A single modest VCF arrives as one input split; spread the parse
     # across the cluster (dense ids are sort-derived, so input
@@ -146,7 +147,31 @@ def read_vcf(
         base_cols.append(
             F.slice(c, 10, len(header.samples)).alias("_samples")
         )
-    parsed = raw.select(*base_cols)
+    return raw.select(*base_cols)
+
+
+def read_vcf(
+    spark: SparkSession,
+    path: str,
+    *,
+    multi_value: str = "melt",
+    probe_rows: int = 1000,
+    exonic_on_consequence: bool = False,
+    id_partitions: int | None = None,
+) -> VcfTables:
+    """Parse a (biallelic-split) VCF into the three-table relational
+    model.  One distributed text scan; ids dense in (contig, pos, ref,
+    alt) order — the Spark rendering of the reference's chunk-order id
+    (pipeline/02-build-db.R:258-259).
+
+    ``multi_value``: 'melt' → reference's ``field_k`` columns
+    (pipeline/02-build-db.R:395-409); 'array' → native ArrayType
+    columns (Spark-native improvement); 'skip' → reference default
+    (:164-167).
+    """
+    assert multi_value in ("melt", "array", "skip")
+    header = read_header(path)
+    parsed = parse_records(spark, path, header)
 
     # Reject channel: multiallelic sites (pipeline/01:43-53 — the
     # reference aborts the build on these) plus malformed records
@@ -164,20 +189,7 @@ def read_vcf(
     ok = parsed.filter(~is_multi & ~is_malformed)
 
     # Dense sequential variant_id in (contig-rank, pos, ref, alt) order.
-    contig_rank = {ctg: i for i, ctg in enumerate(header.contigs)}
-    if contig_rank:
-        rank_expr = F.coalesce(
-            *(
-                [
-                    F.when(F.col("chr") == ctg, F.lit(i))
-                    for ctg, i in contig_rank.items()
-                ]
-                + [F.lit(len(contig_rank))]
-            )
-        )
-    else:
-        rank_expr = F.lit(0)
-    ok = ok.withColumn("_crank", rank_expr)
+    ok = ok.withColumn("_crank", contig_rank_expr(header))
     # Schema probe BEFORE persisting: a limit() must never be the
     # first action on a persisted frame — the truncated consumption
     # poisons the partition cache (observed: ~2/3 of rows lost from
@@ -199,6 +211,36 @@ def read_vcf(
     # Three tables branch off this parse: materialize it once.
     ok = ok.persist()
 
+    variant_info, variant_impact, variant_geno = derive_tables(
+        ok, header, kept_fields, multi_value, exonic_on_consequence
+    )
+
+    # ---- samples + header metadata (02:110-136) ----
+    samples, metadata = build_metadata(spark, header)
+
+    return VcfTables(
+        header=header,
+        variant_info=variant_info,
+        variant_impact=variant_impact,
+        variant_geno=variant_geno,
+        samples=samples,
+        metadata=metadata,
+        rejects=rejects,
+    )
+
+
+def derive_tables(
+    ok: DataFrame,
+    header: VcfHeader,
+    kept_fields: list[VcfField],
+    multi_value: str = "melt",
+    exonic_on_consequence: bool = False,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """The three relational tables from a parsed-and-id'd frame
+    (columns: variant_id, chr, start, ref, alt, qual, filter, _info
+    [, _format, _samples]).  Split out of ``read_vcf`` so the
+    resumable chunked builder (sources/build.py) can derive tables
+    from its staged parse without re-reading the VCF."""
     csq_cols = header.csq_columns
     info_fields = [f for k, f in header.info.items()]
 
@@ -286,7 +328,13 @@ def read_vcf(
     if kept_fields:
         variant_geno = _build_geno(ok, header, kept_fields, multi_value)
 
-    # ---- samples + header metadata (02:110-136) ----
+    return variant_info, variant_impact, variant_geno
+
+
+def build_metadata(
+    spark: SparkSession, header: VcfHeader
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """samples table + one small table per header section (02:110-136)."""
     samples = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(header.samples)],
         "name long, value string",  # explicit schema: may be empty (sites-only VCF)
@@ -302,16 +350,7 @@ def read_vcf(
         metadata[section] = spark.createDataFrame(
             data, ["name" if k == "ID" else k for k in keys]
         )
-
-    return VcfTables(
-        header=header,
-        variant_info=variant_info,
-        variant_impact=variant_impact,
-        variant_geno=variant_geno,
-        samples=samples,
-        metadata=metadata,
-        rejects=rejects,
-    )
+    return samples, metadata
 
 
 def _probe_format_fields(
