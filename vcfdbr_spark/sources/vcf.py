@@ -125,8 +125,22 @@ def parse_records(spark: SparkSession, path: str, header: VcfHeader) -> DataFram
     # varies across re-executions, and a partially-cached persisted
     # frame mixes cached and recomputed partitions — observed losing
     # ~2/3 of rows.  Hash-partitioning on the line content is stable.
+    # The split estimate is driver-side filesystem metadata — asking
+    # the DataFrame's RDD (`raw.rdd.getNumPartitions()`) costs ~1 s of
+    # plan→RDD conversion per ingest.
     parallelism = spark.sparkContext.defaultParallelism
-    if raw.rdd.getNumPartitions() < parallelism:
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        n_bytes = fs.getContentSummary(jpath).getLength()
+    except Exception:
+        n_bytes = None
+    est_splits = None if n_bytes is None else n_bytes // (128 << 20) + 1
+    # gzip is not splittable: whatever its size, it arrives as ONE
+    # split and always benefits from the spread
+    if path.endswith((".gz", ".bgz")) or (
+        est_splits is not None and est_splits < parallelism
+    ):
         raw = raw.repartition(parallelism, F.col("value"))
     c = F.split(F.col("value"), "\t")
     base_cols = [
@@ -334,10 +348,26 @@ def derive_tables(
 def build_metadata(
     spark: SparkSession, header: VcfHeader
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
-    """samples table + one small table per header section (02:110-136)."""
+    """samples table + one small table per header section (02:110-136).
+
+    Local frames go through pandas/Arrow on purpose: a list-of-tuples
+    ``createDataFrame`` becomes a Python-RDD-backed scan that spawns a
+    Python worker per downstream job (measured ~4-6 s PER tiny table
+    write — 19 s of a 26 s store write); the Arrow path plans as a
+    JVM-local relation and writes in milliseconds.
+    """
+    import pandas as pd
+
     samples = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(header.samples)],
-        "name long, value string",  # explicit schema: may be empty (sites-only VCF)
+        pd.DataFrame(
+            {
+                "name": pd.array(
+                    range(1, len(header.samples) + 1), dtype="int64"
+                ),
+                "value": pd.array(header.samples, dtype="object"),
+            }
+        ),
+        schema="name long, value string",  # explicit: may be empty (sites-only VCF)
     )
     metadata: dict[str, DataFrame] = {}
     for section, rows in header.raw_sections.items():
@@ -346,9 +376,13 @@ def build_metadata(
             for k in r:
                 if k not in keys:
                     keys.append(k)
-        data = [tuple(r.get(k) for k in keys) for r in rows]
+        cols = ["name" if k == "ID" else k for k in keys]
+        pdf = pd.DataFrame(
+            {c: [r.get(k) for r in rows] for k, c in zip(keys, cols)},
+            dtype="object",
+        )
         metadata[section] = spark.createDataFrame(
-            data, ["name" if k == "ID" else k for k in keys]
+            pdf, schema=", ".join(f"`{c}` string" for c in cols)
         )
     return samples, metadata
 
