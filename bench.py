@@ -47,6 +47,8 @@ DATA_QUERIES = [
     "minhash_pairs",
     "ngram_jaccard",
     "simhash",
+    "simhash_dup_pairs",
+    "pack_sequences",
     "embedding_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

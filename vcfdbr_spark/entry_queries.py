@@ -799,6 +799,56 @@ FROM bitsum GROUP BY doc_id
 _EMB_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 16-bit fingerprint bands → candidate
+    self-join → exact bit_count(XOR) Hamming verify."""
+    from vcfdbr_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=4)
+
+
+SQL_SIMHASH_DUP_PAIRS = f"""
+WITH sig AS ({SQL_SIMHASH.strip()}),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band,
+         (simhash >> (b.b * 16)) & 65535 AS bucket
+  FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+SELECT a, b, hamming FROM cand WHERE hamming <= 4
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: sharded running-token-total → pack index
+    (the LLM batch-construction step; window partitioned by shard so
+    the cumsum parallelizes)."""
+    from vcfdbr_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), window_tokens=512)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents),
+run AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM toks)
+SELECT doc_id, shard, n_tokens, "offset",
+       CAST("offset" // 512 AS BIGINT) AS pack_id,
+       ("offset" // 512) != (("offset" + n_tokens - 1) // 512) AS straddles
+FROM run
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -1043,6 +1093,8 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "pack_sequences": q_pack_sequences,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1084,6 +1136,8 @@ ORACLE: dict[str, str] = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash": SQL_SIMHASH,
+    "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,

@@ -179,6 +179,61 @@ def ngram_jaccard_pairs(
     return out
 
 
+def simhash_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one
+    16-bit band of the 63-bit fingerprint, verified by exact Hamming
+    distance ≤ ``max_hamming``.
+
+    The banding is the standard simhash dedup trick (pigeonhole: any
+    pair within Hamming distance ``n_bands - 1`` shares a band, and
+    most near-dup pairs far closer than that collide in several);
+    per-band bucket population is ~|docs|/2¹⁶ so the self-join never
+    goes quadratic.  Hamming verify is ``bit_count(a XOR b)`` — pure
+    integer column algebra, engine-portable.
+    """
+    sig = simhash(docs, text_col, id_col)
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.shiftright("simhash", b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bb = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(bands).alias("band", "bucket"),
+    )
+    a = bb.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sa"),
+        "band", "bucket",
+    )
+    b = bb.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sb"),
+        "band", "bucket",
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

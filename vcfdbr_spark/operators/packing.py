@@ -1,0 +1,64 @@
+"""Sequence packing: assign documents to fixed-token-budget packs —
+the batch-construction step of an LLM training pipeline (each pack
+becomes one context window; short docs are concatenated to avoid
+padding waste).
+
+Spark shape: a running token total within each shard (window
+function) converts to a pack index by integer division.  Packing is
+SHARDED on a hash of the id — each shard packs independently, so the
+cumulative-sum window partitions by shard and parallelizes instead of
+collapsing onto one task (the unsharded global cumsum is the classic
+100-TB window-function trap).  Shards map 1:1 to downstream data
+files, which is exactly how training shards are consumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.functions.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int = 2048,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, shard, n_tokens, offset, pack_id, straddles) — contiguous
+    greedy packing in id order within each shard.
+
+    ``offset`` is the token position where the doc starts inside its
+    shard's stream; ``pack_id`` the window it starts in;
+    ``straddles`` whether it crosses a window boundary (a real
+    pipeline would split it across packs there).
+    """
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
+    toks = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = toks.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / window_tokens).cast("long").alias("pack_id"),
+        (
+            F.floor(F.col("offset") / window_tokens)
+            != F.floor(
+                (F.col("offset") + F.col("n_tokens") - 1) / window_tokens
+            )
+        ).alias("straddles"),
+    )
