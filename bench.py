@@ -49,6 +49,9 @@ DATA_QUERIES = [
     "simhash",
     "simhash_dup_pairs",
     "pack_sequences",
+    "text_normalize_dedup",
+    "top_ngrams",
+    "multimodal_frames",
     "embedding_topk",
     "embedding_lsh_topk",
     "embedding_ivf_topk",

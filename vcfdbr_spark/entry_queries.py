@@ -799,6 +799,95 @@ FROM bitsum GROUP BY doc_id
 _EMB_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
+def q_text_normalize_dedup(spark, sf_dir):
+    """Normalization-aware exact dedup: lowercase / strip punctuation
+    / collapse whitespace, then hash-groupBy — catches dups that
+    differ only in casing or punctuation."""
+    from vcfdbr_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", normalize_text(F.col("text"))
+    )
+    return exact_dedup(docs)
+
+
+SQL_TEXT_NORMALIZE_DEDUP = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS text
+  FROM documents)
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM norm GROUP BY md5(text)
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide n-gram frequency (vocab/contamination analysis):
+    explode word bigrams → one hash-partial-agg shuffle → top-50 with
+    a total order."""
+    from vcfdbr_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                word_shingles(F.col("text"), n=2, max_words=50)
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(50)
+    )
+
+
+SQL_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM documents),
+bi AS (
+  SELECT unnest(list_transform(
+      generate_series(1, greatest(len(w) - 1, 1)),
+      i -> array_to_string(w[i:i+1], ' '))) AS ngram
+  FROM toks)
+SELECT ngram, COUNT(*) AS n
+FROM bi GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 50
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan: every-10th-frame explode from typed
+    metadata — the partition/explode shape of multimodal extraction,
+    fully SQL-expressible (unlike the decode step)."""
+    from vcfdbr_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.create_map(
+            F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, greatest((n_chars % 100) - 1, 0), 10)) AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 16-bit fingerprint bands → candidate
     self-join → exact bit_count(XOR) Hamming verify."""
@@ -1095,6 +1184,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "pack_sequences": q_pack_sequences,
+    "text_normalize_dedup": q_text_normalize_dedup,
+    "top_ngrams": q_top_ngrams,
+    "multimodal_frames": q_multimodal_frames,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1138,6 +1230,9 @@ ORACLE: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "text_normalize_dedup": SQL_TEXT_NORMALIZE_DEDUP,
+    "top_ngrams": SQL_TOP_NGRAMS,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,

@@ -94,3 +94,14 @@ def fingerprint(text: Column, prefix_len: int = 200) -> Column:
     reordering of distant parts)."""
     sh = F.array_sort(F.array_distinct(shingles(text, 5, prefix_len)))
     return F.md5(F.concat_ws("\x1f", sh))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup keys / training corpora:
+    lowercase → strip punctuation/symbols → collapse whitespace runs →
+    trim.  Pure column algebra; composes with exact_dedup to make it
+    punctuation/case-insensitive."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
