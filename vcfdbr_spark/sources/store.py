@@ -106,27 +106,29 @@ def write_vcfdb(
                 .cast("string"),
             ),
         )
-    if bucketed:
-        from vcfdbr_spark.plans.bucketing import write_bucketed
 
-        base = _catalog_base(path)
-        write_bucketed(
-            info.repartition(n_buckets, "variant_id"),
-            f"{base}_variant_info",
-            ["variant_id"],
-            n_buckets,
-            sort_cols=["variant_id"],
-            path=f"{path}/variant_info",
-        )
-    else:
-        range_args = [info_partitions] if info_partitions else []
-        (
-            info.repartitionByRange(*range_args, "variant_id")
-            .sortWithinPartitions("variant_id")
-            .write.mode("overwrite")
-            .parquet(f"{path}/variant_info")
-        )
-    if tables.variant_impact is not None:
+    def write_info() -> None:
+        if bucketed:
+            from vcfdbr_spark.plans.bucketing import write_bucketed
+
+            write_bucketed(
+                info.repartition(n_buckets, "variant_id"),
+                f"{_catalog_base(path)}_variant_info",
+                ["variant_id"],
+                n_buckets,
+                sort_cols=["variant_id"],
+                path=f"{path}/variant_info",
+            )
+        else:
+            range_args = [info_partitions] if info_partitions else []
+            (
+                info.repartitionByRange(*range_args, "variant_id")
+                .sortWithinPartitions("variant_id")
+                .write.mode("overwrite")
+                .parquet(f"{path}/variant_info")
+            )
+
+    def write_impact() -> None:
         (
             tables.variant_impact.repartitionByRange("symbol", "variant_id")
             .sortWithinPartitions("symbol", "variant_id")
@@ -136,7 +138,8 @@ def write_vcfdb(
         build_gene_map(tables.variant_impact).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{path}/gene_map")
-    if tables.variant_geno is not None:
+
+    def write_geno() -> None:
         geno = tables.variant_geno
         if mode == "file":
             (
@@ -168,9 +171,33 @@ def write_vcfdb(
                 .write.mode("overwrite")
                 .parquet(f"{path}/variant_geno")
             )
-    tables.samples.coalesce(1).write.mode("overwrite").parquet(f"{path}/samples")
-    for section, df in tables.metadata.items():
-        df.coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta/{section}")
+
+    def write_small() -> None:
+        tables.samples.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/samples"
+        )
+        for section, df in tables.metadata.items():
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/_meta/{section}"
+            )
+
+    # The table writes are independent Spark jobs over the same shared
+    # (persisted) parse — submit them concurrently from driver threads
+    # so the cluster overlaps their shuffles instead of idling between
+    # jobs.  The block manager computes each cached partition once
+    # (concurrent consumers block on the same partition lock), so the
+    # shared parent is still evaluated a single time.
+    jobs = [write_info, write_small]
+    if tables.variant_impact is not None:
+        jobs.append(write_impact)
+    if tables.variant_geno is not None:
+        jobs.append(write_geno)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = [pool.submit(j) for j in jobs]
+        for f in futures:
+            f.result()  # re-raise the first failure
     manifest = {
         "mode": mode,
         "geno_bucket_width": geno_bucket_width,
