@@ -150,3 +150,70 @@ def test_sampling_rates_and_determinism(spark):
     st = stratified_sample(df2, "doc_id", "lang", {"en": 8})
     assert st.filter(F.col("lang") == "xx").count() == 0
     assert abs(st.count() / 8_000 - 0.5) < 0.05
+
+
+def test_new_pair_ops_plans_are_bounded(spark):
+    """Pair generators must never plan a cartesian/nested-loop join or
+    force-broadcast a corpus-derived side — candidates come from
+    banded equi-joins and dedup BEFORE payload re-attach."""
+    from vcfdbr_spark.operators.dedup import simhash_dup_pairs
+    from vcfdbr_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") + j) % (j + 2) + 1).cast("float") for j in range(64)]
+        ).alias("embedding"),
+    )
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} a b c d e") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for df in (embedding_dup_pairs(emb, threshold=0.0),
+               simhash_dup_pairs(docs, max_hamming=63)):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in optimized.lower()  # no forced hint
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        df.count()  # executes without error
+
+
+def test_pack_sequences_invariants(spark):
+    """Within a shard, offsets are the exact running token total in id
+    order (no gaps, no overlap) and pack_id = offset // window."""
+    from vcfdbr_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, window_tokens=16, n_shards=4)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["shard"], r["doc_id"])
+    )
+    running = {}
+    for r in rows:
+        expect = running.get(r["shard"], 0)
+        assert r["offset"] == expect
+        assert r["pack_id"] == r["offset"] // 16
+        assert r["straddles"] == (
+            (r["offset"] // 16) != ((r["offset"] + r["n_tokens"] - 1) // 16)
+        )
+        running[r["shard"]] = expect + r["n_tokens"]
+
+
+def test_normalize_text(spark):
+    from vcfdbr_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   World! 42 "), (2, "hello world 42")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[1] == got[2] == "hello world 42"
