@@ -144,27 +144,41 @@ def main() -> None:
         # from the persisted keyed frame (the reference's single-scan
         # chunk loop feeds all three tables the same way)
         keyed = simdata.sim_info_keyed(orders).persist()
-        (
-            simdata.sim_info(orders, keyed=keyed)
-            .repartitionByRange(8, "variant_id")
-            .sortWithinPartitions("variant_id")
-            .write.mode("overwrite")
-            .parquet(f"{store}/variant_info")
-        )
-        (
-            simdata.sim_impact(orders, li, keyed=keyed)
-            .repartitionByRange(8, "symbol", "variant_id")
-            .sortWithinPartitions("symbol", "variant_id")
-            .write.mode("overwrite")
-            .parquet(f"{store}/variant_impact")
-        )
-        (
-            simdata.sim_geno(orders, li, keyed=keyed)
-            .repartitionByRange(8, "variant_id", "sample")
-            .sortWithinPartitions("variant_id", "sample")
-            .write.mode("overwrite")
-            .parquet(f"{store}/variant_geno")
-        )
+
+        def _w_info():
+            (
+                simdata.sim_info(orders, keyed=keyed)
+                .repartitionByRange(8, "variant_id")
+                .sortWithinPartitions("variant_id")
+                .write.mode("overwrite")
+                .parquet(f"{store}/variant_info")
+            )
+
+        def _w_impact():
+            (
+                simdata.sim_impact(orders, li, keyed=keyed)
+                .repartitionByRange(8, "symbol", "variant_id")
+                .sortWithinPartitions("symbol", "variant_id")
+                .write.mode("overwrite")
+                .parquet(f"{store}/variant_impact")
+            )
+
+        def _w_geno():
+            (
+                simdata.sim_geno(orders, li, keyed=keyed)
+                .repartitionByRange(8, "variant_id", "sample")
+                .sortWithinPartitions("variant_id", "sample")
+                .write.mode("overwrite")
+                .parquet(f"{store}/variant_geno")
+            )
+
+        # independent jobs over the shared persisted key frame —
+        # submit concurrently (same strategy as write_vcfdb)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [pool.submit(w) for w in (_w_info, _w_impact, _w_geno)]:
+                f.result()
         keyed.unpersist()
         timings["ingest_build_store"] = round(time.time() - t0, 3)
 
