@@ -68,6 +68,15 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--start", type=int, required=True)
     iv.add_argument("--end", type=int, required=True)
 
+    q = sub.add_parser(
+        "sql",
+        help="plain SQL over the store tables (variant_info, "
+        "variant_impact, variant_geno, gene_map, samples) — the "
+        "reference's thin query surface",
+    )
+    q.add_argument("--prefix", required=True)
+    q.add_argument("--query", required=True)
+
     args = p.parse_args(argv)
 
     from vcfdbr_spark import get_spark
@@ -149,7 +158,9 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 1
-    if args.cmd == "filter":
+    if args.cmd == "sql":
+        out = db.sql(args.query)
+    elif args.cmd == "filter":
         out = filter_test(db.variant_impact, db.variant_info, args.symbol, args.af)
     elif args.cmd == "pull":
         ids = [int(x) for x in args.ids.split(",")]

@@ -263,6 +263,30 @@ class VcfDb:
     def meta(self, section: str) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/_meta/{section}")
 
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Register every store table as a temp view so users query
+        with plain SQL — the reference's deliberately thin query
+        surface ("no bespoke interface to the database", README.md:70;
+        users run SQL/dbplyr against the built SQLite file).  Returns
+        the registered view names."""
+        names = []
+        for t in _TABLES:
+            try:
+                df = self.table(t)
+            except Exception:
+                continue  # table absent (e.g. sites-only VCF: no geno)
+            name = f"{prefix}{t}"
+            df.createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    def sql(self, query: str, prefix: str = "") -> DataFrame:
+        """Run plain SQL over the store's tables (auto-registers the
+        views): ``db.sql("SELECT count(*) FROM variant_impact WHERE
+        symbol = 'GENE1'")``."""
+        self.register_views(prefix)
+        return self.spark.sql(query)
+
     def pull(self, ids: list[int]) -> DataFrame:
         """Genotype pull that exploits the store layout: in file mode
         the id→bucket arithmetic becomes a hive PARTITION filter, so
