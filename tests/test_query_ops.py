@@ -145,3 +145,18 @@ def test_gene_map_empty_string_normalized(spark, tmp_path):
     # exon='' rows exist in impact; gene_map canonical col must be NULL not ''
     vals = {r["canonical"] for r in gm.collect()}
     assert "" not in vals
+
+
+def test_sql_surface_over_store(db):
+    """Reference parity: the built store answers plain SQL (the
+    reference's thin query model — users write SQL, no bespoke API)."""
+    rows = db.sql(
+        "SELECT symbol, COUNT(*) AS n FROM variant_impact "
+        "GROUP BY symbol ORDER BY symbol"
+    ).collect()
+    assert len(rows) > 0 and rows[0]["n"] >= 1
+    joined = db.sql(
+        "SELECT COUNT(*) AS n FROM variant_info i "
+        "JOIN variant_geno g ON i.variant_id = g.variant_id"
+    ).first()["n"]
+    assert joined == db.variant_geno.count()

@@ -32,9 +32,13 @@ from __future__ import annotations
 import os
 import tempfile
 
-ORACLE_VCF_PATH = os.path.join(
-    tempfile.gettempdir(), "vcfdbr_oracle_fixture_v1.vcf"
+# Lives inside the repo (gitignored) so the fixture never touches
+# paths outside the project; the absolute path is baked into the
+# oracle SQL strings at import time.
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fixtures"
 )
+ORACLE_VCF_PATH = os.path.join(_FIXTURE_DIR, "vcf_oracle_v1.vcf")
 
 N_VARIANTS = 240
 SAMPLES = ["S0", "S1", "S2", "S3", "S4", "S5"]
@@ -164,6 +168,7 @@ def ensure_oracle_vcf() -> str:
                 return ORACLE_VCF_PATH
     except OSError:
         pass
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(ORACLE_VCF_PATH), suffix=".vcf.tmp"
     )
