@@ -121,6 +121,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_words: int = 50,
     threshold: float = 0.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate (a, b) pairs.
 
@@ -136,7 +137,16 @@ def ngram_jaccard_pairs(
     pair — after LSH that is a small fraction of the corpus — and the
     two attach joins are left to Catalyst/AQE, which picks shuffle vs
     broadcast from the *reduced* side's runtime size.
+
+    ``materialize`` persists the two small diamond-shaped
+    intermediates (candidate pairs: used 3×; reduced shingle sets:
+    used 2×).  Without it Catalyst re-executes the entire upstream
+    LSH pipeline + corpus scan per use (measured 12 scans of the docs
+    table in one query).  Both frames are post-LSH small — caching
+    them is the scale-correct trade.
     """
+    if materialize:
+        candidates = candidates.persist()
     sets_ = docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
@@ -149,6 +159,8 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sets_needed = sets_.join(cand_ids, "_id", "left_semi")
+    if materialize:
+        sets_needed = sets_needed.persist()
     out = (
         candidates.join(
             sets_needed.select(F.col("_id").alias("a"), F.col("_set").alias("_sa")),
