@@ -197,6 +197,7 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     n_bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one
     16-bit band of the 63-bit fingerprint, verified by exact Hamming
@@ -208,8 +209,14 @@ def simhash_dup_pairs(
     per-band bucket population is ~|docs|/2¹⁶ so the self-join never
     goes quadratic.  Hamming verify is ``bit_count(a XOR b)`` — pure
     integer column algebra, engine-portable.
+
+    ``materialize`` persists the signature frame (one 64-bit hash per
+    doc — tiny): both sides of the self-join consume it, and without
+    the persist the full tokenize+aggregate pipeline runs twice.
     """
     sig = simhash(docs, text_col, id_col)
+    if materialize:
+        sig = sig.persist()
     width = 64 // n_bands
     bands = F.array(
         *[

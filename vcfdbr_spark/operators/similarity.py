@@ -232,6 +232,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_bands: int = 4,
     bits_per_band: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share ANY
     sign band (multi-band LSH, see ``sign_band_buckets``), then exact
@@ -241,13 +242,19 @@ def embedding_dup_pairs(
     ~n_bands·|C|²/2^bits same-bucket rows (tunable via bits_per_band),
     pairs colliding in several bands are deduplicated BEFORE vectors
     are re-attached (ids only through the distinct), and the two
-    attach joins carry no broadcast hint — Catalyst/AQE decides."""
+    attach joins carry no broadcast hint — Catalyst/AQE decides.
+    The (id, band, bucket) frame is persisted (``materialize``):
+    both sides of the self-join consume it and the rows are a few
+    bytes each, so caching beats re-scanning the fat embedding
+    column twice."""
     bb = corpus.select(
         F.col(id_col).alias("_vid"),
         F.posexplode(
             sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
         ).alias("band", "bucket"),
     )
+    if materialize:
+        bb = bb.persist()
     cand = (
         bb.select("band", "bucket", F.col("_vid").alias("a"))
         .join(bb.select("band", "bucket", F.col("_vid").alias("b")), ["band", "bucket"])
