@@ -210,7 +210,9 @@ def read_vcf(
     # every later full read of the cache).
     kept_fields: list[VcfField] = []
     if header.samples and header.format:
-        kept_fields = _probe_format_fields(ok, header, probe_rows, multi_value)
+        kept_fields = probe_format_fields_local(
+            path, header, probe_rows, multi_value
+        )
     ok = with_dense_ids(
         ok,
         ["_crank", "chr", "start", "ref", "alt"],
@@ -387,10 +389,65 @@ def build_metadata(
     return samples, metadata
 
 
+_MISSING_RE = __import__("re").compile(r"^\.?(/\.|\|\.)*$")
+
+
+def probe_format_fields_local(
+    path: str, header: VcfHeader, probe_rows: int, multi_value: str
+) -> list[VcfField]:
+    """Driver-side first-chunk schema probe — the same bounded
+    single-chunk peek the reference does in-process
+    (pipeline/02-build-db.R:140-177): read the first ``probe_rows``
+    data lines straight off the file (no Spark job; saves ~1.5 s per
+    ingest), keep FORMAT fields with ≥1 non-missing value, apply the
+    multi-value policy, GT first.
+    """
+    import gzip
+    import io
+
+    opener = gzip.open if path.endswith((".gz", ".bgz")) else open
+    present: set[str] = set()
+    fields = list(header.format.values())
+    n_seen = 0
+    with opener(path, "rb") as fh:
+        text = io.TextIOWrapper(fh, encoding="utf-8", errors="replace")
+        for line in text:
+            if line.startswith("#"):
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 10:
+                continue
+            fmt = cols[8].split(":")
+            for cell in cols[9:]:
+                vals = cell.split(":")
+                for i, fid in enumerate(fmt):
+                    if fid in present or i >= len(vals):
+                        continue
+                    v = vals[i]
+                    if v != "" and not _MISSING_RE.match(v):
+                        present.add(fid)
+            n_seen += 1
+            if n_seen >= probe_rows or len(present) == len(fields):
+                break
+    kept = []
+    for f_ in fields:
+        if f_.id not in present:
+            continue  # all-missing → skipped (02:146-154)
+        if f_.scalar_count() != 1 and multi_value == "skip":
+            continue  # reference default skips arrays (02:164-167)
+        kept.append(f_)
+    kept.sort(key=lambda f_: (f_.id != "GT",))
+    return kept
+
+
 def _probe_format_fields(
     ok: DataFrame, header: VcfHeader, probe_rows: int, multi_value: str
 ) -> list[VcfField]:
-    """First-chunk schema probe (pipeline/02-build-db.R:140-177): drop
+    """Distributed first-chunk schema probe — used when the parsed
+    frame already exists but the raw file may not be line-readable
+    (the resumable builder probes its staging parquet with this;
+    ``read_vcf`` uses the driver-side ``probe_format_fields_local``).
+    Reference: pipeline/02-build-db.R:140-177 — drop
     FORMAT fields that are entirely missing in the first ``probe_rows``
     records; drop multi-value fields under ``multi_value='skip'``.
 
