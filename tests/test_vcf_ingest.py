@@ -206,3 +206,39 @@ def test_resumable_build_kill_and_resume(spark, tmp_path):
     prog = build_vcfdb_resumable(spark, vcf, out, n_chunks=3)
     assert prog["tables_done"]
     assert db.variant_info.count() == 6
+
+
+def test_append_vcf_continues_ids(spark, tmp_path):
+    """Incremental store growth: a second VCF appends with the dense id
+    sequence continuing from the stored max; queries span both."""
+    from vcfdbr_spark.sources.build import append_vcf
+    from vcfdbr_spark.sources.store import open_vcfdb, write_vcfdb
+
+    vcf1 = write_vcf(str(tmp_path / "a.vcf"))
+    out = str(tmp_path / "db")
+    write_vcfdb(read_vcf(spark, vcf1), out, mode="table")
+
+    # second cohort-identical VCF at shifted positions
+    text = open(vcf1).read()
+    shifted = []
+    for line in text.splitlines():
+        if line.startswith("#"):
+            shifted.append(line)
+        else:
+            f = line.split("\t")
+            f[1] = str(int(f[1]) + 1_000_000)
+            shifted.append("\t".join(f))
+    vcf2 = str(tmp_path / "b.vcf")
+    open(vcf2, "w").write("\n".join(shifted) + "\n")
+
+    n_new = append_vcf(spark, vcf2, out)
+    assert n_new == 6
+    db = open_vcfdb(spark, out)
+    ids = sorted(
+        r["variant_id"] for r in db.variant_info.select("variant_id").collect()
+    )
+    assert ids == list(range(1, 13))  # dense across both ingests
+    assert db.variant_geno.count() == 12 * 4
+    assert db.variant_impact.filter(F.col("variant_id") > 6).count() > 0
+    # gene_map rebuilt over the full table
+    assert db.gene_map.count() >= 3

@@ -189,3 +189,66 @@ def build_vcfdb_resumable(
     prog["tables_done"] = True
     _save_progress(out_path, prog)
     return prog
+
+
+def append_vcf(
+    spark: SparkSession,
+    vcf_path: str,
+    store_path: str,
+    multi_value: str = "melt",
+    probe_rows: int = 1000,
+) -> int:
+    """Append a new VCF to an existing table-mode store, continuing
+    the dense id sequence from the stored maximum — a capability the
+    reference's one-shot build lacks (its id carry exists only within
+    a single build, pipeline/02-build-db.R:522).
+
+    New rows land in their own sorted parquet files whose id ranges
+    are disjoint from existing files, so id-range row-group pruning
+    keeps working; ``gene_map`` is rebuilt from the full impact table.
+    Ids stay dense overall but position-sorted only within each
+    ingest (append order = arrival order, like the reference's
+    chunk-order semantics).  Returns the number of appended variants.
+    """
+    from vcfdbr_spark.sources.store import build_gene_map, open_vcfdb
+    from vcfdbr_spark.sources.vcf import read_vcf
+
+    db = open_vcfdb(spark, store_path)
+    if db.manifest["mode"] != "table" or db.manifest.get("bucketed"):
+        raise ValueError("append_vcf supports plain table-mode stores")
+    start = (db.variant_info.agg(F.max("variant_id")).first()[0] or 0) + 1
+    tables = read_vcf(
+        spark, vcf_path, multi_value=multi_value,
+        probe_rows=probe_rows, id_start=start,
+    )
+    new_samples = tables.header.samples
+    if new_samples != db.manifest.get("samples", new_samples):
+        raise ValueError(
+            "appended VCF has a different sample cohort than the store"
+        )
+    (
+        tables.variant_info.repartitionByRange("variant_id")
+        .sortWithinPartitions("variant_id")
+        .write.mode("append")
+        .parquet(f"{store_path}/variant_info")
+    )
+    if tables.variant_impact is not None:
+        (
+            tables.variant_impact.repartitionByRange("symbol", "variant_id")
+            .sortWithinPartitions("symbol", "variant_id")
+            .write.mode("append")
+            .parquet(f"{store_path}/variant_impact")
+        )
+        gm = build_gene_map(db.variant_impact)
+        gm.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/gene_map"
+        )
+    if tables.variant_geno is not None:
+        (
+            tables.variant_geno.repartitionByRange("variant_id", "sample")
+            .sortWithinPartitions("variant_id", "sample")
+            .write.mode("append")
+            .parquet(f"{store_path}/variant_geno")
+        )
+    n_new = db.variant_info.agg(F.max("variant_id")).first()[0] - start + 1
+    return int(n_new)

@@ -172,11 +172,13 @@ def read_vcf(
     probe_rows: int = 1000,
     exonic_on_consequence: bool = False,
     id_partitions: int | None = None,
+    id_start: int = 1,
 ) -> VcfTables:
     """Parse a (biallelic-split) VCF into the three-table relational
     model.  One distributed text scan; ids dense in (contig, pos, ref,
-    alt) order — the Spark rendering of the reference's chunk-order id
-    (pipeline/02-build-db.R:258-259).
+    alt) order starting at ``id_start`` — the Spark rendering of the
+    reference's chunk-order id with cross-build carry
+    (pipeline/02-build-db.R:258-259, :522).
 
     ``multi_value``: 'melt' → reference's ``field_k`` columns
     (pipeline/02-build-db.R:395-409); 'array' → native ArrayType
@@ -217,6 +219,7 @@ def read_vcf(
         ok,
         ["_crank", "chr", "start", "ref", "alt"],
         id_col="variant_id",
+        start=id_start,
         # genome-shaped bucketing: one bucket per (contig, 1Mb window)
         # — monotone prefix of the sort order, ~3k buckets per genome,
         # each sorting independently
