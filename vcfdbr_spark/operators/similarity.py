@@ -169,11 +169,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     nlist_mod: int = 25,
     nprobe: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: score only the vectors whose inverted
     list is among the query's ``nprobe`` nearest centroids — the
-    |C| ≫ 10⁶ scale path where brute force is off the table."""
+    |C| ≫ 10⁶ scale path where brute force is off the table.
+
+    ``materialize`` persists the centroid table (tiny, consumed by
+    both the assignment scoring and the query probing) and the
+    inverted-list assignment (the reusable "index"; |C| small rows) —
+    a production system builds these once and amortizes them over
+    every query batch."""
     assign = ivf_assign(corpus, id_col, vec_col, nlist_mod)
+    if materialize:
+        assign = assign.persist()
     c = with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col("_qv").alias("cv"),
@@ -186,6 +195,8 @@ def ivf_topk(
         F.col("_qv").alias("ccv"),
         F.col("_norm").alias("ccn"),
     )
+    if materialize:
+        cents = cents.persist()
     q = with_quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_qv").alias("qv"),
