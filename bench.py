@@ -51,6 +51,7 @@ DATA_QUERIES = [
     "pack_sequences",
     "text_normalize_dedup",
     "top_ngrams",
+    "benchmark_contamination",
     "multimodal_frames",
     "embedding_topk",
     "embedding_lsh_topk",

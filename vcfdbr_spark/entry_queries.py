@@ -858,6 +858,50 @@ ORDER BY n DESC, ngram LIMIT 50
 """
 
 
+def q_benchmark_contamination(spark, sf_dir):
+    """Decontamination probe: flag documents containing any of the
+    probe n-grams (here: the corpus's 5 most frequent bigrams as a
+    deterministic stand-in for a benchmark's n-gram set).  Probe set
+    is broadcast (bounded by construction); doc bigrams dedup per doc
+    before the join so a hit counts once."""
+    from vcfdbr_spark.functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    bigram = F.explode(word_shingles(F.col("text"), 2, 50)).alias("ngram")
+    doc_bigrams = docs.select("doc_id", bigram).distinct()
+    probes = (
+        docs.select(bigram)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(5)
+        .select("ngram")
+    )
+    return (
+        doc_bigrams.join(F.broadcast(probes), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams"))
+    )
+
+
+SQL_BENCHMARK_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM documents),
+bi AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(w) - 1, 1)),
+      i -> array_to_string(w[i:i+1], ' '))) AS ngram
+  FROM toks),
+bid AS (SELECT DISTINCT doc_id, ngram FROM bi),
+probes AS (
+  SELECT ngram FROM (
+    SELECT ngram, COUNT(*) AS n FROM bi GROUP BY ngram)
+  ORDER BY n DESC, ngram LIMIT 5)
+SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM bid JOIN probes USING (ngram) GROUP BY doc_id
+"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Video frame-sampling plan: every-10th-frame explode from typed
     metadata — the partition/explode shape of multimodal extraction,
@@ -1186,6 +1230,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "text_normalize_dedup": q_text_normalize_dedup,
     "top_ngrams": q_top_ngrams,
+    "benchmark_contamination": q_benchmark_contamination,
     "multimodal_frames": q_multimodal_frames,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1232,6 +1277,7 @@ ORACLE: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "text_normalize_dedup": SQL_TEXT_NORMALIZE_DEDUP,
     "top_ngrams": SQL_TOP_NGRAMS,
+    "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
