@@ -12,5 +12,30 @@ columnar Parquet storage standing in for SQLite's secondary indexes.
 
 from vcfdbr_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = [
+    "get_spark",
+    "read_vcf",
+    "write_vcfdb",
+    "open_vcfdb",
+    "build_vcfdb_resumable",
+    "append_vcf",
+]
+__version__ = "0.2.0"
+
+
+def __getattr__(name: str):
+    """Lazy re-exports of the primary API (avoids importing pyspark
+    submodules before a session exists)."""
+    if name == "read_vcf":
+        from vcfdbr_spark.sources.vcf import read_vcf
+
+        return read_vcf
+    if name in ("write_vcfdb", "open_vcfdb"):
+        from vcfdbr_spark.sources import store
+
+        return getattr(store, name)
+    if name in ("build_vcfdb_resumable", "append_vcf"):
+        from vcfdbr_spark.sources import build
+
+        return getattr(build, name)
+    raise AttributeError(name)
