@@ -242,3 +242,31 @@ def test_append_vcf_continues_ids(spark, tmp_path):
     assert db.variant_impact.filter(F.col("variant_id") > 6).count() > 0
     # gene_map rebuilt over the full table
     assert db.gene_map.count() >= 3
+
+
+def test_multi_file_vcf_ingest(spark, tmp_path):
+    """Per-chromosome shard directories ingest identically to the
+    concatenated single file (ids ordered by contig rank + position
+    across shards)."""
+    single = write_vcf(str(tmp_path / "all.vcf"))
+    lines = open(single).read().splitlines()
+    header = [l for l in lines if l.startswith("#")]
+    data = [l for l in lines if not l.startswith("#")]
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    by_chr = {}
+    for l in data:
+        by_chr.setdefault(l.split("\t")[0], []).append(l)
+    for c, rows in by_chr.items():
+        (shard_dir / f"chr{c}.vcf").write_text(
+            "\n".join(header + rows) + "\n"
+        )
+
+    t_single = read_vcf(spark, single)
+    t_multi = read_vcf(spark, str(shard_dir))
+    for a, b in [
+        (t_multi.variant_info, t_single.variant_info),
+        (t_multi.variant_impact, t_single.variant_impact),
+        (t_multi.variant_geno, t_single.variant_geno),
+    ]:
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

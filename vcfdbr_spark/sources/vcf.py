@@ -93,6 +93,32 @@ def _info_column(info_map: Column, f: VcfField, n_alts: int = 1) -> Column:
     return _cast_array(raw, f)
 
 
+def first_vcf_file(path: str) -> str:
+    """Resolve a directory or glob of per-chromosome VCF shards (the
+    normal layout for population-scale data) to one member file for
+    driver-side header/probe reads.  Shards must share one header
+    (same cohort) — the standard bcftools-split contract; the
+    distributed text scan itself takes the dir/glob unchanged."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        members = sorted(
+            p
+            for p in _glob.glob(_os.path.join(path, "*"))
+            if p.endswith((".vcf", ".vcf.gz", ".vcf.bgz"))
+        )
+        if not members:
+            raise FileNotFoundError(f"no .vcf[.gz] files under {path}")
+        return members[0]
+    if any(ch in path for ch in "*?["):
+        members = sorted(_glob.glob(path))
+        if not members:
+            raise FileNotFoundError(f"glob matched nothing: {path}")
+        return members[0]
+    return path
+
+
 def contig_rank_expr(header: VcfHeader) -> Column:
     """Header-order contig rank (ids sort by header order, not string
     order — pipeline/02-build-db.R:258-259); unknown contigs rank last."""
@@ -186,7 +212,7 @@ def read_vcf(
     (:164-167).
     """
     assert multi_value in ("melt", "array", "skip")
-    header = read_header(path)
+    header = read_header(first_vcf_file(path))
     parsed = parse_records(spark, path, header)
 
     # Reject channel: multiallelic sites (pipeline/01:43-53 — the
@@ -213,7 +239,7 @@ def read_vcf(
     kept_fields: list[VcfField] = []
     if header.samples and header.format:
         kept_fields = probe_format_fields_local(
-            path, header, probe_rows, multi_value
+            first_vcf_file(path), header, probe_rows, multi_value
         )
     ok = with_dense_ids(
         ok,
