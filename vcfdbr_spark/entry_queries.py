@@ -1143,6 +1143,40 @@ WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2
 """
 
 
+def q_vcfsim_interval_join(spark, sf_dir):
+    """Range join (multi-interval interval_query): binned equi-join,
+    never a nested-loop cross product."""
+    from vcfdbr_spark.operators.query import interval_join
+
+    info = simdata.sim_info(_t(spark, sf_dir, "orders"))
+    chrs = ["1", "2", "3", "X"]
+    intervals = spark.range(40).select(
+        F.col("id").alias("i_id"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in chrs]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("i_chr"),
+        (F.floor(F.col("id") / 4) * 90_000 + 1).alias("i_start"),
+        (F.floor(F.col("id") / 4) * 90_000 + 25_000).alias("i_end"),
+    )
+    return interval_join(info, intervals, bin_size=50_000)
+
+
+SQL_VCFSIM_INTERVAL_JOIN = f"""
+WITH info AS ({simdata.SIM_INFO_SQL}),
+ivl AS (
+  SELECT i AS i_id,
+         (CASE i % 4 WHEN 0 THEN '1' WHEN 1 THEN '2'
+                     WHEN 2 THEN '3' ELSE 'X' END) AS i_chr,
+         (i // 4) * 90000 + 1 AS i_start,
+         (i // 4) * 90000 + 25000 AS i_end
+  FROM (SELECT unnest(generate_series(0, 39)) AS i))
+SELECT v.variant_id, CAST(i.i_id AS BIGINT) AS i_id
+FROM info v JOIN ivl i
+  ON v.chr = i.i_chr AND v.start <= i.i_end AND v."end" >= i.i_start
+"""
+
+
 # --------------------------------------------------------------------
 # Real-parser ingest under the oracle: read_vcf() on a deterministic
 # fixture VCF vs a pure-SQL DuckDB re-parse of the same file
@@ -1199,6 +1233,7 @@ QUERIES: dict[str, QueryFn] = {
     "vcfsim_geno_pull": q_vcfsim_geno_pull,
     "vcfsim_gene_map": q_vcfsim_gene_map,
     "vcfsim_interval": q_vcfsim_interval,
+    "vcfsim_interval_join": q_vcfsim_interval_join,
     "vcf_ingest_info": q_vcf_ingest_info,
     "vcf_ingest_impact": q_vcf_ingest_impact,
     "vcf_ingest_geno": q_vcf_ingest_geno,
@@ -1246,6 +1281,7 @@ ORACLE: dict[str, str] = {
     "vcfsim_geno_pull": SQL_VCFSIM_GENO_PULL,
     "vcfsim_gene_map": SQL_VCFSIM_GENE_MAP,
     "vcfsim_interval": SQL_VCFSIM_INTERVAL,
+    "vcfsim_interval_join": SQL_VCFSIM_INTERVAL_JOIN,
     "vcf_ingest_info": _oracle_vcf.SQL_VCF_INGEST_INFO,
     "vcf_ingest_impact": _oracle_vcf.sql_vcf_ingest_impact(),
     "vcf_ingest_geno": _oracle_vcf.SQL_VCF_INGEST_GENO,

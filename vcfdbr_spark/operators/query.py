@@ -121,3 +121,58 @@ def interval_query(
         & (F.col("start") <= end)
         & (F.col("end") >= start)
     )
+
+
+def interval_join(
+    variants: DataFrame,
+    intervals: DataFrame,
+    bin_size: int = 1_000_000,
+) -> DataFrame:
+    """Range join: (variant_id, i_id) for every variant whose
+    [start, end] overlaps an interval's [i_start, i_end] — the
+    multi-interval generalization of ``interval_query`` (the
+    reference's GRanges sidecar holds ALL variant ranges in memory;
+    findOverlaps is its analog).
+
+    Spark has no native range join; a plain non-equi join plans a
+    nested-loop cross product.  This is the standard BIN JOIN: both
+    sides explode into the fixed-width genomic bins they touch, join
+    on (chr, bin) EQUALITY — a hash-partitioned shuffle join Catalyst
+    handles like any other — then the exact overlap predicate filters
+    within bins and distinct removes double-counted pairs that
+    straddle a bin boundary.  Cost is O(overlapping-bin pairs), never
+    |variants| × |intervals|.
+    """
+    v = variants.select(
+        "variant_id",
+        F.col("chr").alias("_vchr"),
+        "start",
+        F.col("end").alias("vend"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / bin_size),
+                F.floor(F.col("end") / bin_size),
+            )
+        ).alias("_bin"),
+    )
+    iv = intervals.select(
+        "i_id",
+        F.col("i_chr").alias("_ichr"),
+        "i_start",
+        "i_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("i_start") / bin_size),
+                F.floor(F.col("i_end") / bin_size),
+            )
+        ).alias("_bin"),
+    )
+    return (
+        v.join(iv, (v._vchr == iv._ichr) & (v._bin == iv._bin))
+        .filter(
+            (F.col("start") <= F.col("i_end"))
+            & (F.col("vend") >= F.col("i_start"))
+        )
+        .select("variant_id", "i_id")
+        .distinct()
+    )
