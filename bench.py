@@ -42,6 +42,8 @@ DATA_QUERIES = [
     "per_key_count_binned",
     "events_hourly",
     "events_sessions",
+    "events_asof",
+    "events_rollup",
     "dedup_exact",
     "text_stats",
     "minhash_pairs",

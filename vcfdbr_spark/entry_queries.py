@@ -445,6 +445,89 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): each sampled 'click' event gets
+    the user's latest prior-or-simultaneous 'view' event — the
+    union+window technique, one shuffle, no join node."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 10 == 0)
+    ).select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", right_cols=["event_id"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id").alias("view_event_id"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND event_id % 10 = 0),
+views AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, ts AS _ts, 1 AS _side, event_id, NULL::BIGINT AS r_id
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts AS _ts, 0 AS _side, NULL::BIGINT AS event_id,
+         event_id AS r_id
+  FROM views),
+carried AS (
+  SELECT user_id, _side, event_id,
+         last_value(r_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY _ts, _side, COALESCE(event_id, r_id)
+           ROWS UNBOUNDED PRECEDING) AS view_event_id
+  FROM u)
+SELECT user_id, event_id, view_event_id
+FROM carried WHERE _side = 1
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: one pass computes
+    (day × type), per-day, and grand totals via GROUPING SETS —
+    Catalyst expands to a single shuffle-reused aggregate."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+"""
+
+
 def q_events_json(spark, sf_dir):
     """Semi-structured extraction: JSON props → typed column → agg."""
     ev = _events(spark, sf_dir)
@@ -1248,6 +1331,8 @@ QUERIES: dict[str, QueryFn] = {
     "dim_scan_distinct": q_dim_scan_distinct,
     "per_key_count_binned": q_per_key_count_binned,
     "events_hourly": q_events_hourly,
+    "events_asof": q_events_asof,
+    "events_rollup": q_events_rollup,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "multimodal_decode": q_multimodal_decode,
@@ -1296,6 +1381,8 @@ ORACLE: dict[str, str] = {
     "dim_scan_distinct": SQL_DIM_SCAN_DISTINCT,
     "per_key_count_binned": SQL_PER_KEY_COUNT_BINNED,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "events_json": SQL_EVENTS_JSON,
     "events_sessions": SQL_EVENTS_SESSIONS,
     # multimodal_decode: no oracle (mapInPandas) → rows-only check
