@@ -217,3 +217,33 @@ def test_normalize_text(spark):
         ).collect()
     }
     assert got[1] == got[2] == "hello world 42"
+
+
+def test_asof_join_semantics(spark):
+    """Latest right row at-or-before the left time; NULL when none;
+    equal timestamps count (right sorts before left at the same ts)."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 5, 102), (2, 50, 103)],
+        "k long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 15, 901), (2, 60, 902)],
+        "k long, ts long, event_id long",
+    )
+    out = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(
+            left, right, on="k", right_cols=["event_id"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out[100] == 900  # equal ts matches
+    assert out[101] == 901  # latest prior
+    assert out[102] is None  # nothing at or before ts=5
+    assert out[103] is None  # right row is AFTER the left row
+    # plan shape: one window, no join operator
+    plan = asof_join(
+        left, right, on="k", right_cols=["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
