@@ -92,3 +92,46 @@ def test_explode_row_count_invariant(spark, csqs):
     )
     want = sum(1 + t.count("&") for ts in csqs for t in ts)
     assert out == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 300), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 300), st.integers(0, 120)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_interval_join_matches_bruteforce(spark, vars_, ivls):
+    """Binned range join ≡ brute-force overlap for any input, at any
+    bin size (incl. bins smaller than intervals → straddling)."""
+    from vcfdbr_spark.operators.query import interval_join
+
+    vrows = [
+        (i, str(c), s, s + w) for i, (c, s, w) in enumerate(vars_)
+    ]
+    irows = [
+        (j, str(c), s, s + w) for j, (c, s, w) in enumerate(ivls)
+    ]
+    vdf = spark.createDataFrame(
+        vrows, "variant_id long, chr string, start long, end long"
+    )
+    idf = spark.createDataFrame(
+        irows, "i_id long, i_chr string, i_start long, i_end long"
+    )
+    got = {
+        (r["variant_id"], r["i_id"])
+        for r in interval_join(vdf, idf, bin_size=64).collect()
+    }
+    want = {
+        (vi, ij)
+        for vi, vc, vs, ve in vrows
+        for ij, ic, is_, ie in irows
+        if vc == ic and vs <= ie and ve >= is_
+    }
+    assert got == want
