@@ -50,7 +50,22 @@ def pull_vars_by_id(
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(ids.columns[0]).alias("variant_id")).distinct()
         return variant_geno.join(ids_df, "variant_id", "left_semi")
-    return variant_geno.filter(F.col("variant_id").isin(list(ids)))
+    ids = list(ids)
+    if len(ids) > 5_000:
+        # a 100k-literal IN predicate bloats the plan (analysis +
+        # codegen scale with expression count); past this size the id
+        # set rides as data — an Arrow-backed local frame feeding a
+        # broadcast-able semi-join
+        import pandas as pd
+
+        ids_df = variant_geno.sparkSession.createDataFrame(
+            pd.DataFrame({"variant_id": pd.array(ids, dtype="int64")}),
+            schema="variant_id long",
+        )
+        return variant_geno.join(
+            F.broadcast(ids_df.distinct()), "variant_id", "left_semi"
+        )
+    return variant_geno.filter(F.col("variant_id").isin(ids))
 
 
 def pull_geno_test(
