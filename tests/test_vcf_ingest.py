@@ -270,3 +270,22 @@ def test_multi_file_vcf_ingest(spark, tmp_path):
         (t_multi.variant_geno, t_single.variant_geno),
     ]:
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_compact_table_after_append(spark, tmp_path):
+    from vcfdbr_spark.sources.build import append_vcf, compact_table
+    from vcfdbr_spark.sources.store import open_vcfdb, write_vcfdb
+
+    vcf = write_vcf(str(tmp_path / "a.vcf"))
+    out = str(tmp_path / "db")
+    write_vcfdb(read_vcf(spark, vcf), out, mode="table")
+    text = open(vcf).read().replace("\t205\t", "\t905\t")
+    vcf2 = str(tmp_path / "b.vcf")
+    open(vcf2, "w").write(text)
+    append_vcf(spark, vcf2, out)
+
+    n = compact_table(spark, f"{out}/variant_geno", ["variant_id", "sample"], 2)
+    assert n == 12 * 4
+    db = open_vcfdb(spark, out)
+    assert db.variant_geno.count() == 48
+    assert db.pull([7]).count() == 4  # post-compaction pulls intact

@@ -252,3 +252,40 @@ def append_vcf(
         )
     n_new = db.variant_info.agg(F.max("variant_id")).first()[0] - start + 1
     return int(n_new)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    sort_cols: list[str],
+    n_partitions: int | None = None,
+) -> int:
+    """Rewrite a store table into ``n_partitions`` range-sorted files
+    — the maintenance pass after many appends have accumulated small
+    files (each append writes its own sorted file set; row-group
+    pruning still works but per-file overhead grows).
+
+    Staged for safety: the compacted copy lands in a sibling ``.tmp``
+    directory first, and the swap is two renames — a crash leaves
+    either the original or the finished copy, never a half-written
+    table.  Returns the row count.
+    """
+    df = spark.read.parquet(table_path)
+    n = df.count()
+    range_args = [n_partitions] if n_partitions else []
+    tmp = table_path.rstrip("/") + ".compact-tmp"
+    old = table_path.rstrip("/") + ".compact-old"
+    _delete_dir(spark, tmp)
+    _delete_dir(spark, old)
+    (
+        df.repartitionByRange(*range_args, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.parquet(tmp)
+    )
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.rename(fs_path, jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), fs_path)
+    _delete_dir(spark, old)
+    return int(n)
