@@ -1281,9 +1281,19 @@ def _vcf_fixture_tables(spark):
 
 
 def q_vcf_ingest_info(spark, sf_dir):
-    """A1/A5/A13-A15: fixed fields + typed INFO columns + dense ids
-    from the real parser (sources/vcf.py:96-230)."""
-    return _vcf_fixture_tables(spark).variant_info
+    """A1/A5/A13-A15: fixed fields + typed INFO columns (scalar,
+    array, Flag) + dense ids from the real parser
+    (sources/vcf.py:96-230).  The array<long> ``dp4`` column is
+    serialized to CSV for the driver's canonicalizer (arrays don't
+    hash); the operator API keeps the native array type."""
+    info = _vcf_fixture_tables(spark).variant_info
+    return info.withColumn(
+        "dp4",
+        F.when(
+            F.col("dp4").isNotNull(),
+            F.concat_ws(",", F.transform("dp4", lambda x: x.cast("string"))),
+        ),
+    )
 
 
 def q_vcf_ingest_impact(spark, sf_dir):

@@ -38,7 +38,7 @@ import tempfile
 _FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fixtures"
 )
-ORACLE_VCF_PATH = os.path.join(_FIXTURE_DIR, "vcf_oracle_v1.vcf")
+ORACLE_VCF_PATH = os.path.join(_FIXTURE_DIR, "vcf_oracle_v2.vcf")
 
 N_VARIANTS = 240
 SAMPLES = ["S0", "S1", "S2", "S3", "S4", "S5"]
@@ -86,6 +86,17 @@ def _row(i: int) -> str:
     if i % 9 != 2:
         info.append(f"AF=0.{i % 997:03d}")
     info.append(f"AN={2 * len(SAMPLES)}")
+    # fixed-arity array INFO (Number=4 → native array<long> column);
+    # sometimes '.' (whole-field missing), sometimes short (2 of 4)
+    if i % 7 != 3:
+        if i % 29 == 1:
+            info.append("DP4=.")
+        elif i % 11 == 5:
+            info.append(f"DP4={i % 40},{(i + 9) % 40}")
+        else:
+            info.append(
+                f"DP4={i % 40},{(i + 9) % 40},{(i + 17) % 40},{(i + 23) % 40}"
+            )
     if i % 4 == 0:
         info.append("DB")
     if i % 17 != 3:
@@ -141,6 +152,7 @@ def vcf_text() -> str:
     lines.append('##INFO=<ID=AC,Number=A,Type=Integer,Description="ac">')
     lines.append('##INFO=<ID=AF,Number=A,Type=Float,Description="af">')
     lines.append('##INFO=<ID=AN,Number=1,Type=Integer,Description="an">')
+    lines.append('##INFO=<ID=DP4,Number=4,Type=Integer,Description="dp4">')
     lines.append('##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP">')
     lines.append(f'##INFO=<ID=CSQ,Number=.,Type=String,Description="{CSQ_DESC}">')
     lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">')
@@ -236,6 +248,8 @@ SELECT variant_id, chr, start, start + length(ref) - 1 AS "end",
        {_info_val('AC')} AS BIGINT) AS ac,
        {_info_val('AF')} AS DOUBLE) AS af,
        {_info_val('AN')} AS BIGINT) AS an,
+       NULLIF(NULLIF(regexp_extract(';' || info, ';DP4=([^;]*)', 1),
+                     ''), '.') AS dp4,
        list_contains(list_transform(string_split(info, ';'),
                                     x -> string_split(x, '=')[1]),
                      'DB') AS db
