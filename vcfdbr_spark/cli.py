@@ -68,6 +68,25 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--start", type=int, required=True)
     iv.add_argument("--end", type=int, required=True)
 
+    ap = sub.add_parser(
+        "append", help="append another VCF to an existing table-mode "
+        "store (dense ids continue from the stored max)",
+    )
+    ap.add_argument("--vcf", required=True)
+    ap.add_argument("--prefix", required=True)
+    ap.add_argument("--include-multivalue-gt", action="store_true")
+
+    cp = sub.add_parser(
+        "compact", help="rewrite a store table into range-sorted "
+        "files (run after many appends)",
+    )
+    cp.add_argument("--prefix", required=True)
+    cp.add_argument(
+        "--table", default="variant_geno",
+        choices=["variant_info", "variant_impact", "variant_geno"],
+    )
+    cp.add_argument("--partitions", type=int, default=None)
+
     q = sub.add_parser(
         "sql",
         help="plain SQL over the store tables (variant_info, "
@@ -144,6 +163,27 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         write_vcfdb(tables, args.prefix, mode=args.mode)
         print(f"built {args.prefix} (mode={args.mode})")
+        return 0
+
+    if args.cmd == "append":
+        from vcfdbr_spark.sources.build import append_vcf
+
+        multi = "melt" if args.include_multivalue_gt else "skip"
+        n = append_vcf(spark, args.vcf, args.prefix, multi_value=multi)
+        print(f"appended {n} variants to {args.prefix}")
+        return 0
+    if args.cmd == "compact":
+        from vcfdbr_spark.sources.build import compact_table
+
+        sort_cols = {
+            "variant_info": ["variant_id"],
+            "variant_impact": ["symbol", "variant_id"],
+            "variant_geno": ["variant_id", "sample"],
+        }[args.table]
+        n = compact_table(
+            spark, f"{args.prefix}/{args.table}", sort_cols, args.partitions
+        )
+        print(f"compacted {args.prefix}/{args.table}: {n} rows")
         return 0
 
     from vcfdbr_spark.operators.query import filter_test, interval_query
