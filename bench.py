@@ -44,6 +44,7 @@ DATA_QUERIES = [
     "events_sessions",
     "events_asof",
     "events_rollup",
+    "distinct_sketch",
     "dedup_exact",
     "text_stats",
     "minhash_pairs",

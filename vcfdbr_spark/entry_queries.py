@@ -528,6 +528,52 @@ GROUP BY ROLLUP (date_trunc('day', ts), event_type)
 """
 
 
+def q_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) cardinality sketch: estimate distinct
+    users from the k smallest md5 hashes — the engine-portable,
+    DETERMINISTIC cousin of HyperLogLog (approx_count_distinct is not
+    comparable across engines).  Estimate = (k-1) · H / h_k where h_k
+    is the k-th smallest hash as an integer in [0, H).  The sketch
+    side is one shuffle of distinct hashes + a top-k; exact count
+    alongside for the error check."""
+    ev = _events(spark, sf_dir)
+    k = 64
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    kth = (
+        ev.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("hk"))
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return exact.crossJoin(kth).select(
+        "exact_distinct",
+        F.floor(F.lit((k - 1) * float(16**15)) / F.col("hk"))
+        .cast("long")
+        .alias("kmv_estimate"),
+    )
+
+
+_USER_HEX15 = "(" + "+".join(
+    "(strpos('0123456789abcdef', "
+    f"substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+) + ")"
+
+SQL_DISTINCT_SKETCH = f"""
+WITH h AS (
+  SELECT DISTINCT {_USER_HEX15} AS h FROM events),
+kth AS (SELECT MAX(h) AS hk FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
+exact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT exact_distinct,
+       CAST(floor(63.0 * {float(16 ** 15)} / hk) AS BIGINT) AS kmv_estimate
+FROM exact, kth
+"""
+
+
 def q_events_json(spark, sf_dir):
     """Semi-structured extraction: JSON props → typed column → agg."""
     ev = _events(spark, sf_dir)
@@ -1343,6 +1389,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
     "events_rollup": q_events_rollup,
+    "distinct_sketch": q_distinct_sketch,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "multimodal_decode": q_multimodal_decode,
@@ -1393,6 +1440,7 @@ ORACLE: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_json": SQL_EVENTS_JSON,
     "events_sessions": SQL_EVENTS_SESSIONS,
     # multimodal_decode: no oracle (mapInPandas) → rows-only check
