@@ -247,6 +247,24 @@ def main() -> None:
         wide = read_vcf(spark, f"{vcf_dir}/wide.vcf")
         wide.variant_geno.write.mode("overwrite").format("noop").save()
         timings["vcf_ingest_wide_500x2504"] = round(time.time() - t0, 3)
+        # untimed store materialization for the wide-pull workload
+        # (hash repartition, not range: repartitionByRange adds a
+        # boundary-sampling pass that recomputes the whole melt)
+        (
+            wide.variant_geno.repartition(8, "variant_id")
+            .sortWithinPartitions("variant_id", "sample")
+            .write.mode("overwrite")
+            .parquet(f"{vcf_dir}/wide_geno")
+        )
+        # reference's headline workload: random-id genotype pull on the
+        # 2,504-sample cohort (BASELINE: 4.6-42.9 s at 1 core)
+        wide_geno = spark.read.parquet(f"{vcf_dir}/wide_geno")
+        import random as _random
+
+        wide_ids = sorted(_random.Random(7).sample(range(1, 501), 100))
+        t0 = time.time()
+        pull_vars_by_id(wide_geno, wide_ids).collect()
+        timings["pull_wide_100x2504"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(vcf_dir, ignore_errors=True)
 
