@@ -115,3 +115,34 @@ def test_lsh_topk_bucket_restriction(spark):
     q = emb.filter(F.col("vec_id") == 1)
     out = lsh_topk(emb, q, k=5).collect()
     assert {r["cand_id"] for r in out} == {2}  # 3 excluded by sign bucket
+
+
+def test_multimodal_decode_matches_duckdb_oracle(spark):
+    """The Arrow-UDF decode path vs its SQL oracle — pins the one
+    query that used to be rows-only in the driver gate."""
+    import duckdb
+
+    from vcfdbr_spark.entry_queries import ORACLE, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        QUERIES["multimodal_decode"](spark, sf)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(ORACLE["multimodal_decode"])
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("media_id", "width", "height", "n_bytes"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    for c in ("kind", "features_csv"):
+        assert got[c].tolist() == want[c].tolist(), c

@@ -644,7 +644,8 @@ FROM sess GROUP BY user_id, session_id
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing: documents→binary media table →
     Arrow-batched mapInPandas decode (deterministic stub decoder).
-    Not SQL-expressible (pandas UDF) → rows-only driver check."""
+    The stub is byte arithmetic → full DuckDB value oracle
+    (``sql_multimodal_decode``)."""
     from vcfdbr_spark.operators.multimodal import decode_media
 
     docs = _t(spark, sf_dir, "documents")
@@ -673,6 +674,40 @@ def q_multimodal_decode(spark, sf_dir):
             ",", F.transform("features", lambda x: F.round(x, 6).cast("string"))
         ).alias("features_csv"),
     )
+
+
+def sql_multimodal_decode() -> str:
+    """DuckDB oracle for the Arrow-UDF decode path.  The stub decoder
+    (operators/multimodal.py ``fake_decode``) is pure byte arithmetic
+    over the utf-8 encoding of ``text`` — n = octet_length,
+    width = n%64+1, height = n%48+1, feats[i] = byte[i%n]/255 — all
+    SQL-expressible, so the mapInPandas plumbing gets a real value
+    check instead of the weaker rows-only one.  Byte extraction is the
+    portable hex+strpos recipe ('0' maps to strpos=0 by absence)."""
+    terms = []
+    for i in range(8):
+        terms.append(
+            f"CAST(round(((strpos('123456789ABCDEF', substr(hx, 2*({i} % n)+1, 1)))*16"
+            f" + strpos('123456789ABCDEF', substr(hx, 2*({i} % n)+2, 1))) / 255.0, 6)"
+            f" AS VARCHAR)"
+        )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents)
+SELECT media_id, kind,
+       CAST((n % 64) + 1 AS INT) AS width,
+       CAST((n % 48) + 1 AS INT) AS height,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN n = 0 THEN '0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0'
+            ELSE concat_ws(',', {', '.join(terms)}) END AS features_csv
+FROM m
+"""
 
 
 # --------------------------------------------------------------------
@@ -1443,7 +1478,7 @@ ORACLE: dict[str, str] = {
     "distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_json": SQL_EVENTS_JSON,
     "events_sessions": SQL_EVENTS_SESSIONS,
-    # multimodal_decode: no oracle (mapInPandas) → rows-only check
+    "multimodal_decode": sql_multimodal_decode(),
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "lang_guess": SQL_LANG_GUESS,
