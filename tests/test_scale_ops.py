@@ -247,3 +247,33 @@ def test_asof_join_semantics(spark):
         left, right, on="k", right_cols=["event_id"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_ivf_centroid_count_bounded_as_corpus_grows(spark):
+    """nlist is an ABSOLUTE centroid bound: doubling the corpus must
+    not grow the centroid set (the r2 scale-killer was |C|/nlist_mod
+    centroids → unbounded broadcast at 1e9 vectors)."""
+    from vcfdbr_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    doubled = base.unionByName(
+        base.select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+        )
+    )
+    n1 = ivf_centroids(base, nlist=16).count()
+    n2 = ivf_centroids(doubled, nlist=16).count()
+    assert n1 == n2 == 16
+    # legacy modulus default grows with the corpus (documented trap)
+    m1 = ivf_centroids(base, nlist_mod=25).count()
+    m2 = ivf_centroids(doubled, nlist_mod=25).count()
+    assert m2 > m1
+
+    # injected external centroids drive the whole query path
+    cents = base.filter(F.col("vec_id") < 8)
+    q = base.filter(F.col("vec_id") == 3)
+    out = ivf_topk(base, q, k=5, centroids=cents, nprobe=2).collect()
+    assert len(out) == 5
+    assert all(r["query_id"] == 3 for r in out)

@@ -121,30 +121,70 @@ def sign_band_buckets(vec_col, n_bands: int = 4, bits_per_band: int = 16):
     return F.array(*bands)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist_mod: int = 25,
+    nlist: int | None = None,
+) -> DataFrame:
+    """Deterministic, training-free centroid selection for the IVF
+    index (no RNG, no k-means iterations — oracle-checkable).
+
+    Two parameterizations:
+
+    - ``nlist`` (absolute count, THE scale path): one representative
+      per ``id % nlist`` hash bucket (the bucket's min-id vector), so
+      |centroids| ≤ nlist NO MATTER how large the corpus grows — the
+      centroid broadcast stays bounded at 10⁹ vectors and assignment
+      cost is O(|C|·nlist), linear in the corpus.  Costs one
+      aggregate over corpus ids at index-build time (amortized: the
+      index is built once, reused per query batch).
+    - ``nlist_mod`` (legacy default): vectors with
+      ``id % nlist_mod == 0``.  |centroids| = |C|/nlist_mod grows
+      WITH the corpus — fine for tests/oracles on bounded data,
+      quadratic at scale; prefer ``nlist`` or injected centroids.
+
+    Production recall: train real centroids offline (k-means on a
+    sample) and pass them straight to ``ivf_assign``/``ivf_topk`` via
+    their ``centroids=`` parameter instead of calling this."""
+    if nlist is not None:
+        reps = (
+            corpus.groupBy((F.col(id_col) % nlist).alias("_bkt"))
+            .agg(F.min(id_col).alias(id_col))
+            .drop("_bkt")
+        )
+        return corpus.join(reps, id_col, "left_semi").select(id_col, vec_col)
+    return corpus.filter(F.col(id_col) % nlist_mod == 0).select(id_col, vec_col)
+
+
 def ivf_assign(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist_mod: int = 25,
+    nlist: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF inverted-list assignment: every vector → its nearest
-    centroid.  Centroids are the corpus vectors with
-    ``id % nlist_mod == 0`` — a deterministic, training-free index
-    (no RNG, no k-means iterations) so the whole structure is
-    oracle-checkable; swap in trained centroids for production recall.
+    centroid.  Centroids come from ``centroids`` (externally trained —
+    the production path), else ``ivf_centroids`` (deterministic,
+    oracle-checkable; pass ``nlist`` for a corpus-independent bound).
 
     Scale shape: |C| × |centroids| scored with the centroid side
-    broadcast; the output is the inverted index, built once and
-    reused across queries.
+    broadcast (bounded when |centroids| is — use ``nlist`` or an
+    external frame, never ``nlist_mod``, past ~10⁷ vectors); the
+    output is the inverted index, built once and reused across
+    queries.
     """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, nlist_mod, nlist)
     c = with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("_vid"),
         F.col("_qv").alias("vv"),
         F.col("_norm").alias("vn"),
     )
-    cents = with_quantized(
-        corpus.filter(F.col(id_col) % nlist_mod == 0), vec_col
-    ).select(
+    cents = with_quantized(centroids, vec_col).select(
         F.col(id_col).alias("cent_id"),
         F.col("_qv").alias("cv"),
         F.col("_norm").alias("cn"),
@@ -170,17 +210,26 @@ def ivf_topk(
     nlist_mod: int = 25,
     nprobe: int = 3,
     materialize: bool = True,
+    nlist: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only the vectors whose inverted
     list is among the query's ``nprobe`` nearest centroids — the
     |C| ≫ 10⁶ scale path where brute force is off the table.
+
+    Centroid sourcing mirrors ``ivf_assign``: pass trained
+    ``centroids`` or an absolute ``nlist`` for a corpus-independent
+    centroid bound (the scale path); the ``nlist_mod`` default exists
+    for deterministic oracles on bounded test data.
 
     ``materialize`` persists the centroid table (tiny, consumed by
     both the assignment scoring and the query probing) and the
     inverted-list assignment (the reusable "index"; |C| small rows) —
     a production system builds these once and amortizes them over
     every query batch."""
-    assign = ivf_assign(corpus, id_col, vec_col, nlist_mod)
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, nlist_mod, nlist)
+    assign = ivf_assign(corpus, id_col, vec_col, centroids=centroids)
     if materialize:
         assign = assign.persist()
     c = with_quantized(corpus, vec_col).select(
@@ -188,9 +237,7 @@ def ivf_topk(
         F.col("_qv").alias("cv"),
         F.col("_norm").alias("cn"),
     ).join(assign.select(F.col(id_col).alias("cand_id"), "cent_id"), "cand_id")
-    cents = with_quantized(
-        corpus.filter(F.col(id_col) % nlist_mod == 0), vec_col
-    ).select(
+    cents = with_quantized(centroids, vec_col).select(
         F.col(id_col).alias("cent_id"),
         F.col("_qv").alias("ccv"),
         F.col("_norm").alias("ccn"),
