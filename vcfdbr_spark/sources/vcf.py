@@ -93,12 +93,12 @@ def _info_column(info_map: Column, f: VcfField, n_alts: int = 1) -> Column:
     return _cast_array(raw, f)
 
 
-def first_vcf_file(path: str) -> str:
+def vcf_member_files(path: str) -> list[str]:
     """Resolve a directory or glob of per-chromosome VCF shards (the
-    normal layout for population-scale data) to one member file for
-    driver-side header/probe reads.  Shards must share one header
-    (same cohort) — the standard bcftools-split contract; the
-    distributed text scan itself takes the dir/glob unchanged."""
+    normal layout for population-scale data) to the member files.
+    Shards must share one header (same cohort) — the standard
+    bcftools-split contract; the distributed text scan itself takes
+    the dir/glob unchanged."""
     import glob as _glob
     import os as _os
 
@@ -110,13 +110,18 @@ def first_vcf_file(path: str) -> str:
         )
         if not members:
             raise FileNotFoundError(f"no .vcf[.gz] files under {path}")
-        return members[0]
+        return members
     if any(ch in path for ch in "*?["):
         members = sorted(_glob.glob(path))
         if not members:
             raise FileNotFoundError(f"glob matched nothing: {path}")
-        return members[0]
-    return path
+        return members
+    return [path]
+
+
+def first_vcf_file(path: str) -> str:
+    """One member file for driver-side header/probe reads."""
+    return vcf_member_files(path)[0]
 
 
 def contig_rank_expr(header: VcfHeader) -> Column:
@@ -153,21 +158,47 @@ def parse_records(spark: SparkSession, path: str, header: VcfHeader) -> DataFram
     # ~2/3 of rows.  Hash-partitioning on the line content is stable.
     # The split estimate is driver-side filesystem metadata — asking
     # the DataFrame's RDD (`raw.rdd.getNumPartitions()`) costs ~1 s of
-    # plan→RDD conversion per ingest.
+    # plan→RDD conversion per ingest.  Resolve globs/dirs to member
+    # files first: getContentSummary throws on glob patterns, and the
+    # gzip test must see member NAMES (a dir of .vcf.gz shards is
+    # still unsplittable per shard even though the dir path has no
+    # .gz suffix).
     parallelism = spark.sparkContext.defaultParallelism
     try:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        n_bytes = fs.getContentSummary(jpath).getLength()
+        members = vcf_member_files(path)
+    except (FileNotFoundError, OSError):
+        members = [path]
+    try:
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        conf = spark._jsc.hadoopConfiguration()
+        n_bytes = 0
+        for m in members:
+            jp = jvm_path(m)
+            n_bytes += jp.getFileSystem(conf).getContentSummary(jp).getLength()
     except Exception:
         n_bytes = None
-    est_splits = None if n_bytes is None else n_bytes // (128 << 20) + 1
-    # gzip is not splittable: whatever its size, it arrives as ONE
-    # split and always benefits from the spread
-    if path.endswith((".gz", ".bgz")) or (
-        est_splits is not None and est_splits < parallelism
-    ):
+    any_gzip = any(m.endswith((".gz", ".bgz")) for m in members)
+    if any_gzip:
+        # gzip is not splittable: each shard arrives as ONE split, so
+        # the scan's parallelism is capped at len(members) however
+        # large the shards are — spread unless the shard count alone
+        # already covers the cluster
+        est_splits = len(members)
+    else:
+        # size unknown (FS error on a plain-text input): do NOT force
+        # a spread — plain text splits natively, and repartitioning an
+        # arbitrarily large scan is a full shuffle of the input
+        est_splits = None if n_bytes is None else n_bytes // (128 << 20) + 1
+    if est_splits is not None and est_splits < parallelism:
         raw = raw.repartition(parallelism, F.col("value"))
+    return parse_lines(raw, header)
+
+
+def parse_lines(raw: DataFrame, header: VcfHeader) -> DataFrame:
+    """Typed base columns from a DataFrame of raw VCF record lines
+    (one ``value`` string column; header lines must already be
+    filtered out).  Shared by the batch path (``parse_records``) and
+    the streaming ingest's per-micro-batch parse."""
     c = F.split(F.col("value"), "\t")
     base_cols = [
         c.getItem(0).alias("chr"),
