@@ -249,6 +249,37 @@ def test_asof_join_semantics(spark):
     assert "Join" not in plan
 
 
+def test_asof_join_null_payload_whole_row_carry(spark):
+    """A NULL field in the LATEST matching right row must surface as
+    NULL — not be back-filled from an older right row (whole-row
+    semantics: fields never mix across right rows)."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 20, 100), (1, 40, 101), (2, 10, 102)],
+        "k long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, 7.0, "old"),
+            (1, 30, None, "new"),  # latest row has a NULL price
+            (2, 5, None, None),  # latest (only) row is all-NULL
+        ],
+        "k long, ts long, price double, label string",
+    )
+    rows = {
+        r["event_id"]: (r["asof_price"], r["asof_label"])
+        for r in asof_join(
+            left, right, on="k", right_cols=["price", "label"]
+        ).collect()
+    }
+    assert rows[100] == (7.0, "old")  # only the older row matches
+    # ts=40 matches the ts=30 row: price NULL must NOT revert to 7.0
+    assert rows[101] == (None, "new")
+    # an all-NULL right row still counts as "a match happened"
+    assert rows[102] == (None, None)
+
+
 def test_ivf_centroid_count_bounded_as_corpus_grows(spark):
     """nlist is an ABSOLUTE centroid bound: doubling the corpus must
     not grow the centroid set (the r2 scale-killer was |C|/nlist_mod

@@ -9,6 +9,14 @@ right-side payload forward with ``last(..., ignorenulls=True)`` over
 a (key, time)-ordered running window.  ONE shuffle on the key —
 no join node at all, no range explosion, skew handled by AQE like
 any other window partition.
+
+The carried payload is ONE struct of all ``right_cols`` (never one
+window function per column): per-column forward-fill would replace a
+genuine NULL in the latest matching right row with a stale value from
+an older row — mixing fields across right rows instead of the
+"latest right row" semantics.  The struct itself is non-null on every
+right row (even when every field inside it is NULL), so a single
+``last(ignorenulls=True)`` carries whole rows atomically.
 """
 
 from __future__ import annotations
@@ -36,41 +44,47 @@ def asof_join(
         right_cols = [
             c for c in right.columns if c not in (on, right_ts)
         ]
-    carried = [f"_r_{c}" for c in right_cols]
+    # whole-row payload: one struct column, forward-filled atomically
+    payload_type = (
+        right.select(
+            F.struct(*[F.col(c) for c in right_cols]).alias("_r_payload")
+        )
+        .schema["_r_payload"]
+        .dataType
+    )
+    tb_cols = [tiebreak] if tiebreak is not None else []
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        *[F.col(c).alias("_tb") for c in tb_cols],
         *[F.col(c) for c in left.columns if c != on],
-        *[F.lit(None).alias(rc) for rc in carried],
+        F.lit(None).cast(payload_type).alias("_r_payload"),
     )
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.lit(None).alias(c) for c in left.columns if c != on],
-        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+        *[F.col(c).alias("_tb") for c in tb_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on
+        ],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r_payload"),
     )
     order = [F.col("_ts"), F.col("_side")]
     if tiebreak is not None:
-        # a right row's left-side tiebreak slot is NULL (and vice
-        # versa) — coalesce the two slots so the order is total on
-        # both sides of the union
-        tb = (
-            F.coalesce(F.col(tiebreak), F.col(f"_r_{tiebreak}"))
-            if tiebreak in right_cols
-            else F.col(tiebreak)
-        )
-        order.append(tb)
+        order.append(F.col("_tb"))
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    u = l.unionByName(r)
-    for c, rc in zip(right_cols, carried):
-        u = u.withColumn(rc, F.last(rc, ignorenulls=True).over(w))
-    out = u.filter(F.col("_side") == 1).drop("_side", "_ts")
-    for c, rc in zip(right_cols, carried):
-        out = out.withColumnRenamed(rc, f"asof_{c}")
-    return out
+    u = l.unionByName(r).withColumn(
+        "_r_payload", F.last("_r_payload", ignorenulls=True).over(w)
+    )
+    out = u.filter(F.col("_side") == 1).drop("_side", "_ts", "_tb")
+    for c in right_cols:
+        out = out.withColumn(f"asof_{c}", F.col("_r_payload").getField(c))
+    return out.drop("_r_payload")
