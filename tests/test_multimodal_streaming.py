@@ -155,13 +155,53 @@ def test_stream_vcf_ingest_resumable(spark, tmp_path):
     info = spark.read.parquet(f"{out}/variant_info")
     assert info.count() == 6
     assert info.agg(F.max("variant_id")).first()[0] == 6
-    # drop a second file in: ids continue from the stored max (resume)
+    # drop a second file in: ids continue across runs (resume).  The
+    # carry is the manifest, NOT a table scan — prove it by making the
+    # already-written batch unreadable before the second run.
     import shutil
 
+    shutil.move(f"{out}/variant_info", f"{out}/variant_info_hidden")
     src2 = write_vcf(str(tmp_path / "tmp2.vcf"))
     shutil.copy(src2, str(vcf_dir / "chunk2.vcf"))
     stream_vcf_ingest(spark, str(vcf_dir), out, ckpt, header_path)
+    second = spark.read.parquet(f"{out}/variant_info")
+    assert second.agg(F.min("variant_id")).first()[0] == 7  # carried
+    shutil.move(
+        f"{out}/variant_info_hidden/ingest_batch=0",
+        f"{out}/variant_info/ingest_batch=0",
+    )
     info = spark.read.parquet(f"{out}/variant_info")
     assert info.count() == 12
     assert info.agg(F.max("variant_id")).first()[0] == 12
     assert info.select("variant_id").distinct().count() == 12
+
+
+def test_stream_vcf_ingest_three_table_batch_parity(spark, tmp_path):
+    """A streamed ingest must equal the batch ``read_vcf`` on the same
+    fixture — all three tables, row-for-row (pipeline/02-build-db.R:
+    461-497 writes info+impact+geno every chunk)."""
+    from vcfdbr_spark.sources.vcf import read_vcf
+
+    vcf_dir = tmp_path / "vcf_in"
+    vcf_dir.mkdir()
+    header_path = write_vcf(str(tmp_path / "header.vcf"))
+    write_vcf(str(vcf_dir / "data.vcf"), include_multiallelic=True)
+    out = str(tmp_path / "db")
+    stream_vcf_ingest(
+        spark, str(vcf_dir), out, str(tmp_path / "ckpt"), header_path
+    )
+    batch = read_vcf(spark, str(vcf_dir / "data.vcf"))
+    for name, batch_df in [
+        ("variant_info", batch.variant_info),
+        ("variant_impact", batch.variant_impact),
+        ("variant_geno", batch.variant_geno),
+    ]:
+        streamed = spark.read.parquet(f"{out}/{name}").drop("ingest_batch")
+        assert streamed.columns == batch_df.columns, name
+        cols = batch_df.columns
+        got = sorted(map(str, streamed.select(cols).collect()))
+        want = sorted(map(str, batch_df.select(cols).collect()))
+        assert got == want, name
+    rejects = spark.read.parquet(f"{out}/_rejects").drop("ingest_batch")
+    assert rejects.count() == 1
+    assert rejects.first()["reason"] == "multiallelic"

@@ -10,10 +10,11 @@ checkpointLocation replace the .progress.RData file, and
 - ``stream_events``: watermarked tumbling-window aggregation over an
   event stream — the streaming rendering of the batch
   ``events_hourly`` query (same logical plan, incremental state).
-- ``stream_vcf_ingest``: file-source streaming VCF ingest.  Dense
-  global ids can't come from a streaming window; ``foreachBatch``
-  assigns per-batch dense ids continuing from the stored max —
-  the exact analog of the reference's cross-chunk ``index_start``
+- ``stream_vcf_ingest``: file-source streaming VCF ingest, three-table
+  parity with the batch path.  Dense global ids can't come from a
+  streaming window; ``foreachBatch`` assigns per-batch dense ids
+  continuing from an O(1) manifest carry (``_stream_progress.json``)
+  — the exact analog of the reference's cross-chunk ``index_start``
   carry (pipeline/02-build-db.R:258-259, :522).
 """
 
@@ -140,24 +141,70 @@ def stream_vcf_ingest(
     out_dir: str,
     checkpoint_dir: str,
     header_path: str,
+    multi_value: str = "melt",
+    probe_rows: int = 1000,
 ) -> None:
-    """Streaming VCF ingest: new VCF text files appearing in
-    ``vcf_dir`` are parsed and appended to the variant_info parquet
-    table, with dense ids continuing across batches via a driver-side
-    max-id carry (the streaming analog of the reference's resumable
-    chunk loop).
+    """Streaming VCF ingest with full three-table parity: new VCF text
+    files appearing in ``vcf_dir`` are parsed with the SAME
+    ``parse_lines`` + ``derive_tables`` pipeline as the batch path
+    (sources/vcf.py), so each micro-batch appends variant_info,
+    variant_impact and variant_geno partitions — the streaming
+    rendering of the reference's per-chunk three-table write loop
+    (pipeline/02-build-db.R:461-497).  Rejected records (multiallelic
+    / malformed) land in ``_rejects`` partitions, same rules as batch.
+
+    Schema decisions (FORMAT fields kept) are probed ONCE at stream
+    start from ``header_path`` — the reference's first-chunk schema
+    lock (pipeline/02-build-db.R:140-177) — so every batch writes an
+    identical schema.
+
+    Dense-id carry is O(1) per batch: ``_stream_progress.json`` holds
+    ``next_id`` (the analog of the reference's cross-chunk
+    ``index_start``, pipeline/02-build-db.R:522) — no re-scan of
+    previously written batches, so batch cost is independent of how
+    many batches came before.
 
     Idempotency: ``foreachBatch`` is at-least-once, so each batch
-    writes its own ``ingest_batch=<id>`` partition directory,
-    deleting any partial remnant of the same batch FIRST (before the
-    max-id read, so a retried batch recomputes the same id range).
-    A replayed batch therefore overwrites itself instead of
-    duplicating rows."""
+    writes its own ``ingest_batch=<id>`` partition directories,
+    deleting any partial remnant of the same batch first; a replayed
+    batch reuses its manifest-recorded ``id_start``, producing the
+    exact same rows it would have the first time."""
+    import json
+    import os
+
     from vcfdbr_spark.operators.ids import with_dense_ids
     from vcfdbr_spark.schema import read_header
-    from vcfdbr_spark.sources import vcf as vcf_mod
+    from vcfdbr_spark.sources.build import _delete_dir
+    from vcfdbr_spark.sources.vcf import (
+        contig_rank_expr,
+        derive_tables,
+        parse_lines,
+        probe_format_fields_local,
+    )
 
     header = read_header(header_path)
+    kept_fields = []
+    if header.samples and header.format:
+        kept_fields = probe_format_fields_local(
+            header_path, header, probe_rows, multi_value
+        )
+
+    progress_path = os.path.join(out_dir, "_stream_progress.json")
+
+    def _load_progress() -> dict:
+        try:
+            with open(progress_path) as fh:
+                return json.load(fh)
+        except OSError:
+            return {"batches": {}, "next_id": 1}
+
+    def _save_progress(prog: dict) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(prog, fh)
+        os.replace(tmp, progress_path)
+
     lines = spark.readStream.format("text").load(vcf_dir)
     records = lines.filter(~F.col("value").startswith("#"))
 
@@ -165,57 +212,65 @@ def stream_vcf_ingest(
         if batch_df.isEmpty():
             return
         spark_l = batch_df.sparkSession
-        batch_path = f"{out_dir}/variant_info/ingest_batch={batch_id}"
-        # drop any partial output of a previous attempt of THIS batch
-        # before reading max(variant_id), keeping the id carry exact
-        jvm = spark_l._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(batch_path)
-        fs = jpath.getFileSystem(spark_l._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-        try:
-            existing = spark_l.read.parquet(f"{out_dir}/variant_info")
-            start = (existing.agg(F.max("variant_id")).first()[0] or 0) + 1
-        except Exception:
-            start = 1
-        c = F.split(F.col("value"), "\t")
-        parsed = batch_df.select(
-            c.getItem(0).alias("chr"),
-            c.getItem(1).try_cast("long").alias("start"),
-            c.getItem(3).alias("ref"),
-            c.getItem(4).alias("alt"),
-            F.str_to_map(c.getItem(7), F.lit(";"), F.lit("=")).alias("_info"),
-        ).filter(
-            # same reject rules as the batch parser (sources/vcf.py):
-            # multiallelic + unparseable-POS records never get ids
-            ~F.col("alt").contains(",") & F.col("start").isNotNull()
+        prog = _load_progress()
+        key = str(batch_id)
+        # replayed batch: reuse its recorded id range (manifest carry,
+        # no scan of prior batches' output)
+        start = int(prog["batches"].get(key, {}).get("id_start", prog["next_id"]))
+        tables = ("variant_info", "variant_impact", "variant_geno", "_rejects")
+        for t in tables:
+            _delete_dir(spark_l, f"{out_dir}/{t}/ingest_batch={batch_id}")
+
+        parsed = parse_lines(batch_df.select("value"), header)
+        is_multi = F.col("alt").contains(",")
+        is_malformed = F.col("start").isNull()
+        (
+            parsed.filter(is_multi | is_malformed)
+            .select(
+                "chr", "start", "ref", "alt",
+                F.when(is_multi, "multiallelic")
+                .otherwise("malformed")
+                .alias("reason"),
+            )
+            .write.parquet(f"{out_dir}/_rejects/ingest_batch={batch_id}")
+        )
+        ok = (
+            parsed.filter(~is_multi & ~is_malformed)
+            .withColumn("_crank", contig_rank_expr(header))
         )
         keyed = with_dense_ids(
-            parsed,
-            ["chr", "start", "ref", "alt"],
+            ok,
+            ["_crank", "chr", "start", "ref", "alt"],
             id_col="variant_id",
             start=start,
             bucket=F.struct(
-                F.col("chr"), F.floor(F.col("start") / 1_000_000)
+                F.col("_crank"), F.col("chr"),
+                F.floor(F.col("start") / 1_000_000),
             ),
-        )
-        out_cols = [
-            F.col("variant_id"),
-            F.col("chr"),
-            F.col("start"),
-            (F.col("start") + F.length("ref") - 1).alias("end"),
-            F.col("ref"),
-            F.col("alt"),
-        ]
-        for fid, f_ in header.info.items():
-            if fid == "CSQ":
-                continue
-            out_cols.append(
-                vcf_mod._info_column(F.col("_info"), f_).alias(
-                    vcf_mod.mangle_name(fid)
-                )
+        ).drop("_crank").persist()
+        try:
+            n = keyed.count()
+            info, impact, geno = derive_tables(
+                keyed, header, kept_fields, multi_value
             )
-        keyed.select(*out_cols).write.mode("overwrite").parquet(batch_path)
+            info.write.parquet(
+                f"{out_dir}/variant_info/ingest_batch={batch_id}"
+            )
+            if impact is not None:
+                impact.write.parquet(
+                    f"{out_dir}/variant_impact/ingest_batch={batch_id}"
+                )
+            if geno is not None:
+                geno.write.parquet(
+                    f"{out_dir}/variant_geno/ingest_batch={batch_id}"
+                )
+        finally:
+            keyed.unpersist()
+        prog["batches"][key] = {"id_start": start, "n_rows": int(n)}
+        # max() guards the (checkpoint-replay) case where an older
+        # batch re-runs after later batches already advanced the carry
+        prog["next_id"] = max(int(prog["next_id"]), start + int(n))
+        _save_progress(prog)
 
     q = (
         records.writeStream.foreachBatch(_write_batch)
