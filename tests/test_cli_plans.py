@@ -38,6 +38,29 @@ def test_cli_build_rejects_multiallelic(spark, tmp_path):
     assert os.path.exists(f"{prefix}-multiallelic-sites.tsv")
 
 
+def test_cli_resumable_build_rejects_multiallelic(spark, tmp_path):
+    """--resumable must honor the same reject-abort contract as the
+    plain path (pipeline/01:43-53): exit 2, no tables built."""
+    import os
+
+    vcf = write_vcf(str(tmp_path / "bad.vcf"), include_multiallelic=True)
+    prefix = str(tmp_path / "db3")
+    assert cli_main(
+        ["build", "--vcf", vcf, "--prefix", prefix, "--resumable"]
+    ) == 2
+    assert os.path.exists(f"{prefix}-multiallelic-sites.tsv")
+    assert not os.path.exists(f"{prefix}/variant_info")
+    # fixed input (same grouping): the re-run completes the build
+    ok_vcf = write_vcf(str(tmp_path / "bad.vcf"))
+    import shutil
+
+    shutil.rmtree(prefix)  # input changed → staged chunks are stale
+    assert cli_main(
+        ["build", "--vcf", ok_vcf, "--prefix", prefix, "--resumable"]
+    ) == 0
+    assert os.path.exists(f"{prefix}/variant_info")
+
+
 def test_file_mode_pull_prunes_partitions(spark, tmp_path):
     """db.pull in file mode must reach the scan as a PARTITION filter
     on vbucket — touching O(buckets) directories, not the whole table."""

@@ -208,6 +208,25 @@ def test_resumable_build_kill_and_resume(spark, tmp_path):
     assert db.variant_info.count() == 6
 
 
+def test_resumable_build_regroup_guard(spark, tmp_path):
+    """Resuming under a DIFFERENT contig grouping (changed --chunks)
+    must fail hard — silent resume would re-stage contigs over stale
+    staged dirs → duplicated/missing contigs, overlapping ids."""
+    import pytest
+
+    from vcfdbr_spark.sources.build import build_vcfdb_resumable
+
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    out = str(tmp_path / "db")
+    prog = build_vcfdb_resumable(spark, vcf, out, n_chunks=3, end_chunk=0)
+    assert prog["chunks"]["0"]["done"] and prog["n_chunks"] == 3
+    with pytest.raises(ValueError, match="grouping mismatch"):
+        build_vcfdb_resumable(spark, vcf, out, n_chunks=2)
+    # the original grouping still resumes cleanly
+    prog = build_vcfdb_resumable(spark, vcf, out, n_chunks=3)
+    assert prog["tables_done"]
+
+
 def test_append_vcf_continues_ids(spark, tmp_path):
     """Incremental store growth: a second VCF appends with the dense id
     sequence continuing from the stored max; queries span both."""

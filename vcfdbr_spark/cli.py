@@ -124,8 +124,24 @@ def main(argv: list[str] | None = None) -> int:
             prog = build_vcfdb_resumable(
                 spark, args.vcf, args.prefix, mode=args.mode,
                 multi_value=multi, n_chunks=args.chunks,
-                end_chunk=args.end_chunk,
+                end_chunk=args.end_chunk, abort_on_rejects=True,
             )
+            if prog.get("aborted_on_rejects"):
+                # same contract as the non-resumable path: the
+                # reference aborts the build on multiallelic input
+                # (pipeline/01-generate-variant-ranges-index.R:43-53)
+                n_rejects = prog["aborted_on_rejects"]
+                reject_path = f"{args.prefix}-multiallelic-sites.tsv"
+                spark.read.parquet(f"{args.prefix}/_rejects").drop(
+                    "chunk"
+                ).toPandas().to_csv(reject_path, sep="\t", index=False)
+                print(
+                    f"ERROR: {n_rejects} rejected records (multiallelic/"
+                    f"malformed) — written to {reject_path}; fix the "
+                    f"input and re-run",
+                    file=sys.stderr,
+                )
+                return 2
             if not prog.get("tables_done"):
                 done = sum(1 for c in prog["chunks"].values() if c.get("done"))
                 print(
@@ -133,18 +149,6 @@ def main(argv: list[str] | None = None) -> int:
                     f"next_id={prog['next_id']} — re-run to continue"
                 )
                 return 0
-            rejects = spark.read.parquet(f"{args.prefix}/_rejects")
-            n_rejects = rejects.count()
-            if n_rejects:
-                reject_path = f"{args.prefix}-multiallelic-sites.tsv"
-                rejects.drop("chunk").toPandas().to_csv(
-                    reject_path, sep="\t", index=False
-                )
-                print(
-                    f"WARNING: {n_rejects} rejected records excluded "
-                    f"from the store — written to {reject_path}",
-                    file=sys.stderr,
-                )
             print(f"built {args.prefix} (mode={args.mode}, resumable)")
             return 0
         tables = read_vcf(spark, args.vcf, multi_value=multi)

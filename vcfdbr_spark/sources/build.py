@@ -93,13 +93,47 @@ def build_vcfdb_resumable(
     probe_rows: int = 1000,
     geno_bucket_width: int = 100_000,
     exonic_on_consequence: bool = False,
+    abort_on_rejects: bool = False,
 ) -> dict:
     """Build (or resume building) a store; returns the final progress
     dict.  Call again after a crash or an ``end_chunk`` partial run —
-    completed chunks are skipped, ids continue from the carry."""
+    completed chunks are skipped, ids continue from the carry.
+
+    ``abort_on_rejects``: after staging, stop before deriving tables
+    when any records were rejected (the reference aborts the whole
+    build on multiallelic input,
+    pipeline/01-generate-variant-ranges-index.R:43-53); the returned
+    progress carries ``aborted_on_rejects`` and the staged chunks
+    remain valid for a re-run against fixed input.
+    """
     header = read_header(vcf_path)
     prog = _load_progress(out_path)
     groups = _contig_groups(header.contigs, n_chunks)
+    # Regroup guard: resuming skips chunks purely on their 'done'
+    # flag, so a resume under a DIFFERENT contig grouping (changed
+    # --chunks, changed header) would re-stage contigs already staged
+    # elsewhere → duplicated/missing contigs with overlapping ids.
+    # The staged grouping is persisted; any mismatch is a hard error,
+    # never silent corruption.
+    if prog["chunks"]:
+        saved_groups = prog.get("groups")
+        if saved_groups is None:  # legacy manifest: per-chunk lists
+            saved_groups = [
+                prog["chunks"].get(str(k), {}).get("contigs")
+                for k in range(len(prog["chunks"]))
+            ]
+        if [list(g) for g in saved_groups] != [list(g) for g in groups]:
+            raise ValueError(
+                f"resume grouping mismatch: store at {out_path} was "
+                f"staged as {len(saved_groups)} contig group(s) "
+                f"(n_chunks={prog.get('n_chunks')}) but this run "
+                f"groups into {len(groups)} (n_chunks={n_chunks}). "
+                f"Re-run with the original --chunks, or delete "
+                f"{_progress_path(out_path)} and {out_path}/_staging "
+                f"to restart."
+            )
+    prog["groups"] = [list(g) for g in groups]
+    prog["n_chunks"] = n_chunks
     staging = f"{out_path}/_staging"
     rejects_dir = f"{out_path}/_rejects"
 
@@ -164,7 +198,17 @@ def build_vcfdb_resumable(
     ):
         return prog  # partial run (end_chunk) — resumable later
 
-    # ---- all chunks staged: derive + write the store once ----
+    # ---- all chunks staged: reject-abort gate, then derive ----
+    rejects = spark.read.parquet(rejects_dir).drop("chunk")
+    if abort_on_rejects:
+        n_rej = rejects.count()
+        if n_rej:
+            # reference parity: abort BEFORE building any table
+            # (pipeline/01:43-53); staging stays for a post-fix re-run
+            prog["aborted_on_rejects"] = int(n_rej)
+            _save_progress(out_path, prog)
+            return prog
+    prog.pop("aborted_on_rejects", None)
     ok_all = spark.read.parquet(staging).drop("chunk")
     kept_fields = []
     if header.samples and header.format:
@@ -173,7 +217,6 @@ def build_vcfdb_resumable(
         ok_all, header, kept_fields, multi_value, exonic_on_consequence
     )
     samples, metadata = build_metadata(spark, header)
-    rejects = spark.read.parquet(rejects_dir).drop("chunk")
     tables = VcfTables(
         header=header,
         variant_info=variant_info,
