@@ -303,8 +303,93 @@ def test_compact_table_after_append(spark, tmp_path):
     open(vcf2, "w").write(text)
     append_vcf(spark, vcf2, out)
 
-    n = compact_table(spark, f"{out}/variant_geno", ["variant_id", "sample"], 2)
+    n = compact_table(spark, out, "variant_geno", n_partitions=2)
     assert n == 12 * 4
     db = open_vcfdb(spark, out)
     assert db.variant_geno.count() == 48
     assert db.pull([7]).count() == 4  # post-compaction pulls intact
+
+
+def _shift_positions(src: str, dst: str, delta: int = 1_000_000) -> str:
+    text = open(src).read()
+    shifted = []
+    for line in text.splitlines():
+        if line.startswith("#"):
+            shifted.append(line)
+        else:
+            f = line.split("\t")
+            f[1] = str(int(f[1]) + delta)
+            shifted.append("\t".join(f))
+    open(dst, "w").write("\n".join(shifted) + "\n")
+    return dst
+
+
+def test_append_vcf_file_mode_routes_vbuckets(spark, tmp_path):
+    """File-mode append: new geno rows land in their vbucket= hive
+    partitions, ids continue, and the partition-pruned pull spans old
+    and new ingests."""
+    from vcfdbr_spark.plans.layout import formatted_plan
+    from vcfdbr_spark.sources.build import append_vcf
+    from vcfdbr_spark.sources.store import open_vcfdb, write_vcfdb
+
+    vcf1 = write_vcf(str(tmp_path / "a.vcf"))
+    out = str(tmp_path / "db")
+    write_vcfdb(read_vcf(spark, vcf1), out, mode="file", geno_bucket_width=2)
+    vcf2 = _shift_positions(vcf1, str(tmp_path / "b.vcf"))
+
+    n_new = append_vcf(spark, vcf2, out)
+    assert n_new == 6
+    db = open_vcfdb(spark, out)
+    ids = sorted(
+        r["variant_id"] for r in db.variant_info.select("variant_id").collect()
+    )
+    assert ids == list(range(1, 13))
+    # appended info rows carry the matching geno path column
+    row = db.variant_info.filter(F.col("variant_id") == 9).first()
+    assert row["geno"].endswith("/variant_geno/vbucket=4")
+    # pull spanning both ingests still prunes partitions
+    q = db.pull([2, 9])
+    assert {r["variant_id"] for r in q.collect()} == {2, 9}
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "vbucket" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # compaction preserves the hive layout and the pull contract
+    from vcfdbr_spark.sources.build import compact_table
+
+    n = compact_table(spark, out, "variant_geno")
+    assert n == 12 * 4
+    db2 = open_vcfdb(spark, out)
+    assert db2.pull([9]).count() == 4
+    assert "vbucket" in formatted_plan(db2.pull([9]))
+
+
+def test_append_vcf_schema_guards(spark, tmp_path):
+    """Drifted INFO headers must raise, not append mixed-schema
+    parquet; bucketed stores must be refused outright."""
+    import pytest
+
+    from vcfdbr_spark.sources.build import append_vcf, compact_table
+    from vcfdbr_spark.sources.store import write_vcfdb
+
+    vcf1 = write_vcf(str(tmp_path / "a.vcf"))
+    out = str(tmp_path / "db")
+    write_vcfdb(read_vcf(spark, vcf1), out, mode="table")
+
+    # header gains an INFO field → derived variant_info drifts
+    drifted = str(tmp_path / "drift.vcf")
+    text = open(vcf1).read().replace(
+        '##INFO=<ID=DP,',
+        '##INFO=<ID=ZZ,Number=1,Type=Integer,Description="New">\n##INFO=<ID=DP,',
+    )
+    open(drifted, "w").write(text)
+    with pytest.raises(ValueError, match="schema drift on variant_info"):
+        append_vcf(spark, drifted, out)
+
+    bucketed_out = str(tmp_path / "dbb")
+    write_vcfdb(read_vcf(spark, vcf1), bucketed_out, bucketed=True, n_buckets=4)
+    vcf2 = _shift_positions(vcf1, str(tmp_path / "b.vcf"))
+    with pytest.raises(ValueError, match="bucketed"):
+        append_vcf(spark, vcf2, bucketed_out)
+    with pytest.raises(ValueError, match="bucketed"):
+        compact_table(spark, bucketed_out, "variant_geno")

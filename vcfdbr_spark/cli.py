@@ -179,13 +179,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from vcfdbr_spark.sources.build import compact_table
 
-        sort_cols = {
-            "variant_info": ["variant_id"],
-            "variant_impact": ["symbol", "variant_id"],
-            "variant_geno": ["variant_id", "sample"],
-        }[args.table]
         n = compact_table(
-            spark, f"{args.prefix}/{args.table}", sort_cols, args.partitions
+            spark, args.prefix, args.table, n_partitions=args.partitions
         )
         print(f"compacted {args.prefix}/{args.table}: {n} rows")
         return 0

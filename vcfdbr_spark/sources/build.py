@@ -234,6 +234,14 @@ def build_vcfdb_resumable(
     return prog
 
 
+def _table_schema(df, ignore: tuple[str, ...] = ()) -> list[tuple[str, str]]:
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.name not in ignore
+    ]
+
+
 def append_vcf(
     spark: SparkSession,
     vcf_path: str,
@@ -241,24 +249,42 @@ def append_vcf(
     multi_value: str = "melt",
     probe_rows: int = 1000,
 ) -> int:
-    """Append a new VCF to an existing table-mode store, continuing
-    the dense id sequence from the stored maximum — a capability the
-    reference's one-shot build lacks (its id carry exists only within
-    a single build, pipeline/02-build-db.R:522).
+    """Append a new VCF to an existing table- or file-mode store,
+    continuing the dense id sequence from the stored maximum — a
+    capability the reference's one-shot build lacks (its id carry
+    exists only within a single build, pipeline/02-build-db.R:522).
 
     New rows land in their own sorted parquet files whose id ranges
     are disjoint from existing files, so id-range row-group pruning
-    keeps working; ``gene_map`` is rebuilt from the full impact table.
-    Ids stay dense overall but position-sorted only within each
-    ingest (append order = arrival order, like the reference's
-    chunk-order semantics).  Returns the number of appended variants.
+    keeps working; in file mode new genotype rows route into their
+    ``vbucket=`` hive partitions (and variant_info gets the matching
+    geno path column), so the O(buckets) partition-pruned pull spans
+    old and new ingests alike.  ``gene_map`` is rebuilt from the full
+    impact table.  Ids stay dense overall but position-sorted only
+    within each ingest (append order = arrival order, like the
+    reference's chunk-order semantics).  Returns the number of
+    appended variants.
+
+    Guards: the appended VCF must have the SAME sample cohort and the
+    SAME derived table schemas (INFO/FORMAT header drift would append
+    mixed-schema parquet that later plain reads silently mis-handle —
+    parquet resolves columns per file, so a drifted file's extra
+    columns vanish and missing ones read as NULL with no error).
+    Bucketed stores are rejected: appending around the catalog's
+    bucket layout would silently break the zero-Exchange join
+    contract; compact to a plain layout first.
     """
     from vcfdbr_spark.sources.store import build_gene_map, open_vcfdb
     from vcfdbr_spark.sources.vcf import read_vcf
 
     db = open_vcfdb(spark, store_path)
-    if db.manifest["mode"] != "table" or db.manifest.get("bucketed"):
-        raise ValueError("append_vcf supports plain table-mode stores")
+    if db.manifest.get("bucketed"):
+        raise ValueError(
+            "append_vcf does not support bucketed stores (new files "
+            "would not join the catalog bucket layout) — compact to a "
+            "plain layout, append, then rewrite bucketed"
+        )
+    mode = db.manifest["mode"]
     start = (db.variant_info.agg(F.max("variant_id")).first()[0] or 0) + 1
     tables = read_vcf(
         spark, vcf_path, multi_value=multi_value,
@@ -269,8 +295,53 @@ def append_vcf(
         raise ValueError(
             "appended VCF has a different sample cohort than the store"
         )
+
+    info = tables.variant_info
+    if mode == "file":
+        width = int(db.manifest["geno_bucket_width"])
+        info = info.withColumn(
+            "geno",
+            F.concat(
+                F.lit(f"{store_path}/variant_geno/vbucket="),
+                (F.col("variant_id") / width).cast("long").cast("string"),
+            ),
+        )
+
+    def _guard(name: str, new_df, ignore: tuple[str, ...] = ()) -> None:
+        try:
+            store_df = db.table(name)
+        except Exception:
+            store_df = None
+        if (store_df is None) != (new_df is None):
+            raise ValueError(
+                f"schema drift: table {name} "
+                f"{'exists in the store but not in' if new_df is None else 'derived from'} "
+                f"the appended VCF does not match the store's tables"
+            )
+        if store_df is None:
+            return
+        want = _table_schema(store_df, ignore)
+        got = _table_schema(new_df, ignore)
+        if want != got:
+            drift = sorted(set(want).symmetric_difference(got))
+            raise ValueError(
+                f"schema drift on {name}: appended VCF's INFO/FORMAT "
+                f"headers derive a different table schema "
+                f"(differing columns: {drift}) — fix the header or "
+                f"build a separate store"
+            )
+
+    _guard("variant_info", info)
+    _guard("variant_impact", tables.variant_impact)
+    # vbucket is the hive partition column, added at write time
+    _guard("variant_geno", tables.variant_geno, ignore=("vbucket",))
+
+    # count once off the persisted parse — the id range is dense by
+    # construction, so this IS the appended-row count (no post-write
+    # re-read of the whole store's max id)
+    n_new = tables.variant_info.count()
     (
-        tables.variant_info.repartitionByRange("variant_id")
+        info.repartitionByRange("variant_id")
         .sortWithinPartitions("variant_id")
         .write.mode("append")
         .parquet(f"{store_path}/variant_info")
@@ -287,20 +358,39 @@ def append_vcf(
             f"{store_path}/gene_map"
         )
     if tables.variant_geno is not None:
-        (
-            tables.variant_geno.repartitionByRange("variant_id", "sample")
-            .sortWithinPartitions("variant_id", "sample")
-            .write.mode("append")
-            .parquet(f"{store_path}/variant_geno")
-        )
-    n_new = db.variant_info.agg(F.max("variant_id")).first()[0] - start + 1
+        if mode == "file":
+            (
+                tables.variant_geno.withColumn(
+                    "vbucket", (F.col("variant_id") / width).cast("long")
+                )
+                .repartition("vbucket")
+                .sortWithinPartitions("variant_id", "sample")
+                .write.mode("append")
+                .partitionBy("vbucket")
+                .parquet(f"{store_path}/variant_geno")
+            )
+        else:
+            (
+                tables.variant_geno.repartitionByRange("variant_id", "sample")
+                .sortWithinPartitions("variant_id", "sample")
+                .write.mode("append")
+                .parquet(f"{store_path}/variant_geno")
+            )
     return int(n_new)
+
+
+_COMPACT_SORTS = {
+    "variant_info": ["variant_id"],
+    "variant_impact": ["symbol", "variant_id"],
+    "variant_geno": ["variant_id", "sample"],
+}
 
 
 def compact_table(
     spark: SparkSession,
-    table_path: str,
-    sort_cols: list[str],
+    store_path: str,
+    table: str = "variant_geno",
+    sort_cols: list[str] | None = None,
     n_partitions: int | None = None,
 ) -> int:
     """Rewrite a store table into ``n_partitions`` range-sorted files
@@ -308,23 +398,48 @@ def compact_table(
     files (each append writes its own sorted file set; row-group
     pruning still works but per-file overhead grows).
 
+    Manifest-aware: a bucketed store's variant_info/variant_geno are
+    refused (a plain rewrite would destroy the catalog bucket layout
+    behind the catalog's back — the zero-Exchange join would then
+    return wrong bucket pruning); a file-mode variant_geno keeps its
+    ``vbucket=`` hive partitioning, compacting to one sorted file per
+    bucket so the partition-pruned pull contract survives.
+
     Staged for safety: the compacted copy lands in a sibling ``.tmp``
     directory first, and the swap is two renames — a crash leaves
     either the original or the finished copy, never a half-written
     table.  Returns the row count.
     """
+    with open(f"{store_path}/_vcfdb_manifest.json") as fh:
+        manifest = json.load(fh)
+    if manifest.get("bucketed") and table in ("variant_info", "variant_geno"):
+        raise ValueError(
+            f"compact_table refuses {table} on a bucketed store: a "
+            f"plain rewrite would break the catalog bucket layout — "
+            f"rewrite the store via write_vcfdb(bucketed=True) instead"
+        )
+    sort_cols = sort_cols or _COMPACT_SORTS[table]
+    table_path = f"{store_path}/{table}"
     df = spark.read.parquet(table_path)
     n = df.count()
-    range_args = [n_partitions] if n_partitions else []
     tmp = table_path.rstrip("/") + ".compact-tmp"
     old = table_path.rstrip("/") + ".compact-old"
     _delete_dir(spark, tmp)
     _delete_dir(spark, old)
-    (
-        df.repartitionByRange(*range_args, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
-        .write.parquet(tmp)
-    )
+    if manifest["mode"] == "file" and table == "variant_geno":
+        (
+            df.repartition("vbucket")
+            .sortWithinPartitions(*sort_cols)
+            .write.partitionBy("vbucket")
+            .parquet(tmp)
+        )
+    else:
+        range_args = [n_partitions] if n_partitions else []
+        (
+            df.repartitionByRange(*range_args, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.parquet(tmp)
+        )
     jvm = spark._jvm
     fs_path = jvm.org.apache.hadoop.fs.Path(table_path)
     fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
