@@ -1242,17 +1242,22 @@ def _cos_sql(va, vb, na, nb):
 
 def q_embedding_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN — the |corpus| >> 10^6 scale path: score only
-    the nprobe nearest inverted lists."""
+    the nprobe nearest inverted lists.  Uses the absolute ``nlist``
+    centroid bound (corpus-independent centroid count — the 100-TB
+    parameterization), not the legacy ``nlist_mod`` modulus whose
+    centroid set grows with the corpus."""
     from vcfdbr_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=5, nlist_mod=25, nprobe=3)
+    return ivf_topk(emb, queries, k=5, nlist=20, nprobe=3)
 
 
 SQL_EMBEDDING_IVF_TOPK = f"""
 WITH base AS ({_EMB_BASE}),
-cents AS (SELECT vec_id AS cent_id, v AS cv, n AS cn FROM base WHERE vec_id % 25 = 0),
+-- nlist=20 centroid bound: one representative (min id) per id%20 bucket
+reps AS (SELECT min(vec_id) AS cent_id FROM embeddings GROUP BY vec_id % 20),
+cents AS (SELECT cent_id, v AS cv, n AS cn FROM base JOIN reps ON vec_id = cent_id),
 assign AS (
   SELECT vec_id, cent_id FROM (
     SELECT b.vec_id, c.cent_id,

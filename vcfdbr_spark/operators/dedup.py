@@ -132,11 +132,12 @@ def ngram_jaccard_pairs(
     Integer arithmetic only → the rounded score is engine-portable.
 
     Scale shape: the per-doc set table is O(corpus) and must NEVER be
-    force-broadcast (round-1 scale-killer).  Instead the sets are
-    first semi-joined down to ids that actually appear in a candidate
-    pair — after LSH that is a small fraction of the corpus — and the
-    two attach joins are left to Catalyst/AQE, which picks shuffle vs
-    broadcast from the *reduced* side's runtime size.
+    force-broadcast (round-1 scale-killer).  The frames that ARE
+    broadcast-hinted are all bounded by the candidate-pair count (post
+    LSH, a small fraction of the corpus): the candidate-id list in the
+    semi-join — so the O(corpus) sets table is never shuffled, the
+    semi-join runs map-side in the same stage as the shingle scan —
+    and the reduced per-pair set frame in the two attach joins.
 
     ``materialize`` persists the two small diamond-shaped
     intermediates (candidate pairs: used 3×; reduced shingle sets:
@@ -158,16 +159,24 @@ def ngram_jaccard_pairs(
         .union(candidates.select(F.col("b").alias("_id")))
         .distinct()
     )
-    sets_needed = sets_.join(cand_ids, "_id", "left_semi")
+    sets_needed = sets_.join(F.broadcast(cand_ids), "_id", "left_semi")
     if materialize:
         sets_needed = sets_needed.persist()
     out = (
         candidates.join(
-            sets_needed.select(F.col("_id").alias("a"), F.col("_set").alias("_sa")),
+            F.broadcast(
+                sets_needed.select(
+                    F.col("_id").alias("a"), F.col("_set").alias("_sa")
+                )
+            ),
             "a",
         )
         .join(
-            sets_needed.select(F.col("_id").alias("b"), F.col("_set").alias("_sb")),
+            F.broadcast(
+                sets_needed.select(
+                    F.col("_id").alias("b"), F.col("_set").alias("_sb")
+                )
+            ),
             "b",
         )
         .select(
