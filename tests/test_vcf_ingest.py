@@ -291,6 +291,32 @@ def test_multi_file_vcf_ingest(spark, tmp_path):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_vcf_member_files_scheme_path(spark, tmp_path):
+    """Scheme-qualified dirs/globs resolve through the Hadoop FS, so a
+    remote directory of gzip shards surfaces member NAMES (the gzip
+    unsplittability test needs them; local-only glob would miss)."""
+    import gzip
+
+    from vcfdbr_spark.sources.vcf import vcf_member_files
+
+    shard_dir = tmp_path / "shards_gz"
+    shard_dir.mkdir()
+    for c in ("1", "2"):
+        with gzip.open(shard_dir / f"chr{c}.vcf.gz", "wt") as fh:
+            fh.write("##fileformat=VCFv4.2\n")
+    (shard_dir / "notes.txt").write_text("ignored")
+    members = vcf_member_files(f"file://{shard_dir}", spark)
+    assert len(members) == 2
+    assert all(m.endswith(".vcf.gz") for m in members)
+    # glob form through the same Hadoop route
+    members_g = vcf_member_files(f"file://{shard_dir}/*.vcf.gz", spark)
+    assert len(members_g) == 2
+    # a plain remote FILE path passes through unchanged
+    assert vcf_member_files(
+        f"file://{shard_dir}/chr1.vcf.gz", spark
+    ) == [f"file://{shard_dir}/chr1.vcf.gz"]
+
+
 def test_compact_table_after_append(spark, tmp_path):
     from vcfdbr_spark.sources.build import append_vcf, compact_table
     from vcfdbr_spark.sources.store import open_vcfdb, write_vcfdb

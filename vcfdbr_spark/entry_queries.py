@@ -697,8 +697,10 @@ WITH m AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         octet_length(encode(text)) AS n,
-         hex(encode(text)) AS hx
+         -- coalesce matches the Spark path: encode(NULL text) maps to
+         -- b'' (n=0 → width 1, height 1, zero features), never NULL
+         octet_length(encode(coalesce(text, ''))) AS n,
+         hex(encode(coalesce(text, ''))) AS hx
   FROM documents)
 SELECT media_id, kind,
        CAST((n % 64) + 1 AS INT) AS width,

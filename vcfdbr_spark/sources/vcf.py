@@ -93,15 +93,40 @@ def _info_column(info_map: Column, f: VcfField, n_alts: int = 1) -> Column:
     return _cast_array(raw, f)
 
 
-def vcf_member_files(path: str) -> list[str]:
+def vcf_member_files(path: str, spark: SparkSession | None = None) -> list[str]:
     """Resolve a directory or glob of per-chromosome VCF shards (the
     normal layout for population-scale data) to the member files.
     Shards must share one header (same cohort) — the standard
     bcftools-split contract; the distributed text scan itself takes
-    the dir/glob unchanged."""
+    the dir/glob unchanged.
+
+    Scheme-qualified paths (``hdfs://``, ``s3a://``, ``file://``)
+    resolve through the Hadoop FileSystem (needs ``spark``): a remote
+    directory of ``.gz`` shards must still surface member NAMES so the
+    gzip-unsplittable test sees them — the local-only fallback would
+    miss them and mis-estimate the scan's split count."""
     import glob as _glob
     import os as _os
 
+    if "://" in path and spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if any(ch in path for ch in "*?["):
+            statuses = fs.globStatus(jpath) or []
+        elif fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory():
+            statuses = fs.listStatus(jpath)
+        else:
+            return [path]
+        members = sorted(
+            s.getPath().toString()
+            for s in statuses
+            if s.isFile()
+            and s.getPath().getName().endswith((".vcf", ".vcf.gz", ".vcf.bgz"))
+        )
+        if not members:
+            raise FileNotFoundError(f"no .vcf[.gz] files under {path}")
+        return members
     if _os.path.isdir(path):
         members = sorted(
             p
@@ -165,7 +190,7 @@ def parse_records(spark: SparkSession, path: str, header: VcfHeader) -> DataFram
     # .gz suffix).
     parallelism = spark.sparkContext.defaultParallelism
     try:
-        members = vcf_member_files(path)
+        members = vcf_member_files(path, spark)
     except (FileNotFoundError, OSError):
         members = [path]
     try:
