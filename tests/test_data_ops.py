@@ -49,13 +49,21 @@ def test_minhash_finds_near_dups(spark):
         assert 0.3 < got[(1, 3)] < 1.0
 
 
-def test_minhash_signature_is_md5_min(spark):
+def test_minhash_signature_is_md5_slice_min(spark):
+    """Hash s = min over the 8-hex slice s%4 of md5('{s//4}|'+shingle)
+    — one digest feeds four 32-bit minhash components."""
     docs = _docs(spark).filter(F.col("doc_id") == 4)
-    sig = minhash_signatures(docs, num_hashes=2).first()
+    sig = minhash_signatures(docs, num_hashes=8).first()
     words = "completely different text about spark engines".split(" ")
     shs = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
-    want_h0 = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shs)
-    assert sig["h0"] == want_h0
+    for s in (0, 1, 5):
+        want = min(
+            hashlib.md5(f"{s // 4}|{x}".encode()).hexdigest()[
+                8 * (s % 4) : 8 * (s % 4) + 8
+            ]
+            for x in shs
+        )
+        assert sig[f"h{s}"] == want
 
 
 def test_band_buckets_shape(spark):

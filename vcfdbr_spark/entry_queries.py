@@ -882,10 +882,13 @@ _SHINGLE_SQL = """
                 greatest(len(words) - 2, 1))) AS i) t
 """
 
+# hash s = 8-hex-char slice s%4 of md5('{s//4}|' || shingle): one md5
+# feeds four 32-bit minhash components (mirrors minhash_signatures)
 _SIG_SQL = f"""
   SELECT doc_id,
-         {", ".join(f"min(md5('{s}|' || sh)) AS h{s}" for s in range(8))}
-  FROM ({_SHINGLE_SQL}) GROUP BY doc_id
+         {", ".join(f"min(substr(m{s // 4}, {8 * (s % 4) + 1}, 8)) AS h{s}" for s in range(8))}
+  FROM (SELECT doc_id, md5('0|' || sh) AS m0, md5('1|' || sh) AS m1
+        FROM ({_SHINGLE_SQL})) GROUP BY doc_id
 """
 
 

@@ -78,13 +78,29 @@ def shingles(text: Column, k: int = 5, prefix_len: int | None = 200) -> Column:
 def word_shingles(text: Column, n: int = 3, max_words: int = 50) -> Column:
     """Word n-gram shingles over the first ``max_words`` tokens — the
     standard dedup shingle space for documents (far more
-    discriminative than character shingles on natural text)."""
+    discriminative than character shingles on natural text).
+
+    Built as a ``zip_with`` chain over n-1 shifted copies of the token
+    array, NOT ``transform(sequence(...), i -> slice(words, i, n))``:
+    higher-order lambdas evaluate interpreted, and an outer expression
+    referenced inside the lambda body is re-evaluated PER ELEMENT —
+    the slice form re-split the text for every shingle, O(words²) per
+    document (measured 3.0 s of a 4.5 s dedup query at sf0.1).  Here
+    every array argument is evaluated once per row and the lambdas do
+    one cheap concat per element.  Output is identical: ``concat_ws``
+    skips the nulls zip_with pads with, so the short-document case
+    (fewer than n words → one shingle of all words) falls out the
+    same."""
     words = F.slice(F.split(text, " "), 1, max_words)
     cnt = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    acc = words
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, k + 1, max_words),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(acc, 1, cnt)
 
 
 def fingerprint(text: Column, prefix_len: int = 200) -> Column:

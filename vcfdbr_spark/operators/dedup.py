@@ -46,17 +46,37 @@ def minhash_signatures(
     shingle_n: int = 3,
     max_words: int = 50,
 ) -> DataFrame:
-    """(id, h0..h{n-1}) md5-min signatures over word n-gram shingles.
+    """(id, h0..h{n-1}) md5-slice-min signatures over word n-gram
+    shingles.
+
+    Each md5 is 128 bits = four independent 32-bit hashes, so hash
+    function ``s`` is the 8-hex-char slice ``s%4`` of
+    ``md5('{s//4}|' || shingle)`` — one md5 evaluation feeds FOUR
+    minhash components (the md5s were the dominant cost of the whole
+    LSH pipeline: 8 separate digests per shingle row, ~4× this).
+    Lexicographic min over a fixed-width hex slice == numeric min of
+    the 32-bit value, so each slice is a valid uniform minhash; the
+    md5s are computed in a projection BEFORE the aggregation so each
+    digest is evaluated once per shingle row, not once per aggregate.
 
     min() over the shingle multiset == min over the set, so no
     distinct pass is needed before aggregation.
     """
+    n_src = -(-num_hashes // 4)  # ceil: md5 sources needed
     sh = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n, max_words)).alias("sh"),
+    ).select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{src}|"), F.col("sh"))).alias(f"_m{src}")
+            for src in range(n_src)
+        ],
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+        F.min(
+            F.substring(F.col(f"_m{s // 4}"), 8 * (s % 4) + 1, 8)
+        ).alias(f"h{s}")
         for s in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
