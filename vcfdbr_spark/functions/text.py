@@ -69,10 +69,22 @@ def quality_stats(text: Column) -> dict[str, Column]:
 
 def shingles(text: Column, k: int = 5, prefix_len: int | None = 200) -> Column:
     """Character k-shingles (over an optional prefix cap so signature
-    cost is bounded per document)."""
-    src = F.substring(text, 1, prefix_len) if prefix_len else text
-    n = F.greatest(F.length(src) - (k - 1), F.lit(1))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: src.substr(i, F.lit(k)))
+    cost is bounded per document).
+
+    The lambda slices ``text`` itself, not a ``substring(text, 1,
+    prefix_len)`` subexpression: an outer expression referenced inside
+    a higher-order lambda is re-evaluated per element (interpreted),
+    which would copy the prefix once per shingle — O(prefix²) per
+    document.  Capping the sequence bound gives the same shingle set:
+    ``substr(text, i, k) == substr(prefix, i, k)`` whenever
+    ``i + k - 1 <= prefix_len``."""
+    length = (
+        F.least(F.length(text), F.lit(prefix_len))
+        if prefix_len
+        else F.length(text)
+    )
+    n = F.greatest(length - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
 
 
 def word_shingles(text: Column, n: int = 3, max_words: int = 50) -> Column:
