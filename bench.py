@@ -148,6 +148,12 @@ def main() -> None:
         # from the persisted keyed frame (the reference's single-scan
         # chunk loop feeds all three tables the same way)
         keyed = simdata.sim_info_keyed(orders).persist()
+        # persist the joined/derived frames too: repartitionByRange
+        # runs a boundary-sampling pass that would otherwise execute
+        # the lineitem⋈keyed join + derivation TWICE per table (same
+        # reason write_vcfdb range-writes over a persisted parse)
+        impact_df = simdata.sim_impact(orders, li, keyed=keyed).persist()
+        geno_df = simdata.sim_geno(orders, li, keyed=keyed).persist()
 
         def _w_info():
             (
@@ -160,7 +166,7 @@ def main() -> None:
 
         def _w_impact():
             (
-                simdata.sim_impact(orders, li, keyed=keyed)
+                impact_df
                 .repartitionByRange(8, "symbol", "variant_id")
                 .sortWithinPartitions("symbol", "variant_id")
                 .write.mode("overwrite")
@@ -169,7 +175,7 @@ def main() -> None:
 
         def _w_geno():
             (
-                simdata.sim_geno(orders, li, keyed=keyed)
+                geno_df
                 .repartitionByRange(8, "variant_id", "sample")
                 .sortWithinPartitions("variant_id", "sample")
                 .write.mode("overwrite")
@@ -184,6 +190,8 @@ def main() -> None:
             for f in [pool.submit(w) for w in (_w_info, _w_impact, _w_geno)]:
                 f.result()
         keyed.unpersist()
+        impact_df.unpersist()
+        geno_df.unpersist()
         timings["ingest_build_store"] = round(time.time() - t0, 3)
 
         # warm store handles (the reference benchmarks run against a
