@@ -61,6 +61,27 @@ def test_cli_resumable_build_rejects_multiallelic(spark, tmp_path):
     assert os.path.exists(f"{prefix}/variant_info")
 
 
+def test_cli_stream_ingest(spark, tmp_path):
+    """stream-ingest parses new files into three-table partitions and
+    a re-run picks up only new files, ids continuing."""
+    import shutil
+
+    vcf_dir = tmp_path / "in"
+    vcf_dir.mkdir()
+    header = write_vcf(str(tmp_path / "h.vcf"))
+    write_vcf(str(vcf_dir / "a.vcf"))
+    prefix = str(tmp_path / "sdb")
+    args = ["stream-ingest", "--vcf-dir", str(vcf_dir), "--prefix",
+            prefix, "--header", header, "--include-multivalue-gt"]
+    assert cli_main(args) == 0
+    assert spark.read.parquet(f"{prefix}/variant_info").count() == 6
+    shutil.copy(header, str(vcf_dir / "b.vcf"))
+    assert cli_main(args) == 0
+    info = spark.read.parquet(f"{prefix}/variant_info")
+    assert info.count() == 12
+    assert info.agg(F.max("variant_id")).first()[0] == 12
+
+
 def test_file_mode_pull_prunes_partitions(spark, tmp_path):
     """db.pull in file mode must reach the scan as a PARTITION filter
     on vbucket — touching O(buckets) directories, not the whole table."""

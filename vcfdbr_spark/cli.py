@@ -87,6 +87,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("--partitions", type=int, default=None)
 
+    si = sub.add_parser(
+        "stream-ingest",
+        help="streaming VCF ingest: parse new VCF files appearing in "
+        "--vcf-dir into three-table parquet partitions, dense ids "
+        "continuing across runs (streaming analog of the resumable "
+        "chunk loop; re-run to pick up new files)",
+    )
+    si.add_argument("--vcf-dir", required=True)
+    si.add_argument("--prefix", required=True, help="output store directory")
+    si.add_argument(
+        "--header",
+        required=True,
+        help="a VCF whose header (and first rows, for the FORMAT "
+        "schema probe) defines the stream's schema",
+    )
+    si.add_argument("--include-multivalue-gt", action="store_true")
+
     q = sub.add_parser(
         "sql",
         help="plain SQL over the store tables (variant_info, "
@@ -167,6 +184,21 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         write_vcfdb(tables, args.prefix, mode=args.mode)
         print(f"built {args.prefix} (mode={args.mode})")
+        return 0
+
+    if args.cmd == "stream-ingest":
+        from vcfdbr_spark.streaming.ingest import stream_vcf_ingest
+
+        multi = "melt" if args.include_multivalue_gt else "skip"
+        stream_vcf_ingest(
+            spark,
+            args.vcf_dir,
+            args.prefix,
+            f"{args.prefix}/_checkpoint",
+            args.header,
+            multi_value=multi,
+        )
+        print(f"stream-ingested {args.vcf_dir} into {args.prefix}")
         return 0
 
     if args.cmd == "append":
