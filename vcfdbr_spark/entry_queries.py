@@ -494,6 +494,76 @@ FROM carried WHERE _side = 1
 """
 
 
+def q_events_asof_null(spark, sf_dir):
+    """As-of join with NULLs in the right payload: pins the whole-row
+    struct-carry semantics (a NULL field in the LATEST matching right
+    row must surface as NULL, never be back-filled from an older
+    row).  Two derived payload columns with independent NULL patterns
+    prove fields never mix across right rows."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 10 == 0)
+    ).select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0, F.col("event_id") * 7)
+        .cast("long")
+        .alias("val"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.concat(F.lit("v"), (F.col("event_id") % 7).cast("string")),
+        ).alias("flag"),
+    )
+    out = asof_join(
+        clicks, views, on="user_id",
+        right_cols=["event_id", "val", "flag"], tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_val").alias("view_val"),
+        F.col("asof_flag").alias("view_flag"),
+    )
+
+
+SQL_EVENTS_ASOF_NULL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND event_id % 10 = 0),
+views AS (
+  SELECT user_id, ts, event_id,
+         CAST(CASE WHEN event_id % 3 <> 0 THEN event_id * 7 END AS BIGINT) AS val,
+         CASE WHEN event_id % 7 <> 0
+              THEN 'v' || CAST(event_id % 7 AS VARCHAR) END AS flag
+  FROM events WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, ts AS _ts, 1 AS _side, event_id,
+         CAST(NULL AS STRUCT(rid BIGINT, val BIGINT, flag VARCHAR)) AS payload
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts AS _ts, 0 AS _side, event_id,
+         struct_pack(rid := event_id, val := val, flag := flag) AS payload
+  FROM views),
+carried AS (
+  SELECT user_id, _side, event_id,
+         last_value(payload IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY _ts, _side, event_id
+           ROWS UNBOUNDED PRECEDING) AS p
+  FROM u)
+SELECT user_id, event_id,
+       struct_extract(p, 'rid') AS view_event_id,
+       struct_extract(p, 'val') AS view_val,
+       struct_extract(p, 'flag') AS view_flag
+FROM carried WHERE _side = 1
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup: one pass computes
     (day × type), per-day, and grand totals via GROUPING SETS —
@@ -1433,6 +1503,7 @@ QUERIES: dict[str, QueryFn] = {
     "per_key_count_binned": q_per_key_count_binned,
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
+    "events_asof_null": q_events_asof_null,
     "events_rollup": q_events_rollup,
     "distinct_sketch": q_distinct_sketch,
     "events_json": q_events_json,
@@ -1484,6 +1555,7 @@ ORACLE: dict[str, str] = {
     "per_key_count_binned": SQL_PER_KEY_COUNT_BINNED,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_asof_null": SQL_EVENTS_ASOF_NULL,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_json": SQL_EVENTS_JSON,
