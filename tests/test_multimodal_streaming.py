@@ -205,3 +205,15 @@ def test_stream_vcf_ingest_three_table_batch_parity(spark, tmp_path):
     rejects = spark.read.parquet(f"{out}/_rejects").drop("ingest_batch")
     assert rejects.count() == 1
     assert rejects.first()["reason"] == "multiallelic"
+    # finalize makes the streamed output a first-class store: the
+    # canonical batch queries run unchanged against it
+    from vcfdbr_spark.operators.query import filter_test
+    from vcfdbr_spark.sources.store import open_vcfdb
+
+    db = open_vcfdb(spark, out)
+    assert db.manifest.get("streamed") is True
+    assert db.samples.count() == 4
+    assert db.gene_map.count() >= 3
+    hits = filter_test(db.variant_impact, db.variant_info, "GENE2", af=0.9)
+    assert hits.count() > 0
+    assert db.pull([1, 4]).count() == 8

@@ -135,6 +135,45 @@ def stream_user_stats(
     )
 
 
+def _finalize_stream_store(spark: SparkSession, out_dir: str, header) -> None:
+    """Make the streamed output an openable VcfDb store: samples +
+    header metadata tables, gene_map rebuilt over every streamed
+    batch, and the store manifest — so a user queries a streamed
+    store exactly like a batch-built one (``open_vcfdb`` → filter /
+    pull / sql).  Idempotent: re-runs after each stream drain rewrite
+    only the small dimension tables."""
+    import json
+
+    from vcfdbr_spark.sources.store import build_gene_map
+    from vcfdbr_spark.sources.vcf import build_metadata
+
+    samples, metadata = build_metadata(spark, header)
+    samples.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/samples")
+    for section, df in metadata.items():
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/_meta/{section}"
+        )
+    try:
+        impact = spark.read.parquet(f"{out_dir}/variant_impact")
+    except Exception:
+        impact = None  # no CSQ in this VCF → no impact table
+    if impact is not None:
+        build_gene_map(impact).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/gene_map"
+        )
+    manifest = {
+        "mode": "table",
+        "geno_bucket_width": None,
+        "sections": sorted(metadata),
+        "samples": header.samples,
+        "bucketed": False,
+        "n_buckets": None,
+        "streamed": True,
+    }
+    with open(f"{out_dir}/_vcfdb_manifest.json", "w") as fh:
+        json.dump(manifest, fh)
+
+
 def stream_vcf_ingest(
     spark: SparkSession,
     vcf_dir: str,
@@ -143,6 +182,7 @@ def stream_vcf_ingest(
     header_path: str,
     multi_value: str = "melt",
     probe_rows: int = 1000,
+    finalize: bool = True,
 ) -> None:
     """Streaming VCF ingest with full three-table parity: new VCF text
     files appearing in ``vcf_dir`` are parsed with the SAME
@@ -168,7 +208,11 @@ def stream_vcf_ingest(
     writes its own ``ingest_batch=<id>`` partition directories,
     deleting any partial remnant of the same batch first; a replayed
     batch reuses its manifest-recorded ``id_start``, producing the
-    exact same rows it would have the first time."""
+    exact same rows it would have the first time.
+
+    ``finalize`` (default) writes samples / header metadata /
+    gene_map / the store manifest after the drain, so the streamed
+    output opens with ``open_vcfdb`` like a batch-built store."""
     import json
     import os
 
@@ -279,3 +323,5 @@ def stream_vcf_ingest(
         .start()
     )
     q.awaitTermination()
+    if finalize:
+        _finalize_stream_store(spark, out_dir, header)
