@@ -66,6 +66,22 @@ def test_minhash_signature_is_md5_slice_min(spark):
         assert sig[f"h{s}"] == want
 
 
+def test_dedup_components_chain(spark):
+    """Pairs chain across multiple hops: A~B, B~C, C~D must collapse
+    into ONE component keyed by the minimum id (the propagation loop
+    needs diameter-many rounds, not one)."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(3, 4), (4, 9), (9, 12), (20, 21), (30, 21)],
+        "a long, b long",
+    )
+    got = {
+        r["doc_id"]: r["keep_id"] for r in dedup_components(pairs).collect()
+    }
+    assert got == {3: 3, 4: 3, 9: 3, 12: 3, 20: 20, 21: 20, 30: 20}
+
+
 def test_band_buckets_shape(spark):
     sigs = minhash_signatures(_docs(spark), num_hashes=8)
     b = minhash_band_buckets(sigs)

@@ -988,10 +988,38 @@ def q_minhash_pairs(spark, sf_dir):
 
 SQL_MINHASH_PAIRS = _PAIRS_SQL
 
+# components via recursive transitive closure (the candidate graph is
+# LSH-bounded and tiny at oracle scale, so closure is cheap); keep_id
+# = min reachable id, matching min-label propagation's fixpoint
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+FROM reach GROUP BY src
+"""
+
 
 def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, minhash_dedup_pairs(docs))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH candidate pairs — the
+    dedup APPLY step (pairs chain, keep-lists need components).
+    Iterative min-label propagation (operators/dedup.py); the oracle
+    is a recursive-CTE transitive closure, so the driver value-checks
+    an ITERATIVE distributed algorithm against closed-form SQL."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_components(minhash_dedup_pairs(docs))
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -1518,6 +1546,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_sig": q_minhash_sig,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "pack_sequences": q_pack_sequences,
@@ -1570,6 +1599,7 @@ ORACLE: dict[str, str] = {
     "minhash_sig": SQL_MINHASH_SIG,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": SQL_SIMHASH,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "pack_sequences": SQL_PACK_SEQUENCES,

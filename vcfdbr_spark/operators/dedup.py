@@ -220,6 +220,82 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate ``(a, b)`` pairs —
+    the APPLY step of fuzzy dedup: pairs chain (A~B, B~C ⇒ keep one of
+    {A,B,C}), so the keep-list needs components, not pairs.  Returns
+    one row per doc appearing in any pair: ``(doc_id, keep_id)`` with
+    ``keep_id`` = the component's minimum id (deterministic).
+
+    Pregel-style min-label propagation on the DataFrame API: each
+    iteration sends every vertex the min label among its neighbors
+    (one join + one agg shuffle), converging in ≤ graph-diameter
+    iterations with a driver-side convergence check.  Near-dup graphs
+    are overwhelmingly tiny cliques/chains, so the loop exits after
+    2-3 rounds in practice; ``max_iter`` bounds pathological chains
+    (a longer chain than that means the LSH threshold is set wrong).
+    Each round persists its frame and unpersists the previous one, so
+    lineage and storage stay O(1) across iterations.
+
+    Scale shape: state is one (id, label) row per UNIQUE paired doc —
+    a small fraction of the corpus after LSH — never the corpus
+    itself; at billions of edges the same loop holds (this is the
+    textbook distributed-CC formulation; large-star/small-star halves
+    the round count if diameter ever matters).
+    """
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("_nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nc").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.select(F.col("src").alias("id"), "_nbr"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        # full count, NO limit: a limit() as the first action on a
+        # persisted frame truncates cache population (observed rows
+        # lost from later full reads of the cache)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("keep_id"))
+
+
 def simhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
