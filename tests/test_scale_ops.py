@@ -301,6 +301,25 @@ def test_asof_join_null_payload_whole_row_carry(spark):
     assert rows[102] == (None, None)
 
 
+def test_ivf_train_deterministic_and_bounded(spark):
+    """Quantized-space Lloyd training: centroid count stays ≤ nlist,
+    and two runs produce bit-identical centroids (integer sums +
+    floor-divided means — no float-order dependence)."""
+    from vcfdbr_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ivf_train(emb, nlist=8, n_iter=2)
+    c2 = ivf_train(emb, nlist=8, n_iter=2)
+    r1 = sorted(map(str, c1.collect()))
+    r2 = sorted(map(str, c2.collect()))
+    assert r1 == r2
+    assert 0 < len(r1) <= 8
+    # trained centroids are means, not corpus members: at least one
+    # must differ from every raw embedding
+    raw = {str(r["embedding"]) for r in emb.collect()}
+    assert any(str(r["embedding"]) not in raw for r in c1.collect())
+
+
 def test_ivf_centroid_count_bounded_as_corpus_grows(spark):
     """nlist is an ABSOLUTE centroid bound: doubling the corpus must
     not grow the centroid set (the r2 scale-killer was |C|/nlist_mod

@@ -1390,6 +1390,79 @@ QUALIFY rank <= 5
 """
 
 
+def q_embedding_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN over TRAINED centroids: deterministic quantized-space
+    k-means (2 Lloyd rounds) feeds ivf_topk's centroids parameter —
+    the production-recall path, value-checked against an oracle that
+    unrolls the same two iterations in SQL."""
+    from vcfdbr_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = ivf_train(emb, nlist=20, n_iter=2)
+    return ivf_topk(emb, queries, k=5, nprobe=3, centroids=cents)
+
+
+def _sql_ivf_trained(nlist=20, n_iter=2, nprobe=3, k=5, dim=64) -> str:
+    """Oracle for the trained-IVF query: the SAME Lloyd iterations the
+    Spark trainer runs, unrolled as CTE stages (exact integer sums and
+    floor-divided means make each round engine-identical)."""
+    parts = [
+        f"WITH base AS ({_EMB_BASE}),",
+        f"reps AS (SELECT min(vec_id) AS cent_id FROM embeddings GROUP BY vec_id % {nlist}),",
+        "cents0 AS (SELECT cent_id, v AS cv, n AS cn FROM base JOIN reps ON vec_id = cent_id),",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"cents{i - 1}"
+        parts.append(f"""assign{i} AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT b.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cos_sql('b.v', 'c.cv', 'b.n', 'c.cn')} DESC,
+                                       c.cent_id) AS r
+    FROM base b, {prev} c) WHERE r = 1),""")
+        parts.append(f"""dims{i} AS (
+  SELECT a.cent_id, g.pos,
+         CAST(floor(CAST(sum(list_extract(b.v, g.pos)) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM assign{i} a JOIN base b USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, {dim})) AS pos) g
+  GROUP BY a.cent_id, g.pos),""")
+        parts.append(f"""cents{i} AS (
+  SELECT cent_id, cv, list_sum(list_transform(cv, x -> x * x)) AS cn FROM (
+    SELECT cent_id, list(m ORDER BY pos) AS cv FROM dims{i} GROUP BY cent_id)),""")
+    last = f"cents{n_iter}"
+    parts.append(f"""fassign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT b.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cos_sql('b.v', 'c.cv', 'b.n', 'c.cn')} DESC,
+                                       c.cent_id) AS r
+    FROM base b, {last} c) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM base WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT query_id, cent_id, qv, qn FROM (
+    SELECT q.query_id, c.cent_id, q.qv, q.qn,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qv', 'c.cv', 'q.qn', 'c.cn')} DESC,
+                                       c.cent_id) AS r
+    FROM q, {last} c) WHERE r <= {nprobe}),
+scored AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS cand_id,
+         {_cos_sql('p.qv', 'b.v', 'p.qn', 'b.n')} AS score
+  FROM probes p
+  JOIN fassign a ON a.cent_id = p.cent_id
+  JOIN base b ON b.vec_id = a.vec_id
+  WHERE b.vec_id <> p.query_id)
+SELECT query_id, cand_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}""")
+    return "\n".join(parts)
+
+
+SQL_EMBEDDING_IVF_TRAINED_TOPK = _sql_ivf_trained()
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs via sign-LSH buckets."""
     from vcfdbr_spark.operators.similarity import embedding_dup_pairs
@@ -1557,6 +1630,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
 }
 
@@ -1610,5 +1684,6 @@ ORACLE: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
+    "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
 }

@@ -201,6 +201,64 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 64,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means (Lloyd) centroid training for the IVF
+    index — the production-recall path ``ivf_centroids``'s docstring
+    defers to, now in-engine.
+
+    Init = the ``nlist`` hash-bucket representatives (no RNG); each
+    iteration is (1) nearest-centroid assignment (centroids broadcast,
+    O(|C|·nlist) — same plan as ``ivf_assign``) and (2) new centroids
+    as the per-dimension MEAN of the QUANTIZED member vectors,
+    floor-divided — exact integer sums, so the result is identical on
+    any partitioning/engine (floating-point k-means is famously
+    order-dependent; this formulation is oracle-checkable in SQL).
+    The mean maps back to float space as ``m/1000.0``, which
+    re-quantizes to exactly ``m`` downstream — no drift between
+    training space and scoring space.
+
+    Empty clusters drop out (both engines identically).  Fixed
+    ``n_iter`` rather than a convergence test keeps the plan finite
+    and the oracle expressible; 2-3 Lloyd rounds capture most of the
+    recall gain over raw representatives.  Each round's centroid
+    frame is tiny (≤ nlist rows) and persisted before the next
+    assignment broadcast.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist=nlist)
+    qcorp = with_quantized(corpus, vec_col).select(
+        F.col(id_col), F.col("_qv")
+    ).persist()
+    for _ in range(n_iter):
+        cents = cents.persist()
+        assign = ivf_assign(corpus, id_col, vec_col, centroids=cents)
+        dims = (
+            qcorp.join(assign, id_col)
+            .select("cent_id", F.posexplode("_qv").alias("pos", "v"))
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("m")
+            )
+        )
+        cents = dims.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m").cast("double") / 1000.0,
+            ).alias(vec_col)
+        ).select(F.col("cent_id").alias(id_col), vec_col)
+    qcorp.unpersist()
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
