@@ -94,7 +94,8 @@ def main() -> int:
                 f"PASS {name}: rows={len(got)} cols={len(got.columns)} "
                 f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
             )
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    n_run = len(only) if only else len(qs)
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
 
 

@@ -246,16 +246,26 @@ def dedup_components(
     textbook distributed-CC formulation; large-star/small-star halves
     the round count if diameter ever matters).
     """
+    # Both directions via one explode, NOT union(pairs, pairs-swapped):
+    # a union of two references to the same (typically expensive,
+    # LSH+verify) upstream plan computes that plan twice when edges
+    # first materializes — explode evaluates it once.
     edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     edges = edges.persist()
-    labels = (
+    cached = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
         .persist()
     )
+    labels = cached
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -276,20 +286,23 @@ def dedup_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
                 ).alias("comp"),
+                # convergence flag carried on the frame itself — the
+                # check below is then a filter+count on the persisted
+                # cache, not another join against the old labels
+                (
+                    F.col("_nbr").isNotNull()
+                    & (F.col("_nbr") < F.col("comp"))
+                ).alias("_changed"),
             )
             .persist()
         )
         # full count, NO limit: a limit() as the first action on a
         # persisted frame truncates cache population (observed rows
         # lost from later full reads of the cache)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter("_changed").count()
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()

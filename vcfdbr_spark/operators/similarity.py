@@ -158,6 +158,44 @@ def ivf_centroids(
     return corpus.filter(F.col(id_col) % nlist_mod == 0).select(id_col, vec_col)
 
 
+def _quantized_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_vid, vv, vn) projection of ``with_quantized`` — the shared
+    scoring-side shape for assignment."""
+    return with_quantized(df, vec_col).select(
+        F.col(id_col).alias("_vid"),
+        F.col("_qv").alias("vv"),
+        F.col("_norm").alias("vn"),
+    )
+
+
+def _nearest_centroid(qc: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector — shuffle-light argmin.
+
+    The centroid side is broadcast, so all |centroids| candidate rows
+    for a given vector are produced inside the partition that holds
+    the vector; the ``max(struct)`` aggregate collapses them MAP-SIDE
+    (partial aggregation) and the exchange carries one row per vector
+    — not the |C|·|centroids| rows a ``row_number`` window would
+    shuffle.  Tie-break identical to the old window (score desc, then
+    cent_id asc): ``max`` of ``(score, -cent_id)`` is a total order,
+    so the result is deterministic.
+
+    ``qc``: ``(_vid, vv, vn)`` quantized vectors; ``cents``:
+    ``(cent_id, cv, cn)`` quantized centroids.  Returns
+    ``(_vid, cent_id)``.
+    """
+    scored = qc.join(F.broadcast(cents)).withColumn(
+        "score",
+        cosine_score(F.col("vv"), F.col("cv"), F.col("vn"), F.col("cn")),
+    )
+    best = scored.groupBy("_vid").agg(
+        F.max(
+            F.struct(F.col("score"), (-F.col("cent_id")).alias("_nc"))
+        ).alias("_b")
+    )
+    return best.select("_vid", (-F.col("_b._nc")).alias("cent_id"))
+
+
 def ivf_assign(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -174,30 +212,20 @@ def ivf_assign(
     Scale shape: |C| × |centroids| scored with the centroid side
     broadcast (bounded when |centroids| is — use ``nlist`` or an
     external frame, never ``nlist_mod``, past ~10⁷ vectors); the
-    output is the inverted index, built once and reused across
-    queries.
+    argmin is a partial-aggregated ``max(struct)``, so the exchange
+    carries |C| rows, not |C|·|centroids|.  The output is the
+    inverted index, built once and reused across queries.
     """
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, nlist_mod, nlist)
-    c = with_quantized(corpus, vec_col).select(
-        F.col(id_col).alias("_vid"),
-        F.col("_qv").alias("vv"),
-        F.col("_norm").alias("vn"),
-    )
+    qc = _quantized_vectors(corpus, id_col, vec_col)
     cents = with_quantized(centroids, vec_col).select(
         F.col(id_col).alias("cent_id"),
         F.col("_qv").alias("cv"),
         F.col("_norm").alias("cn"),
     )
-    scored = c.join(F.broadcast(cents)).withColumn(
-        "score",
-        cosine_score(F.col("vv"), F.col("cv"), F.col("vn"), F.col("cn")),
-    )
-    w = Window.partitionBy("_vid").orderBy(F.col("score").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(F.col("_vid").alias(id_col), "cent_id")
+    return _nearest_centroid(qc, cents).select(
+        F.col("_vid").alias(id_col), "cent_id"
     )
 
 
@@ -231,15 +259,21 @@ def ivf_train(
     assignment broadcast.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, nlist=nlist)
-    qcorp = with_quantized(corpus, vec_col).select(
-        F.col(id_col), F.col("_qv")
-    ).persist()
+    # One quantization of the corpus, persisted, reused by EVERY
+    # iteration's assignment and mean step — without this each Lloyd
+    # round re-scans and re-quantizes the corpus from source.
+    qcorp = _quantized_vectors(corpus, id_col, vec_col).persist()
     for _ in range(n_iter):
         cents = cents.persist()
-        assign = ivf_assign(corpus, id_col, vec_col, centroids=cents)
+        cq = with_quantized(cents, vec_col).select(
+            F.col(id_col).alias("cent_id"),
+            F.col("_qv").alias("cv"),
+            F.col("_norm").alias("cn"),
+        )
+        assign = _nearest_centroid(qcorp, cq)
         dims = (
-            qcorp.join(assign, id_col)
-            .select("cent_id", F.posexplode("_qv").alias("pos", "v"))
+            qcorp.join(assign, "_vid")
+            .select("cent_id", F.posexplode("vv").alias("pos", "v"))
             .groupBy("cent_id", "pos")
             .agg(
                 F.floor(
