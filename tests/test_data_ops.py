@@ -82,6 +82,32 @@ def test_dedup_components_chain(spark):
     assert got == {3: 3, 4: 3, 9: 3, 12: 3, 20: 20, 21: 20, 30: 20}
 
 
+def test_corpus_dedup_retention(spark):
+    """Retained corpus = all docs minus non-keep members of each
+    component; every component's keep_id survives and never-paired
+    docs are untouched."""
+    from vcfdbr_spark.entry_queries import q_corpus_dedup
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    docs = _docs(spark).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text"))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        kept = {r["doc_id"] for r in q_corpus_dedup(spark, d).collect()}
+    comps = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup_components(minhash_dedup_pairs(docs)).collect()
+    }
+    dropped = {d_ for d_, k in comps.items() if d_ != k}
+    assert kept == {1, 2, 3, 4, 5} - dropped
+    assert set(comps.values()) <= kept  # every keep_id retained
+    assert {4, 5} <= kept  # never-paired docs untouched
+
+
 def test_band_buckets_shape(spark):
     sigs = minhash_signatures(_docs(spark), num_hashes=8)
     b = minhash_band_buckets(sigs)

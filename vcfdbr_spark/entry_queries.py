@@ -1022,6 +1022,46 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_components(minhash_dedup_pairs(docs))
 
 
+def q_corpus_dedup(spark, sf_dir):
+    """Retained corpus after fuzzy dedup — the terminal APPLY step a
+    training pipeline actually ships: drop every doc whose component
+    keeps a different doc, keep everything else (including all
+    never-paired docs).  One left-anti join of the corpus against the
+    LSH-bounded drop list; AQE picks broadcast-anti when the drop list
+    is small and falls back to a shuffle-anti otherwise — the corpus is
+    never self-joined.  Projects metadata only (text stays prunable at
+    the scan)."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    drops = (
+        dedup_components(minhash_dedup_pairs(docs))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_CORPUS_DEDUP = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+  FROM reach GROUP BY src)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id)
+"""
+
+
 SQL_NGRAM_JACCARD = f"""
 WITH cand AS ({_PAIRS_SQL}),
 sets_ AS (
@@ -1620,6 +1660,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_dedup": q_corpus_dedup,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "pack_sequences": q_pack_sequences,
@@ -1674,6 +1715,7 @@ ORACLE: dict[str, str] = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "corpus_dedup": SQL_CORPUS_DEDUP,
     "simhash": SQL_SIMHASH,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "pack_sequences": SQL_PACK_SEQUENCES,
