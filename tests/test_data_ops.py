@@ -108,6 +108,25 @@ def test_corpus_dedup_retention(spark):
     assert {4, 5} <= kept  # never-paired docs untouched
 
 
+def test_dedup_keep_best_by_score(spark):
+    """Component {3,4,9} keeps 9 (longest), not min-id 3; ties fall
+    back to the minimum id (component {20,21})."""
+    from vcfdbr_spark.operators.dedup import dedup_keep_best
+
+    pairs = spark.createDataFrame(
+        [(3, 4), (4, 9), (20, 21)], "a long, b long"
+    )
+    docs = spark.createDataFrame(
+        [(3, 10), (4, 12), (9, 99), (20, 7), (21, 7)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup_keep_best(pairs, docs).collect()
+    }
+    assert got == {3: 9, 4: 9, 9: 9, 20: 20, 21: 20}
+
+
 def test_band_buckets_shape(spark):
     sigs = minhash_signatures(_docs(spark), num_hashes=8)
     b = minhash_band_buckets(sigs)

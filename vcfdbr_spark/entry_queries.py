@@ -445,6 +445,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (long→wide one-hot aggregation): per-day event-type
+    counts as columns.  The value list is FIXED — passing it to
+    ``pivot()`` skips the distinct pre-scan job Spark otherwise runs
+    just to discover the column set (an extra full pass over the fact
+    table at scale), leaving a single groupBy of conditional
+    aggregates: one shuffle, map-side partials."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = "\n".join(
+    ["SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"]
+    + [
+        f"  CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t},"
+        for t in _PIVOT_TYPES
+    ]
+)[:-1] + "\nFROM events GROUP BY 1"
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (operators/asof.py): each sampled 'click' event gets
     the user's latest prior-or-simultaneous 'view' event — the
@@ -1062,6 +1097,40 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id)
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware keep selection (operators/dedup.py): each
+    component keeps its longest member, not its minimum id — min-id
+    keep biases the retained corpus toward ingest order.  Value-checks
+    the iterative component loop THROUGH a per-component ranking
+    window against a closed-form recursive-CTE + QUALIFY oracle."""
+    from vcfdbr_spark.operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_keep_best(minhash_dedup_pairs(docs), docs)
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+  FROM reach GROUP BY src),
+best AS (
+  SELECT c.keep_id AS comp_, c.doc_id AS best_
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+  QUALIFY row_number() OVER (
+    PARTITION BY c.keep_id ORDER BY d.n_chars DESC, c.doc_id) = 1)
+SELECT c.doc_id, b.best_ AS keep_id
+FROM comp c JOIN best b ON b.comp_ = c.keep_id
+"""
+
+
 SQL_NGRAM_JACCARD = f"""
 WITH cand AS ({_PAIRS_SQL}),
 sets_ AS (
@@ -1128,6 +1197,33 @@ SELECT md5(text) AS text_hash,
        MIN(doc_id) AS keep_id,
        COUNT(*) AS n_dups
 FROM norm GROUP BY md5(text)
+"""
+
+
+def q_doc_len_quantiles(spark, sf_dir):
+    """Exact grouped percentiles (``percentile`` ↔ ``quantile_cont``
+    parity): per-language doc-length quartiles + p90.  Exact
+    percentile sorts inside the aggregate — right for grouped stats
+    where each group fits an executor; the corpus-wide single-pass
+    variant is ``approx_percentile`` (same call shape, mergeable
+    sketch) when groups don't."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.percentile("n_chars", q), 6).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ],
+    )
+
+
+SQL_DOC_LEN_QUANTILES = """
+SELECT lang, COUNT(*) AS n,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90
+FROM documents GROUP BY lang
 """
 
 
@@ -1365,6 +1461,52 @@ SELECT query_id, cand_id, score,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= 5
+"""
+
+
+def q_lsh_recall(spark, sf_dir):
+    """ANN quality measurement: recall@5 of the multi-band sign-LSH
+    top-k against the brute-force exact top-k, per query — "measure,
+    don't guess" for the approximate scale path.  One semi-join of
+    the two top-k frames (both |Q|·k rows, tiny) after the searches
+    themselves; the searches share the one embeddings scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    bf = brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
+    ls = lsh_topk(emb, queries, k=5, n_bands=8, bits_per_band=8).select(
+        "query_id", "cand_id"
+    )
+    hits = (
+        bf.join(ls, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH bf AS (SELECT query_id, cand_id FROM ({SQL_EMBEDDING_TOPK})),
+lsh AS (SELECT query_id, cand_id FROM ({SQL_EMBEDDING_LSH_TOPK})),
+hits AS (
+  SELECT bf.query_id, COUNT(*) AS n
+  FROM bf JOIN lsh USING (query_id, cand_id)
+  GROUP BY bf.query_id)
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN hits h USING (query_id)
 """
 
 
@@ -1661,6 +1803,10 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "corpus_dedup": q_corpus_dedup,
+    "dedup_keep_best": q_dedup_keep_best,
+    "events_pivot": q_events_pivot,
+    "doc_len_quantiles": q_doc_len_quantiles,
+    "lsh_recall": q_lsh_recall,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "pack_sequences": q_pack_sequences,
@@ -1716,6 +1862,10 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "corpus_dedup": SQL_CORPUS_DEDUP,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
+    "lsh_recall": SQL_LSH_RECALL,
     "simhash": SQL_SIMHASH,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "pack_sequences": SQL_PACK_SEQUENCES,

@@ -309,6 +309,48 @@ def dedup_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("keep_id"))
 
 
+def dedup_keep_best(
+    pairs: DataFrame,
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keep selection: like :func:`dedup_components`,
+    but each component keeps its HIGHEST-``score_col`` member
+    (tiebreak: minimum id) instead of the minimum id.  Production
+    dedup pipelines keep the best-quality representative, not an
+    arbitrary one — min-id keep silently biases the retained corpus
+    toward whatever happened to be ingested first.
+
+    Returns ``(doc_id, keep_id)`` for every doc in any pair, where
+    ``keep_id`` is the component's best-scoring member.
+
+    Scale shape: the component frame holds only LSH-paired docs (a
+    small fraction of the corpus); the score join touches only those
+    ids, and the per-component window partitions by component label —
+    components are tiny cliques/chains, so no skewed partition.
+    """
+    comps = dedup_components(pairs)
+    from pyspark.sql import Window
+
+    scored = comps.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
+        "doc_id",
+    )
+    w = Window.partitionBy("keep_id").orderBy(
+        F.desc("_s"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("keep_id").alias("_comp"), F.col("doc_id").alias("_best"))
+    )
+    return (
+        comps.join(best, comps["keep_id"] == best["_comp"])
+        .select("doc_id", F.col("_best").alias("keep_id"))
+    )
+
+
 def simhash_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
