@@ -746,6 +746,37 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_user_event_history(spark, sf_dir):
+    """Ordered collect (``array_agg`` with a defined order): per-user
+    chronological event-type sequence — behavioral-sequence building,
+    an LLM training-data staple.  Spark's ``collect_list`` has no
+    intra-group order guarantee, so the portable recipe is collect
+    structs → ``array_sort`` (structs sort lexicographically by field
+    order) → project + join: deterministic on any partitioning.  One
+    shuffle; the serialized string keeps the result hashable by the
+    driver's canonicalizer (arrays aren't)."""
+    ev = _events(spark, sf_dir)
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                ",", F.transform(seq, lambda s: s["event_type"])
+            ).alias("history"),
+        )
+    )
+
+
+SQL_USER_EVENT_HISTORY = """
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS history
+FROM events GROUP BY user_id
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing: documents→binary media table →
     Arrow-batched mapInPandas decode (deterministic stub decoder).
@@ -1807,6 +1838,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_pivot": q_events_pivot,
     "doc_len_quantiles": q_doc_len_quantiles,
     "lsh_recall": q_lsh_recall,
+    "user_event_history": q_user_event_history,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "pack_sequences": q_pack_sequences,
@@ -1866,6 +1898,7 @@ ORACLE: dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
     "lsh_recall": SQL_LSH_RECALL,
+    "user_event_history": SQL_USER_EVENT_HISTORY,
     "simhash": SQL_SIMHASH,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "pack_sequences": SQL_PACK_SEQUENCES,
