@@ -61,6 +61,10 @@ DATA_QUERIES = [
     "embedding_ivf_topk",
     "embedding_dup_pairs",
     "multimodal_decode",
+    "events_pivot",
+    "doc_len_quantiles",
+    "user_event_history",
+    "lsh_recall",
 ]
 
 GENE_SWEEP = [f"G{i:03d}" for i in range(1, 201, 10)]  # 20 genes

@@ -1512,9 +1512,11 @@ def q_lsh_recall(spark, sf_dir):
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
+    # query-id universe from the (cheap) query frame, NOT from bf:
+    # reusing bf here would re-run the whole brute-force search a
+    # second time (Catalyst does not dedupe repeated subtrees)
     return (
-        bf.select("query_id")
-        .distinct()
+        queries.select(F.col("vec_id").alias("query_id"))
         .join(hits, "query_id", "left")
         .select(
             "query_id",
@@ -1536,7 +1538,7 @@ hits AS (
 SELECT q.query_id,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
        round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_5
-FROM (SELECT DISTINCT query_id FROM bf) q
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0) q
 LEFT JOIN hits h USING (query_id)
 """
 
