@@ -127,6 +127,35 @@ def test_dedup_keep_best_by_score(spark):
     assert got == {3: 9, 4: 9, 9: 9, 20: 20, 21: 20}
 
 
+def test_incremental_dedup_probes_index(spark):
+    """A new exact-dup of an indexed doc is caught by probing the
+    stored band index; new-vs-new dups are caught too; pairs come out
+    in canonical a<b order."""
+    from vcfdbr_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_band_buckets,
+    )
+
+    old = _docs(spark)  # ids 1-5
+    index = minhash_band_buckets(minhash_signatures(old))
+    new = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog"),  # dup of 1,2
+            (12, "unrelated brand new content entirely here now"),
+            (13, "unrelated brand new content entirely here now"),  # dup of 12
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in incremental_dedup_pairs(new, index).collect()
+    }
+    assert (1, 11) in got and (2, 11) in got  # cross: new vs indexed
+    assert (12, 13) in got  # new vs new
+    assert all(a < b for a, b in got)
+    assert not any(a in (3, 4, 5) and b in (3, 4, 5) for a, b in got)
+
+
 def test_band_buckets_shape(spark):
     sigs = minhash_signatures(_docs(spark), num_hashes=8)
     b = minhash_band_buckets(sigs)

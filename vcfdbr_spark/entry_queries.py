@@ -23,6 +23,7 @@ from vcfdbr_spark import simdata
 from vcfdbr_spark.functions.text import lang_guess, quality_stats, token_count
 from vcfdbr_spark.operators.dedup import (
     exact_dedup,
+    minhash_band_buckets,
     minhash_dedup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -1128,6 +1129,39 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id)
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup (operators/dedup.py): docs with
+    ``doc_id % 5 == 4`` arrive as the NEW batch; the rest are the
+    already-indexed corpus (band index built once, persisted in
+    production).  Candidates = new-vs-indexed probes + new-vs-new —
+    the indexed corpus is never re-signed."""
+    from vcfdbr_spark.operators.dedup import incremental_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    index = minhash_band_buckets(
+        minhash_signatures(docs.filter(F.col("doc_id") % 5 != 4))
+    )
+    return incremental_dedup_pairs(docs.filter(F.col("doc_id") % 5 == 4), index)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH bands AS ({_BANDS_SQL}),
+oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
+newb AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+cross_ AS (
+  SELECT DISTINCT least(o.doc_id, n.doc_id) AS a,
+         greatest(o.doc_id, n.doc_id) AS b
+  FROM oldb o JOIN newb n
+    ON o.band = n.band AND o.bucket = n.bucket AND o.doc_id <> n.doc_id),
+nn AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM newb x JOIN newb y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+SELECT DISTINCT a, b
+FROM (SELECT a, b FROM cross_ UNION ALL SELECT a, b FROM nn)
+"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware keep selection (operators/dedup.py): each
     component keeps its longest member, not its minimum id — min-id
@@ -1837,6 +1871,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": q_dedup_clusters,
     "corpus_dedup": q_corpus_dedup,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_incremental": q_dedup_incremental,
     "events_pivot": q_events_pivot,
     "doc_len_quantiles": q_doc_len_quantiles,
     "lsh_recall": q_lsh_recall,
@@ -1897,6 +1932,7 @@ ORACLE: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "corpus_dedup": SQL_CORPUS_DEDUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "events_pivot": SQL_EVENTS_PIVOT,
     "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
     "lsh_recall": SQL_LSH_RECALL,

@@ -309,6 +309,57 @@ def dedup_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("keep_id"))
 
 
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    max_words: int = 50,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental fuzzy dedup: near-dup candidate pairs of a NEW
+    document batch against an existing corpus's persisted MinHash band
+    index (``minhash_band_buckets`` output, stored once), plus
+    new-vs-new pairs — WITHOUT re-signing the indexed corpus.  This is
+    the production shape: at 100 TB you LSH the corpus once, persist
+    the ``(doc_id, band, bucket)`` index, and each ingest batch only
+    signs itself and probes the index.
+
+    Returns distinct ``(a, b)`` with ``a < b`` (canonical order across
+    cross and new-new pairs).
+
+    Scale shape: the new batch's band frame is tiny relative to the
+    index, so AQE broadcasts it and the probe is a map-side join over
+    the index scan — the index is never shuffled.  Storing the index
+    bucketed by ``bucket`` makes the probe partition-prunable as well.
+    The band frame is persisted: it feeds both the cross probe and the
+    new-new self-join, and Catalyst does not dedupe repeated subtrees.
+    """
+    new_b = minhash_band_buckets(
+        minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_n, max_words
+        ),
+        id_col=id_col,
+        rows_per_band=rows_per_band,
+    ).persist()
+    cross = (
+        index.select("band", "bucket", F.col(id_col).alias("_x"))
+        .join(
+            new_b.select("band", "bucket", F.col(id_col).alias("_y")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("_x") != F.col("_y"))
+        .select(
+            F.least("_x", "_y").alias("a"),
+            F.greatest("_x", "_y").alias("b"),
+        )
+    )
+    out = cross.unionByName(lsh_candidate_pairs(new_b, id_col)).distinct()
+    return out
+
+
 def dedup_keep_best(
     pairs: DataFrame,
     docs: DataFrame,
