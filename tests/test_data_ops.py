@@ -156,6 +156,29 @@ def test_incremental_dedup_probes_index(spark):
     assert not any(a in (3, 4, 5) and b in (3, 4, 5) for a, b in got)
 
 
+def test_cap_per_group_partition_invariant(spark):
+    """The two-phase cap returns the same rows as the naive global
+    window on any input partitioning (the local pre-cap may discard
+    different doomed rows, never a winner)."""
+    from vcfdbr_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "en" if i % 4 else "fr") for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, lang string")
+    want = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r["doc_id"], r["lang"], r["rk"])
+            for r in cap_per_group(
+                base.repartition(parts), "lang", 10
+            ).collect()
+        )
+        assert len(got) == 20  # 10 per lang
+        if want is None:
+            want = got
+        assert got == want
+    assert all(1 <= rk <= 10 for _, _, rk in want)
+
+
 def test_band_buckets_shape(spark):
     sigs = minhash_signatures(_docs(spark), num_hashes=8)
     b = minhash_band_buckets(sigs)

@@ -1292,6 +1292,28 @@ FROM documents GROUP BY lang
 """
 
 
+def q_corpus_balance(spark, sf_dir):
+    """Per-group cap / corpus balancing (operators/sampling.py): keep
+    at most 40 docs per language, ranked by a deterministic md5
+    shuffle key — down-weights over-represented languages without an
+    RNG.  Two-phase: per-partition local cap bounds the skewed-group
+    sort, then a global window ranks only survivors."""
+    from vcfdbr_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cap_per_group(docs, "lang", 40)
+
+
+SQL_CORPUS_BALANCE = """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (
+         PARTITION BY lang
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+FROM documents
+QUALIFY rk <= 40
+"""
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide n-gram frequency (vocab/contamination analysis):
     explode word bigrams → one hash-partial-agg shuffle → top-50 with
@@ -1874,6 +1896,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": q_dedup_incremental,
     "events_pivot": q_events_pivot,
     "doc_len_quantiles": q_doc_len_quantiles,
+    "corpus_balance": q_corpus_balance,
     "lsh_recall": q_lsh_recall,
     "user_event_history": q_user_event_history,
     "simhash": q_simhash,
@@ -1935,6 +1958,7 @@ ORACLE: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "events_pivot": SQL_EVENTS_PIVOT,
     "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
+    "corpus_balance": SQL_CORPUS_BALANCE,
     "lsh_recall": SQL_LSH_RECALL,
     "user_event_history": SQL_USER_EVENT_HISTORY,
     "simhash": SQL_SIMHASH,

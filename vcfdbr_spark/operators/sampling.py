@@ -33,6 +33,55 @@ def deterministic_sample(
     return df.filter(md5_bernoulli(F.col(key_col), sixteenths))
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-group cap (corpus balancing): deterministically keep at
+    most ``n`` rows per ``group_col``, ranked by the md5 of
+    ``key_col`` (a stable engine-portable shuffle order, so the cap
+    is repeatable and RNG-free) with the raw key as tiebreak.
+
+    Scale shape — the naive single window per group sorts each
+    ENTIRE group in one task; when one group is half the corpus
+    (English on the web), that task gets half the data.  Two phases
+    fix it: (1) a per-(group, input-partition) local rank caps each
+    partition's contribution to ``n`` rows — any row below its
+    partition's top-``n`` cannot be in the group's global top-``n``,
+    so the filter is exact; (2) the global window then ranks at most
+    ``n × num_partitions`` survivors per group.  Emits ``rank_col``
+    (1-based) alongside the input columns.
+
+    Recompute-safe despite using ``spark_partition_id``: a global
+    top-``n`` row is within the top-``n`` of ANY partition it can land
+    in (a subset preserves relative order), so it survives phase 1
+    under every pid assignment — pid influences only which
+    already-doomed rows are discarded early, never the result (cf. the
+    ids.py rule: pid must never define persisted semantics).
+    """
+    from pyspark.sql import Window
+
+    local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    pre = (
+        df.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= n)
+        .drop("_lrk")
+    )
+    glob = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        pre.withColumn(rank_col, F.row_number().over(glob))
+        .filter(F.col(rank_col) <= n)
+        .withColumn(rank_col, F.col(rank_col).cast("long"))
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, int]
 ) -> DataFrame:
