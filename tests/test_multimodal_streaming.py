@@ -72,6 +72,47 @@ def test_stream_events_windowed(spark, tmp_path):
     assert rows[1]["event_type"] == "view"
 
 
+def test_stream_fuzzy_dedup_pairs_across_batches(spark, tmp_path):
+    """Batch 2's near-dup of a batch-1 doc is found by probing the
+    band index (cross-batch), its in-batch dup by the self-join; the
+    index accumulates one partition per batch."""
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text about spark engines"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog"),
+            (12, "unrelated brand new content entirely here now"),
+            (13, "unrelated brand new content entirely here now"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    out = tmp_path / "dedup_out"
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out), max_files_per_trigger=1
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(out / "pairs")).collect()
+    }
+    assert (1, 11) in pairs  # cross-batch, via the index probe
+    assert (12, 13) in pairs  # in-batch
+    assert (1, 2) not in pairs
+    import glob
+
+    assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 2
+
+
 def test_stream_dedup_drops_duplicates_across_batches(spark, tmp_path):
     from vcfdbr_spark.streaming.ingest import stream_dedup
 

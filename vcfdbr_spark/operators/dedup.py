@@ -344,10 +344,20 @@ def incremental_dedup_pairs(
         id_col=id_col,
         rows_per_band=rows_per_band,
     ).persist()
+    return band_probe_pairs(new_b, index, id_col)
+
+
+def band_probe_pairs(
+    new_bands: DataFrame, index: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs of a (persisted) new band frame against a
+    stored band index, plus new-vs-new pairs — the probe step shared
+    by :func:`incremental_dedup_pairs` and the streaming fuzzy dedup.
+    Caller persists ``new_bands`` (it feeds both joins)."""
     cross = (
         index.select("band", "bucket", F.col(id_col).alias("_x"))
         .join(
-            new_b.select("band", "bucket", F.col(id_col).alias("_y")),
+            new_bands.select("band", "bucket", F.col(id_col).alias("_y")),
             ["band", "bucket"],
         )
         .filter(F.col("_x") != F.col("_y"))
@@ -356,8 +366,7 @@ def incremental_dedup_pairs(
             F.greatest("_x", "_y").alias("b"),
         )
     )
-    out = cross.unionByName(lsh_candidate_pairs(new_b, id_col)).distinct()
-    return out
+    return cross.unionByName(lsh_candidate_pairs(new_bands, id_col)).distinct()
 
 
 def dedup_keep_best(

@@ -20,6 +20,8 @@ checkpointLocation replace the .progress.RData file, and
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,6 +86,78 @@ def stream_dedup(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+
+
+def stream_fuzzy_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming incremental fuzzy dedup: each micro-batch is
+    MinHash-signed once, probed against the band index accumulated
+    from all PRIOR batches (near-dup pairs across the whole stream
+    history), then its own bands are appended to the index — the
+    streaming twin of ``operators.dedup.incremental_dedup_pairs``.
+    Per-batch cost is O(|batch| + probe); stream history is touched
+    only through the index scan, never re-signed.
+
+    Layout under ``out_dir`` (both partitioned by ``batch=N``):
+
+    - ``band_index/`` — ``(doc_id, band, bucket)``, the growing index
+    - ``pairs/`` — ``(a, b)`` candidate pairs found by each batch
+
+    Exactly-once under replays: both writes go to per-batch partition
+    dirs with delete-before-write, and the probe excludes the current
+    batch's own partition, so a replayed batch recomputes identical
+    output instead of pairing against its stale self.
+    """
+    import glob as _glob
+    import shutil
+
+    from vcfdbr_spark.operators.dedup import (
+        band_probe_pairs,
+        lsh_candidate_pairs,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    idx_dir = os.path.join(out_dir, "band_index")
+    pairs_dir = os.path.join(out_dir, "pairs")
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bands = minhash_band_buckets(minhash_signatures(batch_df)).persist()
+        prior = [
+            d
+            for d in sorted(_glob.glob(os.path.join(idx_dir, "batch=*")))
+            if not d.endswith(f"batch={batch_id}")
+        ]
+        if prior:
+            index = spark.read.parquet(*prior)
+            pairs = band_probe_pairs(bands, index)
+        else:
+            pairs = lsh_candidate_pairs(bands)
+        for d in (
+            os.path.join(pairs_dir, f"batch={batch_id}"),
+            os.path.join(idx_dir, f"batch={batch_id}"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+        pairs.write.parquet(os.path.join(pairs_dir, f"batch={batch_id}"))
+        bands.write.parquet(os.path.join(idx_dir, f"batch={batch_id}"))
+        bands.unpersist()
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def stream_user_stats(
