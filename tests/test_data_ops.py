@@ -156,6 +156,33 @@ def test_incremental_dedup_probes_index(spark):
     assert not any(a in (3, 4, 5) and b in (3, 4, 5) for a, b in got)
 
 
+def test_incremental_equals_full_batch_restricted(spark):
+    """Invariant: incremental pairs (new batch vs old index, plus
+    new-new) == the full-corpus LSH pairs restricted to pairs touching
+    at least one new doc.  Pins that the index probe loses nothing vs
+    a from-scratch run."""
+    from vcfdbr_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_band_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    inc = {
+        (r["a"], r["b"])
+        for r in incremental_dedup_pairs(
+            new, minhash_band_buckets(minhash_signatures(old))
+        ).collect()
+    }
+    full = {
+        (r["a"], r["b"])
+        for r in minhash_dedup_pairs(docs).collect()
+        if r["a"] % 5 == 4 or r["b"] % 5 == 4
+    }
+    assert inc == full
+
+
 def test_cap_per_group_partition_invariant(spark):
     """The two-phase cap returns the same rows as the naive global
     window on any input partitioning (the local pre-cap may discard

@@ -19,6 +19,12 @@ __all__ = [
     "open_vcfdb",
     "build_vcfdb_resumable",
     "append_vcf",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "dedup_components",
+    "dedup_keep_best",
+    "incremental_dedup_pairs",
+    "cap_per_group",
 ]
 __version__ = "0.2.0"
 
@@ -38,4 +44,18 @@ def __getattr__(name: str):
         from vcfdbr_spark.sources import build
 
         return getattr(build, name)
+    if name in (
+        "exact_dedup",
+        "minhash_dedup_pairs",
+        "dedup_components",
+        "dedup_keep_best",
+        "incremental_dedup_pairs",
+    ):
+        from vcfdbr_spark.operators import dedup
+
+        return getattr(dedup, name)
+    if name == "cap_per_group":
+        from vcfdbr_spark.operators import sampling
+
+        return sampling.cap_per_group
     raise AttributeError(name)
