@@ -29,6 +29,31 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     assert "(2 rows)" in capsys.readouterr().out
 
 
+def test_cli_dedup(spark, tmp_path, capsys):
+    """`vcfdb dedup` writes pairs/components/corpus; --keep best
+    retains the longest member instead of the minimum id."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", 44),
+            (2, "the quick brown fox jumps over the lazy dog!!", 46),
+            (3, "completely different text about spark engines", 45),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "dedup_out")
+    assert cli_main(["dedup", "--docs", src, "--out", out,
+                     "--keep", "best"]) == 0
+    assert "kept 2/3" in capsys.readouterr().out
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(f"{out}/corpus").collect()}
+    assert kept == {2, 3}  # 2 is the longer near-dup; 3 untouched
+    comps = {r["doc_id"]: r["keep_id"] for r in
+             spark.read.parquet(f"{out}/components").collect()}
+    assert comps == {1: 2, 2: 2}
+
+
 def test_cli_build_rejects_multiallelic(spark, tmp_path):
     vcf = write_vcf(str(tmp_path / "bad.vcf"), include_multiallelic=True)
     prefix = str(tmp_path / "db2")

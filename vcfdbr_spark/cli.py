@@ -16,6 +16,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from pyspark.sql import functions as F
+
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vcfdb", description=__doc__)
@@ -103,6 +105,22 @@ def main(argv: list[str] | None = None) -> int:
         "schema probe) defines the stream's schema",
     )
     si.add_argument("--include-multivalue-gt", action="store_true")
+
+    dd = sub.add_parser(
+        "dedup",
+        help="fuzzy-dedup a documents parquet (MinHash+LSH): writes "
+        "near-dup pairs, connected components with keep ids, and the "
+        "retained corpus",
+    )
+    dd.add_argument("--docs", required=True, help="parquet with (doc_id, text, ...)")
+    dd.add_argument("--out", required=True, help="output directory")
+    dd.add_argument(
+        "--keep",
+        choices=["min-id", "best"],
+        default="min-id",
+        help="keep the minimum id per component, or the best --score-col",
+    )
+    dd.add_argument("--score-col", default="n_chars")
 
     q = sub.add_parser(
         "sql",
@@ -207,6 +225,35 @@ def main(argv: list[str] | None = None) -> int:
         multi = "melt" if args.include_multivalue_gt else "skip"
         n = append_vcf(spark, args.vcf, args.prefix, multi_value=multi)
         print(f"appended {n} variants to {args.prefix}")
+        return 0
+    if args.cmd == "dedup":
+        from vcfdbr_spark.operators.dedup import (
+            dedup_components,
+            dedup_keep_best,
+            minhash_dedup_pairs,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        pairs = minhash_dedup_pairs(docs).persist()
+        comps = (
+            dedup_keep_best(pairs, docs, score_col=args.score_col)
+            if args.keep == "best"
+            else dedup_components(pairs)
+        ).persist()
+        drops = comps.filter(F.col("doc_id") != F.col("keep_id")).select(
+            "doc_id"
+        )
+        retained = docs.join(drops, "doc_id", "left_anti")
+        pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+        comps.write.mode("overwrite").parquet(f"{args.out}/components")
+        retained.write.mode("overwrite").parquet(f"{args.out}/corpus")
+        n_pairs, n_comp = pairs.count(), comps.count()
+        n_docs, n_kept = docs.count(), retained.count()
+        print(
+            f"dedup {args.docs}: {n_pairs} candidate pairs, "
+            f"{n_comp} docs in components, kept {n_kept}/{n_docs} "
+            f"→ {args.out}"
+        )
         return 0
     if args.cmd == "compact":
         from vcfdbr_spark.sources.build import compact_table
