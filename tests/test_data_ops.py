@@ -206,6 +206,37 @@ def test_cap_per_group_partition_invariant(spark):
     assert all(1 <= rk <= 10 for _, _, rk in want)
 
 
+def test_dedup_edge_cases_empty_inputs(spark):
+    """Empty candidate graphs and empty indexes degrade cleanly: no
+    components from no pairs, cap larger than every group is the
+    identity (plus ranks), an empty index yields new-new pairs only."""
+    from vcfdbr_spark.operators.dedup import (
+        dedup_components,
+        incremental_dedup_pairs,
+    )
+    from vcfdbr_spark.operators.sampling import cap_per_group
+
+    no_pairs = spark.createDataFrame([], "a long, b long")
+    assert dedup_components(no_pairs).count() == 0
+
+    docs = _docs(spark).withColumn("lang", F.lit("en"))
+    capped = cap_per_group(docs.select("doc_id", "lang"), "lang", 99)
+    assert capped.count() == 5  # cap above group size keeps all
+
+    empty_index = spark.createDataFrame(
+        [], "doc_id long, band int, bucket string"
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in incremental_dedup_pairs(docs, empty_index).collect()
+    }
+    # exactly the in-batch candidates — no phantom cross pairs
+    in_batch = {
+        (r["a"], r["b"]) for r in minhash_dedup_pairs(docs).collect()
+    }
+    assert got == in_batch and (1, 2) in got
+
+
 def test_band_buckets_shape(spark):
     sigs = minhash_signatures(_docs(spark), num_hashes=8)
     b = minhash_band_buckets(sigs)
