@@ -135,3 +135,81 @@ def test_interval_join_matches_bruteforce(spark, vars_, ivls):
         if vc == ic and vs <= ie and ve >= is_
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_components_matches_union_find(spark, raw_pairs):
+    """Min-label propagation ≡ classic union-find for ANY pair graph
+    (cliques, chains, cycles, self-contradicting orders)."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["doc_id"]: r["keep_id"] for r in dedup_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    want = {
+        x: min(members) for members in comp.values() for x in members
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(1, 12),
+)
+def test_cap_per_group_matches_python_oracle(spark, rows, n):
+    """Two-phase cap ≡ per-group sort by (md5(id), id) truncated to n,
+    for any groups and any cap."""
+    import hashlib
+
+    from vcfdbr_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r["doc_id"], r["lang"], r["rk"])
+        for r in cap_per_group(df.repartition(5), "lang", n).collect()
+    }
+    want = set()
+    by_group: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_group.setdefault(g, []).append(i)
+    for g, ids in by_group.items():
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        for rk, i in enumerate(order[:n], start=1):
+            want.add((i, g, rk))
+    assert got == want
