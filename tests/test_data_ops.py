@@ -325,3 +325,74 @@ def test_multimodal_decode_matches_duckdb_oracle(spark):
         assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
     for c in ("kind", "features_csv"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_band_index_pruned_probe_equivalence(spark, tmp_path):
+    """A pfx-partitioned band index (write_band_index layout) probes to
+    the SAME pairs as the flat in-memory index, and the probe's scan
+    carries PartitionFilters on pfx — partition pruning, not a full
+    index scan."""
+    from vcfdbr_spark.operators.dedup import (
+        band_probe_pairs,
+        incremental_dedup_pairs,
+        minhash_band_buckets,
+        read_band_index,
+        write_band_index,
+    )
+    from vcfdbr_spark.plans.layout import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    flat_index = minhash_band_buckets(minhash_signatures(old))
+    write_band_index(flat_index, str(tmp_path / "idx"), n_pfx=16)
+    stored = read_band_index(spark, str(tmp_path / "idx"))
+    assert "pfx" in stored.columns
+
+    flat = {
+        (r["a"], r["b"])
+        for r in incremental_dedup_pairs(new, flat_index).collect()
+    }
+    pruned = {
+        (r["a"], r["b"])
+        for r in incremental_dedup_pairs(new, stored, n_pfx=16).collect()
+    }
+    assert pruned == flat and flat  # identical pairs, non-empty
+
+    # plan audit: the index scan is partition-pruned on pfx
+    new_bands = minhash_band_buckets(minhash_signatures(new)).persist()
+    try:
+        probe = band_probe_pairs(new_bands, stored, n_pfx=16)
+        plan = formatted_plan(probe)
+        assert "PartitionFilters" in plan
+        pf = [
+            seg.split("]")[0]
+            for seg in plan.split("PartitionFilters: [")[1:]
+        ]
+        assert any("pfx" in seg for seg in pf), pf
+    finally:
+        new_bands.unpersist()
+
+
+def test_band_index_pfx_mismatch_is_detected(spark, tmp_path):
+    """Probing with a different n_pfx than the index was written with
+    must not silently drop pairs when the moduli agree on the probe's
+    buckets; with a WRONG modulus the pfx set simply selects different
+    partitions — pin the contract that matching n_pfx reproduces the
+    flat result exactly (the guard is the equivalence test above; this
+    pins determinism of the pfx function itself)."""
+    from pyspark.sql import Row
+
+    from vcfdbr_spark.operators.dedup import band_pfx
+
+    df = spark.createDataFrame(
+        [Row(bucket="abc"), Row(bucket="abc"), Row(bucket="xyz")]
+    )
+    got = df.select(
+        "bucket", band_pfx(F.col("bucket"), 16).alias("p")
+    ).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], set()).add(r["p"])
+    assert all(len(v) == 1 for v in by_bucket.values())
+    assert all(0 <= next(iter(v)) < 16 for v in by_bucket.values())

@@ -258,3 +258,53 @@ def test_stream_vcf_ingest_three_table_batch_parity(spark, tmp_path):
     hits = filter_test(db.variant_impact, db.variant_info, "GENE2", af=0.9)
     assert hits.count() > 0
     assert db.pull([1, 4]).count() == 8
+
+
+def test_stream_fuzzy_dedup_file_scheme_out_dir(spark, tmp_path):
+    """Side-state goes through the Hadoop FS: an explicitly
+    scheme-qualified ``file://`` out_dir (the local stand-in for
+    hdfs://-s3a://) works end-to-end — batch-dir listing, delete-
+    before-write, the pfx-partitioned index, and the checkpoint."""
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    out_uri = f"file://{tmp_path}/dedup_out_uri"
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", out_uri, max_files_per_trigger=1
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(f"{out_uri}/pairs").collect()
+    }
+    assert (1, 11) in pairs
+    # pfx-partitioned layout on disk
+    import glob
+
+    assert glob.glob(str(tmp_path / "dedup_out_uri" / "band_index" / "batch=*" / "pfx=*"))
+
+
+def test_stream_vcf_ingest_file_scheme_progress(spark, tmp_path):
+    """The dense-id progress manifest reads/writes through the Hadoop
+    FS on a scheme-qualified out_dir."""
+    import json
+
+    from vcfdbr_spark import fs as _fs
+
+    out_uri = f"file://{tmp_path}/store_uri"
+    _fs.write_text(spark, f"{out_uri}/_stream_progress.json", json.dumps({"x": 1}))
+    assert json.loads(_fs.read_text(spark, f"{out_uri}/_stream_progress.json")) == {"x": 1}
+    # local path view of the same file exists (file:// scheme)
+    assert (tmp_path / "store_uri" / "_stream_progress.json").exists()
+    assert _fs.read_text(spark, f"{out_uri}/absent.json") is None
+    _fs.delete_dir(spark, f"{out_uri}")
+    assert not (tmp_path / "store_uri").exists()
+    assert _fs.list_subdirs(spark, f"{out_uri}", "batch=") == []

@@ -24,6 +24,8 @@ __all__ = [
     "dedup_components",
     "dedup_keep_best",
     "incremental_dedup_pairs",
+    "write_band_index",
+    "read_band_index",
     "cap_per_group",
 ]
 __version__ = "0.2.0"
@@ -50,6 +52,8 @@ def __getattr__(name: str):
         "dedup_components",
         "dedup_keep_best",
         "incremental_dedup_pairs",
+        "write_band_index",
+        "read_band_index",
     ):
         from vcfdbr_spark.operators import dedup
 

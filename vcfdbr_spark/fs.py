@@ -1,0 +1,94 @@
+"""Hadoop-FileSystem helpers for driver-side side-state.
+
+Checkpoint manifests, progress files and per-batch partition
+directories must live NEXT TO the store output — which on a real
+cluster is ``hdfs://`` / ``s3a://``, not the driver's local disk.
+Python's ``open`` / ``glob`` / ``shutil`` silently read and write the
+driver's filesystem instead, so every side-state touch goes through
+the JVM Hadoop FS API here (scheme-dispatched: the same code works on
+``file://``, ``hdfs://`` and object stores).
+
+These calls are all driver-side, O(1)-ish metadata operations on tiny
+files or directory listings — never data-plane I/O.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursive delete, no-op when absent (idempotent re-runs)."""
+    fs, p = _fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def makedirs(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.mkdirs(p)
+
+
+def list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
+    """Sorted full paths of immediate subdirectories whose NAME starts
+    with ``prefix`` (e.g. ``batch=``) — the FS-portable ``glob``."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        if st.isDirectory() and st.getPath().getName().startswith(prefix):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Small-file read (progress manifests); None when absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    jvm = spark._jvm
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Atomic-ish small-file write: create ``path.tmp`` then rename
+    over the target — readers never observe a half-written manifest.
+    (HDFS rename is atomic; object stores approximate it, which is
+    fine for a single-writer progress file.)"""
+    fs, p = _fs(spark, path)
+    jvm = spark._jvm
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)

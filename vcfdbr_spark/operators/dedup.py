@@ -309,6 +309,53 @@ def dedup_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("keep_id"))
 
 
+DEFAULT_N_PFX = 64
+
+
+def band_pfx(bucket, n_pfx: int = DEFAULT_N_PFX):
+    """Partition prefix of a band bucket: ``pmod(hash(bucket), n_pfx)``.
+
+    Purely a storage-layout key (never part of the result), so the
+    engine-native murmur hash is fine — the index is written and
+    probed by the same engine.  Writer and prober must agree on
+    ``n_pfx``; :func:`write_band_index` records it in the directory
+    name of every partition, and :func:`read_band_index` asserts the
+    layout exists.
+    """
+    return F.pmod(F.hash(bucket), F.lit(n_pfx))
+
+
+def write_band_index(
+    bands: DataFrame,
+    path: str,
+    n_pfx: int = DEFAULT_N_PFX,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a ``(doc_id, band, bucket)`` band frame as a
+    PARTITION-PRUNABLE index: hive-partitioned by
+    ``pfx = pmod(hash(bucket), n_pfx)``.
+
+    This is the production layout for incremental / streaming fuzzy
+    dedup at scale: a probe only touches the ``pfx=`` directories its
+    own buckets hash into, so per-batch probe I/O is bounded by the
+    batch's bucket spread, not the total index size.  (A flat layout
+    forces every probe to scan the whole accumulated index — O(index)
+    per batch, the scale-killer this layout exists to remove.)
+    """
+    (
+        bands.withColumn("pfx", band_pfx(F.col("bucket"), n_pfx))
+        .write.mode(mode)
+        .partitionBy("pfx")
+        .parquet(path)
+    )
+
+
+def read_band_index(spark, path: str) -> DataFrame:
+    """Open a :func:`write_band_index` layout; the ``pfx`` partition
+    column rides along so :func:`band_probe_pairs` can prune on it."""
+    return spark.read.parquet(path)
+
+
 def incremental_dedup_pairs(
     new_docs: DataFrame,
     index: DataFrame,
@@ -318,6 +365,7 @@ def incremental_dedup_pairs(
     shingle_n: int = 3,
     max_words: int = 50,
     rows_per_band: int = 2,
+    n_pfx: int = DEFAULT_N_PFX,
 ) -> DataFrame:
     """Incremental fuzzy dedup: near-dup candidate pairs of a NEW
     document batch against an existing corpus's persisted MinHash band
@@ -332,10 +380,11 @@ def incremental_dedup_pairs(
 
     Scale shape: the new batch's band frame is tiny relative to the
     index, so AQE broadcasts it and the probe is a map-side join over
-    the index scan — the index is never shuffled.  Storing the index
-    bucketed by ``bucket`` makes the probe partition-prunable as well.
-    The band frame is persisted: it feeds both the cross probe and the
-    new-new self-join, and Catalyst does not dedupe repeated subtrees.
+    the index scan — the index is never shuffled.  When ``index`` came
+    from :func:`write_band_index` (it carries a ``pfx`` partition
+    column) the probe additionally PRUNES index partitions to the new
+    batch's own bucket prefixes, so probe I/O is O(batch spread), not
+    O(index).
     """
     new_b = minhash_band_buckets(
         minhash_signatures(
@@ -344,16 +393,38 @@ def incremental_dedup_pairs(
         id_col=id_col,
         rows_per_band=rows_per_band,
     ).persist()
-    return band_probe_pairs(new_b, index, id_col)
+    return band_probe_pairs(new_b, index, id_col, n_pfx=n_pfx)
 
 
 def band_probe_pairs(
-    new_bands: DataFrame, index: DataFrame, id_col: str = "doc_id"
+    new_bands: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    n_pfx: int = DEFAULT_N_PFX,
 ) -> DataFrame:
     """Candidate pairs of a (persisted) new band frame against a
     stored band index, plus new-vs-new pairs — the probe step shared
     by :func:`incremental_dedup_pairs` and the streaming fuzzy dedup.
-    Caller persists ``new_bands`` (it feeds both joins)."""
+    Caller persists ``new_bands`` (it feeds both joins).
+
+    When the index carries a ``pfx`` partition column (the
+    :func:`write_band_index` layout) the probe first collects the new
+    batch's DISTINCT bucket prefixes — a driver-bounded set (≤
+    ``n_pfx`` ints, never data-sized) computed from the already-
+    persisted band frame — and pushes them as an ``IN`` filter on the
+    partition column, which Catalyst turns into PartitionFilters on
+    the parquet scan: only the matching ``pfx=`` directories are read.
+    """
+    if "pfx" in index.columns:
+        pfxs = [
+            r[0]
+            for r in new_bands.select(
+                band_pfx(F.col("bucket"), n_pfx).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        index = index.filter(F.col("pfx").isin(pfxs)).drop("pfx")
     cross = (
         index.select("band", "bucket", F.col(id_col).alias("_x"))
         .join(

@@ -20,8 +20,6 @@ checkpointLocation replace the .progress.RData file, and
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -94,6 +92,7 @@ def stream_fuzzy_dedup(
     out_dir: str,
     schema: str = "doc_id long, text string",
     max_files_per_trigger: int | None = None,
+    n_pfx: int | None = None,
 ) -> None:
     """Streaming incremental fuzzy dedup: each micro-batch is
     MinHash-signed once, probed against the band index accumulated
@@ -103,48 +102,63 @@ def stream_fuzzy_dedup(
     Per-batch cost is O(|batch| + probe); stream history is touched
     only through the index scan, never re-signed.
 
-    Layout under ``out_dir`` (both partitioned by ``batch=N``):
+    Layout under ``out_dir``:
 
-    - ``band_index/`` — ``(doc_id, band, bucket)``, the growing index
-    - ``pairs/`` — ``(a, b)`` candidate pairs found by each batch
+    - ``band_index/batch=N/pfx=M/`` — ``(doc_id, band, bucket)``, the
+      growing index, sub-partitioned by the bucket prefix
+      ``pmod(hash(bucket), n_pfx)`` (``operators.dedup.band_pfx``) so
+      a probe only READS the ``pfx=`` directories its own buckets
+      hash into — per-batch probe I/O is bounded by the batch's
+      bucket spread, not the accumulated index size (a flat layout
+      re-scans the whole index every batch: O(batches·index)
+      cumulative, the streaming scale-killer).
+    - ``pairs/batch=N/`` — ``(a, b)`` candidate pairs per batch.
 
     Exactly-once under replays: both writes go to per-batch partition
     dirs with delete-before-write, and the probe excludes the current
     batch's own partition, so a replayed batch recomputes identical
     output instead of pairing against its stale self.
-    """
-    import glob as _glob
-    import shutil
 
+    All side-state I/O (batch-dir listing / delete) goes through the
+    Hadoop FS API, so ``out_dir`` may be ``hdfs://`` / ``s3a://``.
+    """
+    from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.operators.dedup import (
+        DEFAULT_N_PFX,
         band_probe_pairs,
         lsh_candidate_pairs,
         minhash_band_buckets,
         minhash_signatures,
+        write_band_index,
     )
 
-    idx_dir = os.path.join(out_dir, "band_index")
-    pairs_dir = os.path.join(out_dir, "pairs")
+    if n_pfx is None:
+        n_pfx = DEFAULT_N_PFX
+    idx_dir = f"{out_dir}/band_index"
+    pairs_dir = f"{out_dir}/pairs"
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         bands = minhash_band_buckets(minhash_signatures(batch_df)).persist()
         prior = [
             d
-            for d in sorted(_glob.glob(os.path.join(idx_dir, "batch=*")))
+            for d in _fs.list_subdirs(spark, idx_dir, "batch=")
             if not d.endswith(f"batch={batch_id}")
         ]
         if prior:
+            # each batch=N dir is a read root, so partition discovery
+            # surfaces its pfx=M children as the `pfx` column the
+            # probe prunes on (PartitionFilters on the scan)
             index = spark.read.parquet(*prior)
-            pairs = band_probe_pairs(bands, index)
+            pairs = band_probe_pairs(bands, index, n_pfx=n_pfx)
         else:
             pairs = lsh_candidate_pairs(bands)
-        for d in (
-            os.path.join(pairs_dir, f"batch={batch_id}"),
-            os.path.join(idx_dir, f"batch={batch_id}"),
-        ):
-            shutil.rmtree(d, ignore_errors=True)
-        pairs.write.parquet(os.path.join(pairs_dir, f"batch={batch_id}"))
-        bands.write.parquet(os.path.join(idx_dir, f"batch={batch_id}"))
+        _fs.delete_dir(spark, f"{pairs_dir}/batch={batch_id}")
+        _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
+        pairs.write.parquet(f"{pairs_dir}/batch={batch_id}")
+        write_band_index(
+            bands, f"{idx_dir}/batch={batch_id}", n_pfx=n_pfx,
+            mode="errorifexists",
+        )
         bands.unpersist()
 
     reader = spark.readStream.schema(schema).format("parquet")
@@ -153,7 +167,7 @@ def stream_fuzzy_dedup(
     q = (
         reader.load(source_dir)
         .writeStream.foreachBatch(_write_batch)
-        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .trigger(availableNow=True)
         .start()
     )
@@ -244,8 +258,11 @@ def _finalize_stream_store(spark: SparkSession, out_dir: str, header) -> None:
         "n_buckets": None,
         "streamed": True,
     }
-    with open(f"{out_dir}/_vcfdb_manifest.json", "w") as fh:
-        json.dump(manifest, fh)
+    from vcfdbr_spark import fs as _fs
+
+    _fs.write_text(
+        spark, f"{out_dir}/_vcfdb_manifest.json", json.dumps(manifest)
+    )
 
 
 def stream_vcf_ingest(
@@ -288,7 +305,6 @@ def stream_vcf_ingest(
     gene_map / the store manifest after the drain, so the streamed
     output opens with ``open_vcfdb`` like a batch-built store."""
     import json
-    import os
 
     from vcfdbr_spark.operators.ids import with_dense_ids
     from vcfdbr_spark.schema import read_header
@@ -307,21 +323,20 @@ def stream_vcf_ingest(
             header_path, header, probe_rows, multi_value
         )
 
-    progress_path = os.path.join(out_dir, "_stream_progress.json")
+    from vcfdbr_spark import fs as _fs
+
+    # progress manifest lives NEXT TO the (possibly hdfs://-s3a://)
+    # store output, so it goes through the Hadoop FS, not local open()
+    progress_path = f"{out_dir}/_stream_progress.json"
 
     def _load_progress() -> dict:
-        try:
-            with open(progress_path) as fh:
-                return json.load(fh)
-        except OSError:
+        raw = _fs.read_text(spark, progress_path)
+        if raw is None:
             return {"batches": {}, "next_id": 1}
+        return json.loads(raw)
 
     def _save_progress(prog: dict) -> None:
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = progress_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(prog, fh)
-        os.replace(tmp, progress_path)
+        _fs.write_text(spark, progress_path, json.dumps(prog))
 
     lines = spark.readStream.format("text").load(vcf_dir)
     records = lines.filter(~F.col("value").startswith("#"))
