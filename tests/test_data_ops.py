@@ -396,3 +396,51 @@ def test_band_index_pfx_mismatch_is_detected(spark, tmp_path):
         by_bucket.setdefault(r["bucket"], set()).add(r["p"])
     assert all(len(v) == 1 for v in by_bucket.values())
     assert all(0 <= next(iter(v)) < 16 for v in by_bucket.values())
+
+
+def test_dedup_components_chain_logarithmic_rounds(spark):
+    """Label-edge acceleration: a 40-link chain (diameter 40) must
+    converge well under 40 neighbor-min rounds (plain propagation
+    moves the min one hop per round and would exhaust max_iter=20) —
+    and still produce the exact union-find answer."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "a long, b long"
+    )
+    stats: dict = {}
+    out = dedup_components(chain, stats=stats)
+    got = {r["doc_id"]: r["keep_id"] for r in out.collect()}
+    out.unpersist()
+    assert got == {i: 100 for i in range(100, 141)}
+    assert stats["rounds"] <= 10, stats  # ~log2(40)+slack, not 40
+
+
+def test_cli_dedup_releases_all_caches(spark, tmp_path):
+    """The dedup subcommand leaves ZERO net persisted frames: every
+    loop intermediate and both result frames are unpersisted before
+    it returns (repeated invocations in one session must not
+    accumulate executor storage)."""
+    from vcfdbr_spark.cli import main
+
+    docs = _docs(spark).withColumn("n_chars", F.length("text"))
+    docs.write.parquet(str(tmp_path / "docs.parquet"))
+
+    def _cached_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = _cached_ids()
+    for keep in ("min-id", "best"):
+        rc = main(
+            [
+                "dedup",
+                "--docs", str(tmp_path / "docs.parquet"),
+                "--out", str(tmp_path / f"out_{keep}"),
+                "--keep", keep,
+            ]
+        )
+        assert rc == 0
+    assert _cached_ids() == before

@@ -235,11 +235,15 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.docs)
         pairs = minhash_dedup_pairs(docs).persist()
+        # dedup_components/dedup_keep_best return an already-persisted,
+        # eagerly-materialized frame (their caching contract) — no
+        # second persist here, and BOTH caches are released below so
+        # the subcommand leaves zero net cached frames in the session
         comps = (
             dedup_keep_best(pairs, docs, score_col=args.score_col)
             if args.keep == "best"
             else dedup_components(pairs)
-        ).persist()
+        )
         drops = comps.filter(F.col("doc_id") != F.col("keep_id")).select(
             "doc_id"
         )
@@ -249,6 +253,8 @@ def main(argv: list[str] | None = None) -> int:
         retained.write.mode("overwrite").parquet(f"{args.out}/corpus")
         n_pairs, n_comp = pairs.count(), comps.count()
         n_docs, n_kept = docs.count(), retained.count()
+        pairs.unpersist()
+        comps.unpersist()
         print(
             f"dedup {args.docs}: {n_pairs} candidate pairs, "
             f"{n_comp} docs in components, kept {n_kept}/{n_docs} "

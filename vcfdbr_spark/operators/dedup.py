@@ -223,6 +223,8 @@ def ngram_jaccard_pairs(
 def dedup_components(
     pairs: DataFrame,
     max_iter: int = 20,
+    materialize: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate ``(a, b)`` pairs —
     the APPLY step of fuzzy dedup: pairs chain (A~B, B~C ⇒ keep one of
@@ -243,8 +245,29 @@ def dedup_components(
     Scale shape: state is one (id, label) row per UNIQUE paired doc —
     a small fraction of the corpus after LSH — never the corpus
     itself; at billions of edges the same loop holds (this is the
-    textbook distributed-CC formulation; large-star/small-star halves
-    the round count if diameter ever matters).
+    textbook distributed-CC formulation; label DOUBLING below gives
+    the large-star/small-star round count, O(log diameter)).
+
+    Convergence: plain neighbor-min propagation moves a label one hop
+    per round (O(diameter) rounds — a 1,000-link chain needs 1,000
+    shuffles).  Each round here therefore follows the neighbor-min
+    step with a POINTER-DOUBLING step: ``comp = comp[comp]`` (join the
+    label table to itself), which halves the remaining distance to the
+    component minimum every round — the same contraction large-star /
+    small-star achieves, expressed as two self-joins per round on the
+    O(paired-docs) label frame.  A chain of length L converges in
+    O(log L) rounds instead of O(L).
+
+    Caching contract: loop intermediates are persisted per round and
+    released before return.  With ``materialize`` (default) the
+    RETURNED frame is persisted and eagerly materialized — callers
+    that consume it more than once (every dedup pipeline does) get
+    cache hits, and are responsible for ``.unpersist()`` when done
+    (the CLI does); with ``materialize=False`` nothing stays cached
+    and each downstream use recomputes the loop from lineage.
+
+    ``stats``: optional dict; on return, ``stats['rounds']`` holds the
+    number of propagation rounds executed (observability + tests).
     """
     # Both directions via one explode, NOT union(pairs, pairs-swapped):
     # a union of two references to the same (typically expensive,
@@ -259,16 +282,58 @@ def dedup_components(
         ).alias("_e")
     ).select("_e.src", "_e.dst")
     edges = edges.persist()
+
+    # Iterative DataFrame algorithms MUST truncate lineage each round:
+    # a persisted frame still carries its full logical plan, and each
+    # round here references the previous labels three times, so the
+    # plan tree grows ~3^rounds — analysis cost and the per-action
+    # plan-description string blow up long before max_iter (observed:
+    # driver OOM building explainString at ~8 rounds on a 40-chain).
+    # localCheckpoint materializes the round eagerly and replaces the
+    # plan with a LogicalRDD scan: O(1) plan size every round.  The
+    # documented trade (same as GraphFrames' CC): checkpoint blocks
+    # are not fault-tolerant — an executor loss mid-loop fails the
+    # job and the caller re-runs (irrelevant on local mode, a retry
+    # at 100 TB; the loop is minutes, not the corpus scan).
+    def _release(df) -> None:
+        # free a localCheckpoint's storage NOW (df.unpersist() only
+        # talks to the CacheManager, which doesn't track checkpoint
+        # RDDs; without this they linger until JVM GC)
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: GC + ContextCleaner reclaim later
+
     cached = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     labels = cached
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
+        # Augment the real edges with the CURRENT label edges, both
+        # directions: (id → comp) lets a vertex read its label's label
+        # (pointer doubling), (comp → id) lets a current root read the
+        # min among vertices pointing at it (the small-star hook).
+        # Min propagation over this evolving graph contracts the
+        # distance to the component minimum geometrically — O(log L)
+        # rounds on an L-link chain vs O(L) for plain neighbor-min.
+        # Safety invariant: comp(v) is always a vertex of v's own
+        # component (labels start as self and only move along
+        # same-component values), so augmented edges never bridge
+        # components; at fixpoint both edge directions force equal
+        # labels along every edge, hence one label per component, and
+        # monotone decrease from comp(v)=v pins it to the minimum id.
+        aug = edges.unionByName(
+            labels.select(F.col("id").alias("src"), F.col("comp").alias("dst"))
+        ).unionByName(
+            labels.select(F.col("comp").alias("src"), F.col("id").alias("dst"))
+        )
         nbr_min = (
-            edges.join(
+            aug.join(
                 labels.select(
                     F.col("id").alias("dst"), F.col("comp").alias("_nc")
                 ),
@@ -294,19 +359,27 @@ def dedup_components(
                     & (F.col("_nbr") < F.col("comp"))
                 ).alias("_changed"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materializes + truncates plan
         )
-        # full count, NO limit: a limit() as the first action on a
-        # persisted frame truncates cache population (observed rows
-        # lost from later full reads of the cache)
         changed = new_labels.filter("_changed").count()
-        cached.unpersist()
+        _release(cached)
         cached = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("keep_id"))
+    if stats is not None:
+        stats["rounds"] = rounds
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("keep_id")
+    )
+    if materialize:
+        out = out.persist()
+        out.count()  # eager: downstream reads hit THIS cache only
+        _release(cached)  # final round's blocks no longer needed
+    # materialize=False: cached's checkpoint blocks stay — `out` reads
+    # through them; ContextCleaner reclaims on GC of the frame
+    return out
 
 
 DEFAULT_N_PFX = 64
@@ -460,6 +533,11 @@ def dedup_keep_best(
     small fraction of the corpus); the score join touches only those
     ids, and the per-component window partitions by component label —
     components are tiny cliques/chains, so no skewed partition.
+
+    Caching contract mirrors :func:`dedup_components`: the returned
+    frame is persisted+materialized (it feeds both a write and an
+    anti-join in every real pipeline) and the intermediate component
+    cache is released here; caller ``.unpersist()``s the result.
     """
     comps = dedup_components(pairs)
     from pyspark.sql import Window
@@ -476,10 +554,14 @@ def dedup_keep_best(
         .filter(F.col("_rk") == 1)
         .select(F.col("keep_id").alias("_comp"), F.col("doc_id").alias("_best"))
     )
-    return (
+    out = (
         comps.join(best, comps["keep_id"] == best["_comp"])
         .select("doc_id", F.col("_best").alias("keep_id"))
+        .persist()
     )
+    out.count()  # eager: reads hit THIS cache, comps' can be released
+    comps.unpersist()
+    return out
 
 
 def simhash_dup_pairs(
