@@ -43,6 +43,8 @@ DATA_QUERIES = [
     "events_hourly",
     "events_sessions",
     "events_asof",
+    "events_asof_fwd",
+    "events_asof_nearest",
     "events_rollup",
     "distinct_sketch",
     "dedup_exact",
@@ -68,6 +70,15 @@ DATA_QUERIES = [
 ]
 
 GENE_SWEEP = [f"G{i:03d}" for i in range(1, 201, 10)]  # 20 genes
+
+# Per-query repeat count: the recorded number is the MEDIAN of N
+# timed in-process runs after one untimed warm-up.  Single-shot
+# timings in this sandbox swing ±30% run-to-run (BENCH_NOTES.md's
+# four-run study; round 4 recorded 3.3s for a query that re-times at
+# 0.5s) — medians make the committed JSON self-correcting.  One-time
+# build/ingest keys stay single-shot: they measure a write pipeline
+# whose cost is the first run by definition.
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def _noop(df) -> None:
@@ -141,6 +152,16 @@ def main() -> None:
     spark = get_spark(app_name="vcfdbr-bench", extra_conf={"spark.ui.enabled": "false"})
     spark.range(1).count()  # JVM warmup outside timed region
     timings: dict[str, float] = {}
+
+    def timed(name: str, fn, repeats: int = BENCH_REPEATS) -> None:
+        """Record the median of `repeats` runs after one warm-up."""
+        fn()  # warm-up: plan compilation + code cache, untimed
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     store = tempfile.mkdtemp(prefix="vcfdbr_bench_store_")
     try:
@@ -221,21 +242,19 @@ def main() -> None:
 
         rnd = random.Random(42)
         ids = sorted(rnd.sample(range(1, max_id + 1), min(1000, max_id)))
-        t0 = time.time()
-        pull_vars_by_id(geno, ids).collect()
-        timings["pull_random_ids_1000"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        pull_geno_test(impact, info, geno, "G001", af=0.5).collect()
-        timings["pull_geno_gene"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        _noop(per_gene_counts(impact, info, af=0.01))
-        timings["per_gene_counts_all"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        interval_query(info, "2", 2_000, 50_000).count()
-        timings["interval_query"] = round(time.time() - t0, 3)
+        timed("pull_random_ids_1000", lambda: pull_vars_by_id(geno, ids).collect())
+        timed(
+            "pull_geno_gene",
+            lambda: pull_geno_test(impact, info, geno, "G001", af=0.5).collect(),
+        )
+        timed(
+            "per_gene_counts_all",
+            lambda: _noop(per_gene_counts(impact, info, af=0.01)),
+        )
+        timed(
+            "interval_query",
+            lambda: interval_query(info, "2", 2_000, 50_000).count(),
+        )
 
         # ---- bucketed-layout join (plans/bucketing.py): the full
         # info⋈geno merge join + aggregate, plain range-sorted store
@@ -280,15 +299,17 @@ def main() -> None:
                 )
             )
 
-        t0 = time.time()
-        _join_agg(geno_cold, info_cold).collect()
-        timings["join_geno_info_plain"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _join_agg(
-            spark.table("vcfdbr_bench_bgeno"),
-            spark.table("vcfdbr_bench_binfo"),
-        ).collect()
-        timings["join_geno_info_bucketed"] = round(time.time() - t0, 3)
+        timed(
+            "join_geno_info_plain",
+            lambda: _join_agg(geno_cold, info_cold).collect(),
+        )
+        timed(
+            "join_geno_info_bucketed",
+            lambda: _join_agg(
+                spark.table("vcfdbr_bench_bgeno"),
+                spark.table("vcfdbr_bench_binfo"),
+            ).collect(),
+        )
         for t in ("vcfdbr_bench_binfo", "vcfdbr_bench_bgeno"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
     finally:
@@ -329,17 +350,19 @@ def main() -> None:
         import random as _random
 
         wide_ids = sorted(_random.Random(7).sample(range(1, 501), 100))
-        t0 = time.time()
-        pull_vars_by_id(wide_geno, wide_ids).collect()
-        timings["pull_wide_100x2504"] = round(time.time() - t0, 3)
+        timed(
+            "pull_wide_100x2504",
+            lambda: pull_vars_by_id(wide_geno, wide_ids).collect(),
+        )
     finally:
         shutil.rmtree(vcf_dir, ignore_errors=True)
 
     # ---- relational + training-data operators off the sf parquet ----
     for name in DATA_QUERIES:
-        t0 = time.time()
-        _noop(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timed(
+            name,
+            lambda name=name: _noop(QUERIES[name](spark, sf_dir)),
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

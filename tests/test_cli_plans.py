@@ -173,3 +173,45 @@ def test_filter_test_plan_properties(spark, tmp_path):
     for schema in scan_schemas(q):
         # column pruning: no scan should read the wide geno/exon cols
         assert "gt_raw" not in schema and "biotype" not in schema
+
+
+def test_cli_stream_ingest_and_append_array_mode(spark, tmp_path):
+    """--multivalue-as-array reaches both the streaming and append
+    paths: the streamed store's geno table equals the batch build's
+    array-mode geno table row-for-row, and append continues it."""
+    from vcfdbr_spark.sources.vcf import read_vcf
+
+    vcf_dir = tmp_path / "in"
+    vcf_dir.mkdir()
+    header = write_vcf(str(tmp_path / "h.vcf"))
+    write_vcf(str(vcf_dir / "a.vcf"))
+    prefix = str(tmp_path / "sdb_arr")
+    assert cli_main(
+        ["stream-ingest", "--vcf-dir", str(vcf_dir), "--prefix", prefix,
+         "--header", header, "--multivalue-as-array"]
+    ) == 0
+    streamed = spark.read.parquet(f"{prefix}/variant_geno")
+    batch = read_vcf(
+        spark, str(vcf_dir / "a.vcf"), multi_value="array"
+    ).variant_geno
+    cols = sorted(batch.columns)
+    # array-typed multi-value FORMAT column present, and row parity
+    assert any("array" in f.simpleString() for f in streamed.schema.fields)
+    got = sorted(map(str, streamed.select(*cols).collect()))
+    want = sorted(map(str, batch.select(*cols).collect()))
+    assert got == want
+
+    # batch-built array store accepts an array-mode append
+    bprefix = str(tmp_path / "bdb_arr")
+    vcf2 = write_vcf(str(tmp_path / "b.vcf"))
+    assert cli_main(
+        ["build", "--vcf", vcf2, "--prefix", bprefix,
+         "--multivalue-as-array"]
+    ) == 0
+    n_before = spark.read.parquet(f"{bprefix}/variant_geno").count()
+    assert cli_main(
+        ["append", "--vcf", vcf2, "--prefix", bprefix,
+         "--multivalue-as-array"]
+    ) == 0
+    after = spark.read.parquet(f"{bprefix}/variant_geno")
+    assert after.count() == 2 * n_before

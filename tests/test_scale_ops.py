@@ -348,3 +348,60 @@ def test_ivf_centroid_count_bounded_as_corpus_grows(spark):
     out = ivf_topk(base, q, k=5, centroids=cents, nprobe=2).collect()
     assert len(out) == 5
     assert all(r["query_id"] == 3 for r in out)
+
+
+def test_asof_join_directions_and_exact_matches(spark):
+    """pandas merge_asof parity: forward picks the earliest at-or-
+    after row, nearest picks the closer side (ties -> backward), and
+    allow_exact_matches=False excludes equal timestamps in every
+    direction."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 22, 101), (1, 5, 102), (2, 50, 103)],
+        "k long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 15, 901), (1, 30, 902), (2, 60, 903)],
+        "k long, ts long, event_id long",
+    )
+
+    def run(**kw):
+        return {
+            r["event_id"]: r["asof_event_id"]
+            for r in asof_join(
+                left, right, on="k", right_cols=["event_id"],
+                tiebreak="event_id", **kw,
+            ).collect()
+        }
+
+    fwd = run(direction="forward")
+    assert fwd[100] == 900   # exact ts=10 matches forward too
+    assert fwd[101] == 902   # earliest at-or-after 22 is ts=30
+    assert fwd[102] == 900   # earliest at-or-after 5 is ts=10
+    assert fwd[103] == 903   # right at 60 is after 50
+
+    near = run(direction="nearest")
+    assert near[100] == 900  # exact match, distance 0
+    # ts=22: backward 15 (d=7) vs forward 30 (d=8) -> backward
+    assert near[101] == 901
+    assert near[102] == 900  # only forward exists
+    assert near[103] == 903
+
+    back_x = run(direction="backward", allow_exact_matches=False)
+    # right ts=10 is excluded, nothing strictly earlier -> NULL
+    assert back_x[100] is None
+    assert back_x[101] == 901
+
+    fwd_x = run(direction="forward", allow_exact_matches=False)
+    assert fwd_x[100] == 901  # ts=10 excluded, next is 15
+    near_x = run(direction="nearest", allow_exact_matches=False)
+    # ts=10: backward none, forward 15
+    assert near_x[100] == 901
+
+    # nearest runs both carries over ONE shuffle: a single Exchange
+    plan = asof_join(
+        left, right, on="k", right_cols=["event_id"],
+        direction="nearest",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan

@@ -4,6 +4,12 @@ the same sf dir; compare row count, schema (sorted column names), and
 an order-insensitive value comparison.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` also writes a driver-style artifact: one record per query
+with rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err, so a full-surface local run can be committed
+alongside the driver's (possibly row-capped) CORRECTNESS_r*.json.
 """
 
 from __future__ import annotations
@@ -38,8 +44,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import __spark_entry__ as e
     from vcfdbr_spark import get_spark
 
@@ -51,6 +62,7 @@ def main() -> int:
         )
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -60,10 +72,20 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {ex}"[:300],
+            }
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows={len(got)} (no oracle, rows-only check) [{t_spark:.1f}s]")
+            records[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(got),
+                "oracle_rows": None, "err": None,
+            }
             continue
         t0 = time.time()
         try:
@@ -71,6 +93,11 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
             failures.append(name)
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(got),
+                "oracle_rows": None, "err": f"oracle: {ex}"[:300],
+            }
             continue
         t_duck = time.time() - t0
         status = []
@@ -86,6 +113,14 @@ def main() -> int:
                     )
                 except AssertionError as ex:
                     status.append(f"VALUES {str(ex).splitlines()[-1][:160]}")
+        records[name] = {
+            "rows_match": len(got) == len(want),
+            "schema_match": list(got.columns) == list(want.columns),
+            "hash_match": not status,
+            "spark_rows": len(got),
+            "oracle_rows": len(want),
+            "err": "; ".join(status) if status else None,
+        }
         if status:
             print(f"FAIL {name}: {'; '.join(status)}")
             failures.append(name)
@@ -96,6 +131,12 @@ def main() -> int:
             )
     n_run = len(only) if only else len(qs)
     print(f"\n{n_run - len(failures)}/{n_run} passed")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(records, fh, indent=2)
+        print(f"wrote {json_out} ({len(records)} queries)")
     return 1 if failures else 0
 
 

@@ -77,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--vcf", required=True)
     ap.add_argument("--prefix", required=True)
     ap.add_argument("--include-multivalue-gt", action="store_true")
+    ap.add_argument(
+        "--multivalue-as-array",
+        action="store_true",
+        help="keep multi-value FORMAT fields as native arrays "
+        "(must match the store being appended to)",
+    )
 
     cp = sub.add_parser(
         "compact", help="rewrite a store table into range-sorted "
@@ -105,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
         "schema probe) defines the stream's schema",
     )
     si.add_argument("--include-multivalue-gt", action="store_true")
+    si.add_argument(
+        "--multivalue-as-array",
+        action="store_true",
+        help="keep multi-value FORMAT fields as native arrays",
+    )
 
     dd = sub.add_parser(
         "dedup",
@@ -207,7 +218,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "stream-ingest":
         from vcfdbr_spark.streaming.ingest import stream_vcf_ingest
 
-        multi = "melt" if args.include_multivalue_gt else "skip"
+        multi = (
+            "array"
+            if args.multivalue_as_array
+            else ("melt" if args.include_multivalue_gt else "skip")
+        )
         stream_vcf_ingest(
             spark,
             args.vcf_dir,
@@ -222,7 +237,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "append":
         from vcfdbr_spark.sources.build import append_vcf
 
-        multi = "melt" if args.include_multivalue_gt else "skip"
+        multi = (
+            "array"
+            if args.multivalue_as_array
+            else ("melt" if args.include_multivalue_gt else "skip")
+        )
         n = append_vcf(spark, args.vcf, args.prefix, multi_value=multi)
         print(f"appended {n} variants to {args.prefix}")
         return 0

@@ -600,6 +600,119 @@ FROM carried WHERE _side = 1
 """
 
 
+def q_events_asof_fwd(spark, sf_dir):
+    """Forward as-of join (operators/asof.py direction='forward'):
+    each sampled 'click' gets the user's EARLIEST at-or-after 'view'
+    — the same union+window carry over reversed time order."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 10 == 0)
+    ).select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", right_cols=["event_id"],
+        tiebreak="event_id", direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id").alias("view_event_id"),
+    )
+
+
+SQL_EVENTS_ASOF_FWD = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND event_id % 10 = 0),
+views AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, ts AS _ts, 1 AS _side, event_id, NULL::BIGINT AS r_id
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts AS _ts, 0 AS _side, NULL::BIGINT AS event_id,
+         event_id AS r_id
+  FROM views),
+carried AS (
+  SELECT user_id, _side, event_id,
+         last_value(r_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY _ts DESC, _side, COALESCE(event_id, r_id) DESC
+           ROWS UNBOUNDED PRECEDING) AS view_event_id
+  FROM u)
+SELECT user_id, event_id, view_event_id
+FROM carried WHERE _side = 1
+"""
+
+
+def q_events_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (direction='nearest'): the closer of the
+    backward and forward matches, ties preferring backward (pandas
+    merge_asof semantics).  Both carries run over ONE shuffled
+    partition — two in-partition sorts, a single Exchange."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("event_id") % 10 == 0)
+    ).select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", right_cols=["event_id"],
+        tiebreak="event_id", direction="nearest",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id").alias("view_event_id"),
+    )
+
+
+SQL_EVENTS_ASOF_NEAREST = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND event_id % 10 = 0),
+views AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, ts AS _ts, 1 AS _side, event_id, NULL::BIGINT AS r_id
+  FROM clicks
+  UNION ALL
+  SELECT user_id, ts AS _ts, 0 AS _side, NULL::BIGINT AS event_id,
+         event_id AS r_id
+  FROM views),
+carried AS (
+  SELECT user_id, _side, event_id, _ts,
+         last_value(CASE WHEN _side = 0
+                         THEN struct_pack(rid := r_id, rts := _ts) END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY _ts, _side, COALESCE(event_id, r_id)
+           ROWS UNBOUNDED PRECEDING) AS b,
+         last_value(CASE WHEN _side = 0
+                         THEN struct_pack(rid := r_id, rts := _ts) END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY _ts DESC, _side, COALESCE(event_id, r_id) DESC
+           ROWS UNBOUNDED PRECEDING) AS f
+  FROM u)
+SELECT user_id, event_id,
+       CASE WHEN b IS NULL THEN struct_extract(f, 'rid')
+            WHEN f IS NULL THEN struct_extract(b, 'rid')
+            WHEN epoch_us(_ts) - epoch_us(struct_extract(b, 'rts'))
+                 <= epoch_us(struct_extract(f, 'rts')) - epoch_us(_ts)
+              THEN struct_extract(b, 'rid')
+            ELSE struct_extract(f, 'rid') END AS view_event_id
+FROM carried WHERE _side = 1
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup: one pass computes
     (day × type), per-day, and grand totals via GROUPING SETS —
@@ -1876,6 +1989,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
     "events_asof_null": q_events_asof_null,
+    "events_asof_fwd": q_events_asof_fwd,
+    "events_asof_nearest": q_events_asof_nearest,
     "events_rollup": q_events_rollup,
     "distinct_sketch": q_distinct_sketch,
     "events_json": q_events_json,
@@ -1938,6 +2053,8 @@ ORACLE: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_asof": SQL_EVENTS_ASOF,
     "events_asof_null": SQL_EVENTS_ASOF_NULL,
+    "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
+    "events_asof_nearest": SQL_EVENTS_ASOF_NEAREST,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_json": SQL_EVENTS_JSON,
