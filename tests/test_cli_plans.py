@@ -215,3 +215,70 @@ def test_cli_stream_ingest_and_append_array_mode(spark, tmp_path):
     ) == 0
     after = spark.read.parquet(f"{bprefix}/variant_geno")
     assert after.count() == 2 * n_before
+
+
+def test_cli_dedup_index_probe_and_compact(spark, tmp_path):
+    """dedup-index → dedup-probe --append-index → dedup-probe again:
+    the second probe sees the first batch through the index; the
+    pairs equal a from-scratch full-corpus LSH restricted to pairs
+    touching the probed batches; compact-band-index collapses a
+    streaming index into one layout that probes identically."""
+    from pyspark.sql import functions as F
+
+    from vcfdbr_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    base.write.parquet(str(tmp_path / "base.parquet"))
+    b1.write.parquet(str(tmp_path / "b1.parquet"))
+    b2.write.parquet(str(tmp_path / "b2.parquet"))
+    idx = str(tmp_path / "idx")
+
+    assert cli_main(
+        ["dedup-index", "--docs", str(tmp_path / "base.parquet"), "--out", idx]
+    ) == 0
+    assert cli_main(
+        ["dedup-probe", "--docs", str(tmp_path / "b1.parquet"),
+         "--index", idx, "--out", str(tmp_path / "p1"), "--append-index"]
+    ) == 0
+    assert cli_main(
+        ["dedup-probe", "--docs", str(tmp_path / "b2.parquet"),
+         "--index", idx, "--out", str(tmp_path / "p2")]
+    ) == 0
+
+    got1 = {(r["a"], r["b"]) for r in spark.read.parquet(str(tmp_path / "p1")).collect()}
+    got2 = {(r["a"], r["b"]) for r in spark.read.parquet(str(tmp_path / "p2")).collect()}
+    full = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs).collect()}
+    # probe 1 sees base ∪ b1 only: at least one endpoint in b1 and
+    # NO endpoint in the not-yet-indexed b2
+    want1 = {
+        p for p in full
+        if (p[0] % 3 == 1 or p[1] % 3 == 1)
+        and p[0] % 3 != 2 and p[1] % 3 != 2
+    }
+    # batch2 probes base+batch1 (appended), so any pair touching b2
+    want2 = {p for p in full if p[0] % 3 == 2 or p[1] % 3 == 2}
+    assert got1 == want1
+    assert got2 == want2
+
+    # streaming index → compacted index probes identically
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base.coalesce(1).write.parquet(str(src / "f0"))
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    sout = str(tmp_path / "stream_out")
+    stream_fuzzy_dedup(spark, str(src) + "/*", sout, max_files_per_trigger=1)
+    assert cli_main(
+        ["compact-band-index", "--stream-index", f"{sout}/band_index",
+         "--out", str(tmp_path / "cidx")]
+    ) == 0
+    assert cli_main(
+        ["dedup-probe", "--docs", str(tmp_path / "b2.parquet"),
+         "--index", str(tmp_path / "cidx"), "--out", str(tmp_path / "p2c")]
+    ) == 0
+    got2c = {(r["a"], r["b"]) for r in spark.read.parquet(str(tmp_path / "p2c")).collect()}
+    assert got2c == got2

@@ -96,6 +96,15 @@ def test_stream_fuzzy_dedup_pairs_across_batches(spark, tmp_path):
         ],
         schema,
     ).coalesce(1).write.parquet(str(src / "f1"))
+    # third batch: dups of docs from BOTH earlier batches — the probe
+    # must read MULTIPLE prior batch=N index partitions at once
+    spark.createDataFrame(
+        [
+            (21, "completely different text about spark engines"),
+            (22, "unrelated brand new content entirely here now"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
 
     out = tmp_path / "dedup_out"
     stream_fuzzy_dedup(
@@ -107,10 +116,12 @@ def test_stream_fuzzy_dedup_pairs_across_batches(spark, tmp_path):
     }
     assert (1, 11) in pairs  # cross-batch, via the index probe
     assert (12, 13) in pairs  # in-batch
+    assert (2, 21) in pairs  # batch 3 vs batch 1 (two priors probed)
+    assert (12, 22) in pairs and (13, 22) in pairs  # batch 3 vs batch 2
     assert (1, 2) not in pairs
     import glob
 
-    assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 2
+    assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 3
 
 
 def test_stream_dedup_drops_duplicates_across_batches(spark, tmp_path):

@@ -405,3 +405,34 @@ def test_asof_join_directions_and_exact_matches(spark):
         direction="nearest",
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance nulls out matches farther than the bound (numeric
+    time units here), in every direction."""
+    from vcfdbr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2)], "k long, ts long, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, 900), (1, 120, 901)], "k long, ts long, event_id long"
+    )
+
+    def run(**kw):
+        return {
+            r["event_id"]: r["asof_event_id"]
+            for r in asof_join(
+                left, right, on="k", right_cols=["event_id"],
+                tiebreak="event_id", **kw,
+            ).collect()
+        }
+
+    back = run(direction="backward", tolerance=10)
+    assert back[1] == 900      # |100-95| = 5 <= 10
+    assert back[2] is None     # nearest prior is 120, d=80 > 10
+    near = run(direction="nearest", tolerance=30)
+    assert near[1] == 900      # d=5 beats d=20
+    assert near[2] is None     # d=80 > 30
+    near_wide = run(direction="nearest", tolerance=100)
+    assert near_wide[2] == 901

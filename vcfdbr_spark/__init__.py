@@ -26,6 +26,7 @@ __all__ = [
     "incremental_dedup_pairs",
     "write_band_index",
     "read_band_index",
+    "compact_band_index",
     "cap_per_group",
 ]
 __version__ = "0.2.0"
@@ -54,6 +55,7 @@ def __getattr__(name: str):
         "incremental_dedup_pairs",
         "write_band_index",
         "read_band_index",
+        "compact_band_index",
     ):
         from vcfdbr_spark.operators import dedup
 

@@ -133,6 +133,42 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--score-col", default="n_chars")
 
+    di = sub.add_parser(
+        "dedup-index",
+        help="MinHash-sign a documents parquet and store its band "
+        "index in the bucket-prunable (pfx-partitioned) layout — "
+        "build once, then probe each new batch with dedup-probe",
+    )
+    di.add_argument("--docs", required=True)
+    di.add_argument("--out", required=True, help="index directory")
+    di.add_argument("--n-pfx", type=int, default=64)
+
+    dp = sub.add_parser(
+        "dedup-probe",
+        help="near-dup candidate pairs of a NEW documents parquet "
+        "against a stored dedup-index (plus new-vs-new), without "
+        "re-signing the indexed corpus; probe prunes index partitions",
+    )
+    dp.add_argument("--docs", required=True, help="the new batch")
+    dp.add_argument("--index", required=True, help="dedup-index directory")
+    dp.add_argument("--out", required=True, help="pairs output directory")
+    dp.add_argument("--n-pfx", type=int, default=64)
+    dp.add_argument(
+        "--append-index",
+        action="store_true",
+        help="also append the new batch's bands to the index (so the "
+        "next probe sees this batch)",
+    )
+
+    cb = sub.add_parser(
+        "compact-band-index",
+        help="compact a streaming band index (batch=N/pfx=M dirs) "
+        "into one consolidated prunable index",
+    )
+    cb.add_argument("--stream-index", required=True)
+    cb.add_argument("--out", required=True)
+    cb.add_argument("--n-pfx", type=int, default=64)
+
     q = sub.add_parser(
         "sql",
         help="plain SQL over the store tables (variant_info, "
@@ -279,6 +315,53 @@ def main(argv: list[str] | None = None) -> int:
             f"{n_comp} docs in components, kept {n_kept}/{n_docs} "
             f"→ {args.out}"
         )
+        return 0
+    if args.cmd == "dedup-index":
+        from vcfdbr_spark.operators.dedup import (
+            minhash_band_buckets,
+            minhash_signatures,
+            write_band_index,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        bands = minhash_band_buckets(minhash_signatures(docs))
+        write_band_index(bands, args.out, n_pfx=args.n_pfx)
+        n = spark.read.parquet(args.out).count()
+        print(f"indexed {args.docs}: {n} band rows → {args.out}")
+        return 0
+    if args.cmd == "dedup-probe":
+        from vcfdbr_spark.operators.dedup import (
+            band_probe_pairs,
+            minhash_band_buckets,
+            minhash_signatures,
+            read_band_index,
+            write_band_index,
+        )
+
+        new_docs = spark.read.parquet(args.docs)
+        index = read_band_index(spark, args.index)
+        # sign the batch ONCE: the persisted band frame feeds the
+        # probe, the new-new self-join AND the optional index append;
+        # both caches are released before return (zero net cache)
+        bands = minhash_band_buckets(minhash_signatures(new_docs)).persist()
+        pairs = band_probe_pairs(bands, index, n_pfx=args.n_pfx).persist()
+        pairs.write.mode("overwrite").parquet(args.out)
+        n = pairs.count()
+        if args.append_index:
+            write_band_index(
+                bands, args.index, n_pfx=args.n_pfx, mode="append"
+            )
+        pairs.unpersist()
+        bands.unpersist()
+        print(f"probed {args.docs} vs {args.index}: {n} pairs → {args.out}")
+        return 0
+    if args.cmd == "compact-band-index":
+        from vcfdbr_spark.operators.dedup import compact_band_index
+
+        n = compact_band_index(
+            spark, args.stream_index, args.out, n_pfx=args.n_pfx
+        )
+        print(f"compacted {args.stream_index}: {n} band rows → {args.out}")
         return 0
     if args.cmd == "compact":
         from vcfdbr_spark.sources.build import compact_table

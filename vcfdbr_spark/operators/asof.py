@@ -40,6 +40,7 @@ def asof_join(
     tiebreak: str | None = None,
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left rows + ``right_cols`` from the matching right row (NULLs
     when no match exists).
@@ -60,6 +61,12 @@ def asof_join(
     LARGEST tiebreak (the last in time order) and forward the
     SMALLEST (the first) — the row "closest" to the left row from
     each direction.
+
+    ``tolerance``: maximum allowed |left_ts − match_ts|; farther
+    matches become NULL (pandas parity).  Units: SECONDS when the
+    time column is a timestamp, the column's own units for numerics.
+    Applied as a post-filter on the carried match — plan shape is
+    unchanged (no extra shuffle).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
@@ -129,20 +136,22 @@ def asof_join(
         [F.col("_tb").desc()] if tiebreak is not None else []
     )
 
+    is_ts = isinstance(
+        u.schema["_ts"].dataType, (TimestampType, TimestampNTZType)
+    )
+    if is_ts:
+        # unix_micros only accepts TIMESTAMP; NTZ casts losslessly
+        def ts_num(c):
+            return F.unix_micros(c.cast("timestamp"))
+    else:
+        def ts_num(c):
+            return c.cast("double")
+
     if direction == "backward":
         u = u.withColumn("_match", _carry(u, back_order))
     elif direction == "forward":
         u = u.withColumn("_match", _carry(u, fwd_order))
     else:  # nearest: both carries over the SAME shuffled partition
-        if isinstance(
-            u.schema["_ts"].dataType, (TimestampType, TimestampNTZType)
-        ):
-            # unix_micros only accepts TIMESTAMP; NTZ casts losslessly
-            def ts_num(c):
-                return F.unix_micros(c.cast("timestamp"))
-        else:
-            def ts_num(c):
-                return c.cast("double")
         b, f = _carry(u, back_order), _carry(u, fwd_order)
         u = (
             u.withColumn("_b", b)
@@ -160,6 +169,14 @@ def asof_join(
                 .otherwise(F.col("_f")),
             )
             .drop("_b", "_f")
+        )
+    if tolerance is not None:
+        tol = float(tolerance) * (1_000_000 if is_ts else 1)
+        dist = F.abs(
+            ts_num(F.col("_ts")) - ts_num(F.col("_match._rts"))
+        )
+        u = u.withColumn(
+            "_match", F.when(dist <= F.lit(tol), F.col("_match"))
         )
     out = u.filter(F.col("_side") == 1).drop(
         "_side", "_ts", "_tb", "_r_payload"

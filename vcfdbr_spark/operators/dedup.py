@@ -429,6 +429,38 @@ def read_band_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_band_index(
+    spark,
+    stream_idx_dir: str,
+    out_dir: str,
+    n_pfx: int = DEFAULT_N_PFX,
+) -> int:
+    """Compact a streaming band index (``batch=N/pfx=M`` partitions
+    accumulated by ``stream_fuzzy_dedup``) into ONE consolidated
+    :func:`write_band_index` layout; returns the row count.
+
+    Run periodically on a long-lived stream: per-batch dirs keep the
+    probe's file count growing linearly with batch count (each probe
+    lists every batch root even though pfx pruning bounds the bytes
+    read); compaction collapses them to one file set per prefix.
+    Writes to a separate ``out_dir`` (atomic swap is the caller's
+    choice — e.g. write, verify, rename over) rather than rewriting
+    in place under a live stream.
+    """
+    from vcfdbr_spark import fs as _fs
+
+    batch_dirs = _fs.list_subdirs(spark, stream_idx_dir, "batch=")
+    if not batch_dirs:
+        raise FileNotFoundError(f"no batch=* partitions under {stream_idx_dir}")
+    bands = (
+        spark.read.option("basePath", stream_idx_dir)
+        .parquet(*batch_dirs)
+        .select("doc_id", "band", "bucket")
+    )
+    write_band_index(bands, out_dir, n_pfx=n_pfx)
+    return spark.read.parquet(out_dir).count()
+
+
 def incremental_dedup_pairs(
     new_docs: DataFrame,
     index: DataFrame,

@@ -145,10 +145,12 @@ def stream_fuzzy_dedup(
             if not d.endswith(f"batch={batch_id}")
         ]
         if prior:
-            # each batch=N dir is a read root, so partition discovery
-            # surfaces its pfx=M children as the `pfx` column the
-            # probe prunes on (PartitionFilters on the scan)
-            index = spark.read.parquet(*prior)
+            # basePath anchors partition discovery at the index root,
+            # so the prior batch=N dirs surface both `batch` and the
+            # `pfx` column the probe prunes on (PartitionFilters on
+            # the scan); without it, multiple batch=* roots that each
+            # contain pfx=* children are rejected as conflicting
+            index = spark.read.option("basePath", idx_dir).parquet(*prior)
             pairs = band_probe_pairs(bands, index, n_pfx=n_pfx)
         else:
             pairs = lsh_candidate_pairs(bands)
