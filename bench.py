@@ -54,6 +54,7 @@ DATA_QUERIES = [
     "simhash",
     "simhash_dup_pairs",
     "pack_sequences",
+    "doc_repetition",
     "text_normalize_dedup",
     "top_ngrams",
     "benchmark_contamination",

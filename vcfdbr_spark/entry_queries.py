@@ -1075,6 +1075,45 @@ FROM t
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style word-repetition signals per document
+    (functions/text.py::repetition_signals): the aggregate quality
+    gate no per-row expression can compute — top-word fraction,
+    distinct-word fraction, mean word length and a keep verdict.
+    Two map-side-combined shuffles over (doc, word) state."""
+    from vcfdbr_spark.functions.text import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+SQL_DOC_REPETITION = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''),
+per_word AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         SUM(c) AS n_words,
+         COUNT(*) AS n_distinct_words,
+         MAX(c) AS top_c,
+         SUM(length(w) * c) AS chars
+  FROM per_word GROUP BY 1)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       round(top_c / n_words, 6) AS top_word_frac,
+       round(n_distinct_words / n_words, 6) AS distinct_word_frac,
+       round(chars / n_words, 6) AS mean_word_len,
+       (n_words >= 5 AND n_words <= 100000
+        AND top_c / n_words <= 0.3
+        AND n_distinct_words / n_words >= 0.2) AS keep
+FROM sig
+"""
+
+
 def q_deterministic_sample(spark, sf_dir):
     """C13 sampling parity, engine-portable: md5-keyed Bernoulli at
     2/16 plus a stratified 4/16-'en' variant, union'd with a tag."""
@@ -2002,6 +2041,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "deterministic_sample": q_deterministic_sample,
     "text_quality_score": q_text_quality_score,
+    "doc_repetition": q_doc_repetition,
     "minhash_sig": q_minhash_sig,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2066,6 +2106,7 @@ ORACLE: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "text_quality_score": SQL_TEXT_QUALITY_SCORE,
+    "doc_repetition": SQL_DOC_REPETITION,
     "minhash_sig": SQL_MINHASH_SIG,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

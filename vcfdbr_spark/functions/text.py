@@ -133,3 +133,56 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def repetition_signals(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    max_top_word_frac: float = 0.3,
+    min_distinct_frac: float = 0.2,
+):
+    """Gopher-style word-repetition quality signals per document —
+    the aggregate complement of the per-row :func:`quality_stats`
+    (production corpus filters gate on repetition, which no per-row
+    expression can see): word count, distinct-word count, the
+    fraction held by the single most frequent word, mean word length,
+    and a ``keep`` verdict from the standard repetition thresholds.
+
+    Plan shape: explode to word rows → (doc, word) count → per-doc
+    aggregate.  Two shuffles, both with map-side partial aggregation;
+    state per task is (doc, word) pairs, never the corpus.  All
+    arithmetic is integer-sum based (rounded only at the end), so the
+    result is engine-portable and oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+
+    words = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    sig = per_word.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("_top"),
+        F.sum(F.length("w") * F.col("c")).alias("_chars"),
+    )
+    top_frac = F.col("_top") / F.col("n_words")
+    distinct_frac = F.col("n_distinct_words") / F.col("n_words")
+    return sig.select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(distinct_frac, 6).alias("distinct_word_frac"),
+        F.round(F.col("_chars") / F.col("n_words"), 6).alias("mean_word_len"),
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (top_frac <= max_top_word_frac)
+            & (distinct_frac >= min_distinct_frac)
+        ).alias("keep"),
+    )
