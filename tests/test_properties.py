@@ -213,3 +213,77 @@ def test_cap_per_group_matches_python_oracle(spark, rows, n):
         for rk, i in enumerate(order[:n], start=1):
             want.add((i, g, rk))
     assert got == want
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join vs pandas.merge_asof itself, over every
+    (direction × allow_exact_matches × tolerance) combination on a
+    deterministic multi-key fixture with duplicate timestamps and
+    keys that exist on only one side."""
+    import pandas as pd
+
+    rng = __import__("random").Random(1234)
+    lrows = sorted(
+        (rng.randrange(1, 6), rng.randrange(0, 50) * 10, 1000 + i)
+        for i in range(120)
+    )
+    rrows = sorted(
+        (rng.randrange(1, 7), rng.randrange(0, 50) * 10 + rng.choice((0, 5)), 2000 + i)
+        for i in range(150)
+    )
+    lpdf = pd.DataFrame(lrows, columns=["k", "ts", "lid"])
+    rpdf = pd.DataFrame(rrows, columns=["k", "ts", "rid"])
+    left = spark.createDataFrame(lpdf.astype("int64"))
+    right = spark.createDataFrame(rpdf.astype("int64"))
+
+    from vcfdbr_spark.operators.asof import asof_join
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            for tol in (None, 20):
+                got = (
+                    asof_join(
+                        left, right, on="k", right_cols=["rid"],
+                        direction=direction, allow_exact_matches=exact,
+                        tolerance=tol,
+                    )
+                    .select("lid", F.col("asof_rid").alias("rid"))
+                    .toPandas()
+                    .sort_values("lid", ignore_index=True)
+                )
+                want = (
+                    pd.merge_asof(
+                        lpdf.sort_values("ts", kind="stable"),
+                        rpdf.sort_values("ts", kind="stable"),
+                        on="ts", by="k", direction=direction,
+                        allow_exact_matches=exact,
+                        tolerance=tol,
+                    )[["lid", "rid"]]
+                    .sort_values("lid", ignore_index=True)
+                )
+                # Only where the match is UNIQUE is the picked right
+                # row comparable (pandas' duplicate-ts tiebreak is
+                # positional, ours is value-ordered); match/no-match
+                # parity must hold everywhere.
+                assert (
+                    got["rid"].notna().tolist()
+                    == want["rid"].notna().tolist()
+                ), (direction, exact, tol)
+                # and on timestamps with a single candidate the row
+                # itself must agree
+                r_ts_counts = rpdf.groupby(["k", "ts"]).size()
+                uniq = {
+                    (k, t) for (k, t), n in r_ts_counts.items() if n == 1
+                }
+                merged = got.assign(want_rid=want["rid"])
+                rid_to_kts = {
+                    rid: (k, t) for k, t, rid in rrows
+                }
+                for _, row in merged.iterrows():
+                    if pd.isna(row["rid"]):
+                        continue
+                    kts = rid_to_kts[int(row["want_rid"])] if not pd.isna(row["want_rid"]) else None
+                    if kts in uniq:
+                        assert row["rid"] == row["want_rid"], (
+                            direction, exact, tol, row,
+                        )
