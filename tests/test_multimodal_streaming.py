@@ -319,3 +319,61 @@ def test_stream_vcf_ingest_file_scheme_progress(spark, tmp_path):
     _fs.delete_dir(spark, f"{out_uri}")
     assert not (tmp_path / "store_uri").exists()
     assert _fs.list_subdirs(spark, f"{out_uri}", "batch=") == []
+
+
+def test_stream_sessions_native_session_windows(spark, tmp_path):
+    """Streaming session_window sessionization equals the batch
+    lag+running-sum sessionization on the same events: same session
+    count, same (user, n_events, duration) multiset — including a
+    session that MERGES across micro-batches."""
+    from pyspark.sql import Window
+
+    from vcfdbr_spark.streaming.ingest import (
+        run_stream_to_memory,
+        stream_sessions,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # user 1: one session (10:00-10:20), then a new one after a >30min
+    # gap; user 2: a single session SPLIT across the two files so the
+    # streaming state must merge windows across micro-batches
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 10:20:00", 1, "click", 2.0, "{}"),
+            (3, "2024-01-01 09:00:00", 2, "view", 3.0, "{}"),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [
+            (4, "2024-01-01 11:30:00", 1, "view", 4.0, "{}"),
+            (5, "2024-01-01 09:25:00", 2, "purchase", 5.0, "{}"),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(str(src / "f1"))
+
+    agg = stream_sessions(spark, str(src) + "/*")
+    run_stream_to_memory(agg, "sess_stream", output_mode="complete")
+    got = {
+        (r["user_id"], r["n_events"], r["total"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert got == {
+        (1, 2, 3.0),   # 10:00 + 10:20 in one session
+        (1, 1, 4.0),   # 11:30 after the >30min gap
+        (2, 2, 8.0),   # 09:00 + 09:25 merged ACROSS batches
+    }
+    # session bounds: end = last event + gap
+    rows = {
+        (str(r["session_start"]), str(r["session_end"]))
+        for r in spark.sql(
+            "SELECT * FROM sess_stream WHERE user_id = 2"
+        ).collect()
+    }
+    assert rows == {("2024-01-01 09:00:00", "2024-01-01 09:55:00")}

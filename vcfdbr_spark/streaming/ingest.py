@@ -176,6 +176,48 @@ def stream_fuzzy_dedup(
     q.awaitTermination()
 
 
+def stream_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's NATIVE session
+    windows: per (user, session-of-activity) aggregates where a
+    session extends while successive events arrive within ``gap`` —
+    the streaming twin of the batch ``events_sessions`` query (lag +
+    running-sum windows), but computed INCREMENTALLY: open sessions
+    live in state, merge when a new event's window overlaps, and are
+    finalized once the watermark passes their end.
+
+    State is bounded by (users with an open session) — the watermark
+    closes idle sessions, so a long-running stream never accumulates
+    history.  Boundary semantics: ``session_window`` ends are
+    exclusive (an event at exactly ``last_ts + gap`` starts a NEW
+    session), the half-open-interval rendering of the batch query's
+    ``gap > 1800`` rule.
+    """
+    stream = spark.readStream.schema(schema).format("parquet").load(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
 def stream_user_stats(
     spark: SparkSession,
     source_dir: str,
