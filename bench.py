@@ -41,6 +41,7 @@ DATA_QUERIES = [
     "filter_distinct_join_count",
     "per_key_count_binned",
     "events_hourly",
+    "events_sliding",
     "events_sessions",
     "events_asof",
     "events_asof_fwd",

@@ -446,6 +446,49 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(spark, sf_dir):
+    """SLIDING-window aggregation (1-hour windows every 30 minutes):
+    each event lands in exactly two overlapping windows.  Spark's
+    window(ts, len, slide) expands rows window-side BEFORE the
+    aggregate, so it is still one partial-agg shuffle — state is
+    (windows × types), never events."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM (
+  SELECT event_type, value,
+         unnest([
+           to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))::TIMESTAMP,
+           to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))::TIMESTAMP
+         ]) AS ws
+  FROM events) t
+GROUP BY 1, 2
+"""
+
+
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2030,6 +2073,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_null": q_events_asof_null,
     "events_asof_fwd": q_events_asof_fwd,
     "events_asof_nearest": q_events_asof_nearest,
+    "events_sliding": q_events_sliding,
     "events_rollup": q_events_rollup,
     "distinct_sketch": q_distinct_sketch,
     "events_json": q_events_json,
@@ -2095,6 +2139,7 @@ ORACLE: dict[str, str] = {
     "events_asof_null": SQL_EVENTS_ASOF_NULL,
     "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "events_asof_nearest": SQL_EVENTS_ASOF_NEAREST,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_json": SQL_EVENTS_JSON,
