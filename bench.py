@@ -47,6 +47,7 @@ DATA_QUERIES = [
     "events_asof_fwd",
     "events_asof_nearest",
     "events_rollup",
+    "events_cube",
     "distinct_sketch",
     "dedup_exact",
     "text_stats",
@@ -56,6 +57,7 @@ DATA_QUERIES = [
     "simhash_dup_pairs",
     "pack_sequences",
     "doc_repetition",
+    "weighted_sample",
     "text_normalize_dedup",
     "top_ngrams",
     "benchmark_contamination",

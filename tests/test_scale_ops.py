@@ -436,3 +436,32 @@ def test_asof_join_tolerance(spark):
     assert near[2] is None     # d=80 > 30
     near_wide = run(direction="nearest", tolerance=100)
     assert near_wide[2] == 901
+
+
+def test_weighted_sample_rate_and_determinism(spark):
+    """Keep rate tracks base_rate·E[min(w,cap)/cap]; same rows every
+    run; heavier rows kept proportionally more often."""
+    from vcfdbr_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("doc_id"),
+        # weights 100..400 uniform-ish
+        (100 + (F.col("id") % 301)).cast("long").alias("w"),
+    )
+    s = weighted_sample(df, "doc_id", "w", base_rate=0.5, weight_cap=400)
+    n = s.count()
+    # E[min(w,400)/400] ≈ E[w]/400 = 250.5/400 → expect ~0.5*0.626
+    expect = 0.5 * (250.0 / 400)
+    assert abs(n / 20_000 - expect) < 0.03
+    ids_a = {r["doc_id"] for r in s.collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df, "doc_id", "w", base_rate=0.5, weight_cap=400
+        ).collect()
+    }
+    assert ids_a == ids_b
+    # monotone in weight: light rows kept at ~half the rate of heavy
+    light = s.filter(F.col("w") < 200).count() / df.filter(F.col("w") < 200).count()
+    heavy = s.filter(F.col("w") >= 300).count() / df.filter(F.col("w") >= 300).count()
+    assert light < heavy

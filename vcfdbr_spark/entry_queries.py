@@ -756,6 +756,67 @@ FROM carried WHERE _side = 1
 """
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE aggregation: all four grouping sets (day×type, day, type,
+    grand total) from ONE shuffle-reused aggregate — the rollup's
+    superset (rollup omits the type-only sets)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY CUBE (date_trunc('day', ts), event_type)
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic importance sampling
+    (operators/sampling.py::weighted_sample): keep probability scales
+    with document length (quality weight), pure integer keep-test —
+    same rows on any engine or partitioning."""
+    from vcfdbr_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", base_rate=0.5, weight_cap=400
+    ).select("doc_id", "lang", "n_chars")
+
+
+_DOC_HEX8 = "(" + "+".join(
+    "(strpos('0123456789abcdef', "
+    f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_DOC_HEX8}
+      < CAST(floor({float(2**32) * 0.5} * least(n_chars, 400) / 400) AS BIGINT)
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup: one pass computes
     (day × type), per-day, and grand totals via GROUPING SETS —
@@ -2074,6 +2135,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_fwd": q_events_asof_fwd,
     "events_asof_nearest": q_events_asof_nearest,
     "events_sliding": q_events_sliding,
+    "events_cube": q_events_cube,
+    "weighted_sample": q_weighted_sample,
     "events_rollup": q_events_rollup,
     "distinct_sketch": q_distinct_sketch,
     "events_json": q_events_json,
@@ -2140,6 +2203,8 @@ ORACLE: dict[str, str] = {
     "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "events_asof_nearest": SQL_EVENTS_ASOF_NEAREST,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "events_cube": SQL_EVENTS_CUBE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_json": SQL_EVENTS_JSON,

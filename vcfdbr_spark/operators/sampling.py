@@ -94,3 +94,30 @@ def stratified_sample(
             & md5_bernoulli(F.col(key_col), sixteenths)
         )
     return df.filter(pred)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    base_rate: float,
+    weight_cap: int = 400,
+) -> DataFrame:
+    """Deterministic IMPORTANCE sampling: keep a row with probability
+    ``base_rate · min(weight, weight_cap)/weight_cap`` — quality- or
+    length-weighted corpus downsampling, RNG-free and engine-portable
+    (same rows on any engine, any partitioning, any re-run).
+
+    Keep test is pure integer math: the first 8 md5 hex chars of the
+    key give u ∈ [0, 2³²); the row stays iff
+    ``u < floor(2³²·base_rate · min(w, cap)/cap)`` — both sides exact
+    BIGINTs in every engine (no float RNG, no rounding drift).
+    """
+    u = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    scale = float(2**32) * base_rate
+    thr = F.floor(
+        F.lit(scale) * F.least(F.col(weight_col), F.lit(weight_cap)) / weight_cap
+    ).cast("long")
+    return df.filter(u < thr)
