@@ -282,3 +282,22 @@ def test_cli_dedup_index_probe_and_compact(spark, tmp_path):
     ) == 0
     got2c = {(r["a"], r["b"]) for r in spark.read.parquet(str(tmp_path / "p2c")).collect()}
     assert got2c == got2
+
+
+def test_every_registered_query_plan_is_scale_clean(spark):
+    """Sweeping plan audit over EVERY queries() entry: no cartesian
+    product anywhere (except the documented 1x1 sketch join) — plan
+    compilation only, no execution, so the whole surface is audited
+    in seconds.  Catches any future query that accidentally plans a
+    nested-loop join at corpus scale."""
+    import __spark_entry__ as e
+
+    allowed_cartesian = {"distinct_sketch"}  # documented 1x1 crossJoin
+    sf_dir = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "Join Cross" in plan and name not in allowed_cartesian:
+            bad[name] = "cartesian"
+    assert not bad, bad
