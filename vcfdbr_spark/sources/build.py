@@ -285,6 +285,12 @@ def append_vcf(
             "plain layout, append, then rewrite bucketed"
         )
     mode = db.manifest["mode"]
+    # hoisted: both the variant_info geno-path column and the geno
+    # vbucket write key use it (binding it inside the first `if` left
+    # the later use working only by variable leakage)
+    width = (
+        int(db.manifest["geno_bucket_width"]) if mode == "file" else None
+    )
     start = (db.variant_info.agg(F.max("variant_id")).first()[0] or 0) + 1
     tables = read_vcf(
         spark, vcf_path, multi_value=multi_value,
@@ -298,7 +304,6 @@ def append_vcf(
 
     info = tables.variant_info
     if mode == "file":
-        width = int(db.manifest["geno_bucket_width"])
         info = info.withColumn(
             "geno",
             F.concat(
