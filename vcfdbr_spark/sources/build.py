@@ -28,7 +28,6 @@ insurance, where n_chunks bounds the work lost to a crash.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -50,20 +49,21 @@ def _progress_path(out_path: str) -> str:
     return f"{out_path}/_build_progress.json"
 
 
-def _load_progress(out_path: str) -> dict:
-    try:
-        with open(_progress_path(out_path)) as fh:
-            return json.load(fh)
-    except OSError:
+def _load_progress(spark: SparkSession, out_path: str) -> dict:
+    # Hadoop FS, not local open(): the progress manifest lives next
+    # to the (possibly hdfs://-s3a://) store output
+    from vcfdbr_spark import fs as _fs
+
+    raw = _fs.read_text(spark, _progress_path(out_path))
+    if raw is None:
         return {"chunks": {}, "next_id": 1, "tables_done": False}
+    return json.loads(raw)
 
 
-def _save_progress(out_path: str, prog: dict) -> None:
-    os.makedirs(out_path, exist_ok=True)
-    tmp = _progress_path(out_path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(prog, fh)
-    os.replace(tmp, _progress_path(out_path))
+def _save_progress(spark: SparkSession, out_path: str, prog: dict) -> None:
+    from vcfdbr_spark import fs as _fs
+
+    _fs.write_text(spark, _progress_path(out_path), json.dumps(prog))
 
 
 def _delete_dir(spark: SparkSession, path: str) -> None:
@@ -107,7 +107,7 @@ def build_vcfdb_resumable(
     remain valid for a re-run against fixed input.
     """
     header = read_header(vcf_path)
-    prog = _load_progress(out_path)
+    prog = _load_progress(spark, out_path)
     groups = _contig_groups(header.contigs, n_chunks)
     # Regroup guard: resuming skips chunks purely on their 'done'
     # flag, so a resume under a DIFFERENT contig grouping (changed
@@ -190,7 +190,7 @@ def build_vcfdb_resumable(
             "contigs": group,
         }
         prog["next_id"] = int(prog["next_id"]) + n
-        _save_progress(out_path, prog)
+        _save_progress(spark, out_path, prog)
 
     if any(
         not prog["chunks"].get(str(k), {}).get("done")
@@ -206,7 +206,7 @@ def build_vcfdb_resumable(
             # reference parity: abort BEFORE building any table
             # (pipeline/01:43-53); staging stays for a post-fix re-run
             prog["aborted_on_rejects"] = int(n_rej)
-            _save_progress(out_path, prog)
+            _save_progress(spark, out_path, prog)
             return prog
     prog.pop("aborted_on_rejects", None)
     ok_all = spark.read.parquet(staging).drop("chunk")
@@ -230,7 +230,7 @@ def build_vcfdb_resumable(
         tables, out_path, mode=mode, geno_bucket_width=geno_bucket_width
     )
     prog["tables_done"] = True
-    _save_progress(out_path, prog)
+    _save_progress(spark, out_path, prog)
     return prog
 
 
