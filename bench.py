@@ -38,6 +38,8 @@ DATA_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
     "filter_distinct_join_count",
     "per_key_count_binned",
     "events_hourly",

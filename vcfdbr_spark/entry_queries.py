@@ -352,6 +352,98 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 shape): fact⋈fact join +
+    broadcast dims + top-20 by revenue.  The LIMIT after the
+    aggregate is a TakeOrderedAndProject — a per-partition top-k then
+    a driver merge of k·partitions rows, never a global sort of the
+    aggregate.  c_custkey tiebreak makes the cut deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev)
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume-customer (TPC-H Q18 shape): HAVING on a fact
+    aggregate feeding a semi-join back into the fact — expressed as
+    an aggregate → filter → join chain so Catalyst keeps both passes
+    partial-agg shuffles on l_orderkey (co-partitioned, AQE reuses
+    the exchange) and broadcasts the tiny qualifying-order list."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 SQL_TPCH_Q5 = """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -2123,6 +2215,8 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
     "filter_distinct_join_count": q_filter_distinct_join_count,
     "anti_join_orders": q_anti_join_orders,
     "left_join_fill": q_left_join_fill,
@@ -2191,6 +2285,8 @@ ORACLE: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q18": SQL_TPCH_Q18,
     "filter_distinct_join_count": SQL_FILTER_DISTINCT_JOIN_COUNT,
     "anti_join_orders": SQL_ANTI_JOIN_ORDERS,
     "left_join_fill": SQL_LEFT_JOIN_FILL,
