@@ -78,12 +78,14 @@ DATA_QUERIES = [
 GENE_SWEEP = [f"G{i:03d}" for i in range(1, 201, 10)]  # 20 genes
 
 # Per-query repeat count: the recorded number is the MEDIAN of N
-# timed in-process runs after one untimed warm-up.  Single-shot
-# timings in this sandbox swing ±30% run-to-run (BENCH_NOTES.md's
-# four-run study; round 4 recorded 3.3s for a query that re-times at
-# 0.5s) — medians make the committed JSON self-correcting.  One-time
-# build/ingest keys stay single-shot: they measure a write pipeline
-# whose cost is the first run by definition.
+# timed in-process runs.  Single-shot timings in this sandbox swing
+# ±30% run-to-run (BENCH_NOTES.md's four-run study; round 4 recorded
+# 3.3s for a query that re-times at 0.5s) — medians make the
+# committed JSON self-correcting.  No separate warm-up run: with
+# N≥3 the cold first run sits above the median and is discarded by
+# it, so the median IS the warm steady-state number at 3 runs' cost,
+# not 4.  One-time build/ingest keys stay single-shot: they measure
+# a write pipeline whose cost is the first run by definition.
 BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
@@ -160,8 +162,8 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn, repeats: int = BENCH_REPEATS) -> None:
-        """Record the median of `repeats` runs after one warm-up."""
-        fn()  # warm-up: plan compilation + code cache, untimed
+        """Record the median of `repeats` runs (cold first run is
+        discarded by the median when repeats >= 3)."""
         runs = []
         for _ in range(repeats):
             t0 = time.time()
