@@ -444,3 +444,97 @@ def test_cli_dedup_releases_all_caches(spark, tmp_path):
         )
         assert rc == 0
     assert _cached_ids() == before
+
+
+def _hot_corpus(spark, n_hot=1000):
+    """A degenerate corpus: one boilerplate cluster of ``n_hot``
+    byte-identical docs (every band bucket population = n_hot) plus a
+    small legitimate near-dup pair that must survive the cap."""
+    rows = [(i, "click here to accept cookies and continue") for i in range(n_hot)]
+    rows += [
+        (9001, "the quick brown fox jumps over the lazy dog"),
+        (9002, "the quick brown fox jumps over the lazy dog"),
+        (9003, "totally unrelated content about spark plans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_bucket_cap_bounds_minhash_pairs(spark):
+    """VERDICT r6 #1: a 1,000-member identical-text bucket must NOT
+    emit its ~500k quadratic candidate pairs.  With the default cap
+    the hot cluster is dropped from candidate generation (it is one
+    dedup cluster, already caught by exact_dedup), small buckets are
+    untouched, and the drop is surfaced via stats."""
+    docs = _hot_corpus(spark)
+    stats: dict = {}
+    pairs = minhash_dedup_pairs(docs, stats=stats).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (9001, 9002) in got  # legitimate near-dup pair survives
+    assert not any(a < 1000 and b < 1000 for a, b in got)  # hot cluster silent
+    assert len(got) < 10  # bounded, nowhere near C(1000,2)
+    # 8 hashes / 2 rows-per-band = 4 bands -> 4 hot buckets, 1000 rows each
+    assert stats["hot_buckets_dropped"] == 4
+    assert stats["hot_bucket_rows_dropped"] == 4000
+
+
+def test_hot_bucket_cap_disabled_and_small_cap(spark):
+    """cap=None restores uncapped semantics; a small cap on a small
+    cluster drops exactly the over-cap buckets."""
+    docs = spark.createDataFrame(
+        [(i, "same text repeated here") for i in range(20)]
+        + [(100, "another doc entirely"), (101, "another doc entirely")],
+        "doc_id long, text string",
+    )
+    bands = minhash_band_buckets(minhash_signatures(docs))
+    uncapped = lsh_candidate_pairs(bands, max_bucket_size=None).count()
+    assert uncapped == 190 + 1  # C(20,2) cluster pairs + the (100,101) pair
+    capped = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(bands, max_bucket_size=10).collect()
+    }
+    assert capped == {(100, 101)}
+
+
+def test_hot_bucket_cap_simhash(spark):
+    """Same contract on the simhash path: identical-doc cluster hashes
+    to one fingerprint -> one hot bucket per band -> dropped; distinct
+    near-dup pairs survive."""
+    from vcfdbr_spark.operators.dedup import simhash_dup_pairs
+
+    docs = _hot_corpus(spark, n_hot=600)
+    stats: dict = {}
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_dup_pairs(docs, stats=stats).collect()
+    }
+    assert (9001, 9002) in got
+    assert not any(a < 600 and b < 600 for a, b in got)
+    assert stats["hot_buckets_dropped"] >= 4
+    assert stats["hot_bucket_rows_dropped"] >= 2400
+
+
+def test_hot_bucket_cap_probe_path(spark):
+    """band_probe_pairs caps the INDEX side with a broadcast anti-join
+    (the scan must stay unshuffled): a hot indexed cluster no longer
+    multiplies against every probing batch, normal probes unaffected."""
+    from vcfdbr_spark.operators.dedup import band_probe_pairs
+
+    old = _hot_corpus(spark, n_hot=600).filter(F.col("doc_id") != 9002)
+    index = minhash_band_buckets(minhash_signatures(old))
+    new = spark.createDataFrame(
+        [
+            (8000, "click here to accept cookies and continue"),  # hits hot bucket
+            (9002, "the quick brown fox jumps over the lazy dog"),  # hits 9001
+        ],
+        "doc_id long, text string",
+    )
+    bands = minhash_band_buckets(minhash_signatures(new)).persist()
+    stats: dict = {}
+    got = {
+        (r["a"], r["b"])
+        for r in band_probe_pairs(bands, index, stats=stats).collect()
+    }
+    bands.unpersist()
+    assert (9001, 9002) in got
+    assert not any(a < 600 or b < 600 for a, b in got)
+    assert stats["hot_buckets_dropped"] >= 4

@@ -132,6 +132,13 @@ def main(argv: list[str] | None = None) -> int:
         help="keep the minimum id per component, or the best --score-col",
     )
     dd.add_argument("--score-col", default="n_chars")
+    dd.add_argument(
+        "--max-bucket-size", type=int, default=None,
+        help="drop LSH buckets above this population before candidate "
+        "generation (default: dedup.DEFAULT_MAX_BUCKET_SIZE; 0 "
+        "disables) — bounds the quadratic blowup of degenerate "
+        "boilerplate/empty-text clusters",
+    )
 
     di = sub.add_parser(
         "dedup-index",
@@ -158,6 +165,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also append the new batch's bands to the index (so the "
         "next probe sees this batch)",
+    )
+    dp.add_argument(
+        "--max-bucket-size", type=int, default=None,
+        help="per-side bucket population cap for the probe (default: "
+        "dedup.DEFAULT_MAX_BUCKET_SIZE; 0 disables)",
     )
 
     cb = sub.add_parser(
@@ -283,13 +295,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "dedup":
         from vcfdbr_spark.operators.dedup import (
+            DEFAULT_MAX_BUCKET_SIZE,
             dedup_components,
             dedup_keep_best,
             minhash_dedup_pairs,
         )
 
+        cap = (
+            DEFAULT_MAX_BUCKET_SIZE
+            if args.max_bucket_size is None
+            else (args.max_bucket_size or None)
+        )
+        hot_stats: dict = {}
         docs = spark.read.parquet(args.docs)
-        pairs = minhash_dedup_pairs(docs).persist()
+        pairs = minhash_dedup_pairs(
+            docs, max_bucket_size=cap, stats=hot_stats
+        ).persist()
         # dedup_components/dedup_keep_best return an already-persisted,
         # eagerly-materialized frame (their caching contract) — no
         # second persist here, and BOTH caches are released below so
@@ -315,6 +336,13 @@ def main(argv: list[str] | None = None) -> int:
             f"{n_comp} docs in components, kept {n_kept}/{n_docs} "
             f"→ {args.out}"
         )
+        if hot_stats.get("hot_buckets_dropped"):
+            print(
+                f"WARNING: dropped {hot_stats['hot_buckets_dropped']} "
+                f"hot bucket(s) over {cap} members "
+                f"({hot_stats['hot_bucket_rows_dropped']} band rows) "
+                f"from candidate generation"
+            )
         return 0
     if args.cmd == "dedup-index":
         from vcfdbr_spark.operators.dedup import (
@@ -331,6 +359,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "dedup-probe":
         from vcfdbr_spark.operators.dedup import (
+            DEFAULT_MAX_BUCKET_SIZE,
             band_probe_pairs,
             minhash_band_buckets,
             minhash_signatures,
@@ -338,13 +367,20 @@ def main(argv: list[str] | None = None) -> int:
             write_band_index,
         )
 
+        cap = (
+            DEFAULT_MAX_BUCKET_SIZE
+            if args.max_bucket_size is None
+            else (args.max_bucket_size or None)
+        )
         new_docs = spark.read.parquet(args.docs)
         index = read_band_index(spark, args.index)
         # sign the batch ONCE: the persisted band frame feeds the
         # probe, the new-new self-join AND the optional index append;
         # both caches are released before return (zero net cache)
         bands = minhash_band_buckets(minhash_signatures(new_docs)).persist()
-        pairs = band_probe_pairs(bands, index, n_pfx=args.n_pfx).persist()
+        pairs = band_probe_pairs(
+            bands, index, n_pfx=args.n_pfx, max_bucket_size=cap
+        ).persist()
         pairs.write.mode("overwrite").parquet(args.out)
         n = pairs.count()
         if args.append_index:

@@ -1390,9 +1390,21 @@ _BANDS_SQL = f"""
                        (2, md5(s.h4 || s.h5)), (3, md5(s.h6 || s.h7))) b(band, bucket)
 """
 
+# hot-bucket cap mirror (operators/dedup.py DEFAULT_MAX_BUCKET_SIZE):
+# buckets above 500 members are dropped before candidate generation so
+# one degenerate cluster can't emit B² pairs — the oracle encodes the
+# same policy so the gate value-checks the capped semantics
+_CAPPED_BANDS_SQL = f"""
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM ({_BANDS_SQL}))
+  WHERE bn <= 500
+"""
+
 _PAIRS_SQL = f"""
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM ({_BANDS_SQL}) x JOIN ({_BANDS_SQL}) y
+  FROM ({_CAPPED_BANDS_SQL}) x JOIN ({_CAPPED_BANDS_SQL}) y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 """
 
@@ -1492,10 +1504,18 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup_pairs(docs.filter(F.col("doc_id") % 5 == 4), index)
 
 
+# per-side hot-bucket cap mirrors band_probe_pairs: each side's bucket
+# populations counted and capped independently (index side + new side)
 SQL_DEDUP_INCREMENTAL = f"""
 WITH bands AS ({_BANDS_SQL}),
-oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 4),
-newb AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+oldb AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM bands WHERE doc_id % 5 <> 4) WHERE bn <= 500),
+newb AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM bands WHERE doc_id % 5 = 4) WHERE bn <= 500),
 cross_ AS (
   SELECT DISTINCT least(o.doc_id, n.doc_id) AS a,
          greatest(o.doc_id, n.doc_id) AS b
@@ -1780,10 +1800,15 @@ def q_simhash_dup_pairs(spark, sf_dir):
 
 SQL_SIMHASH_DUP_PAIRS = f"""
 WITH sig AS ({SQL_SIMHASH.strip()}),
-bands AS (
+bands0 AS (
   SELECT doc_id, simhash, b.b AS band,
          (simhash >> (b.b * 16)) & 65535 AS bucket
   FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
+bands AS (
+  -- hot-bucket cap mirror (dedup.DEFAULT_MAX_BUCKET_SIZE)
+  SELECT doc_id, simhash, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM bands0)
+  WHERE bn <= 500),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming

@@ -16,15 +16,116 @@ Four families, all shuffle-frugal and engine-portable:
 
 Scale notes: candidate generation is |bands| × |docs| rows; the
 bucket self-join only materializes same-bucket pairs (skew-safe under
-AQE).  All-pairs similarity is deliberately absent.
+AQE), and buckets above :data:`DEFAULT_MAX_BUCKET_SIZE` members are
+dropped before any join so one degenerate cluster can't go quadratic.
+All-pairs similarity is deliberately absent.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vcfdbr_spark.functions.text import word_shingles
+
+#: Default population cap for an LSH / simhash band bucket.  A bucket
+#: with B members emits O(B²) candidate pairs out of the bucket join;
+#: real web corpora contain degenerate clusters (boilerplate pages,
+#: empty/near-empty texts) with B in the millions, and ONE such bucket
+#: makes the whole dedup job quadratic.  Buckets above the cap are
+#: dropped from candidate generation (standard practice: a near-dup
+#: bucket that large is one dedup cluster anyway, and byte-identical
+#: members are already caught by :func:`exact_dedup`); the drop is
+#: surfaced through the optional ``stats`` dict.
+DEFAULT_MAX_BUCKET_SIZE = 500
+
+
+def record_hot_bucket_stats(
+    frame: DataFrame,
+    keys: tuple[str, ...],
+    max_bucket_size: int,
+    stats: dict,
+) -> None:
+    """Accumulate dropped-bucket observability counters into ``stats``
+    (``hot_buckets_dropped``, ``hot_bucket_rows_dropped``).  Runs one
+    extra aggregation job over ``frame`` — only called when the caller
+    asked for stats."""
+    row = (
+        frame.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("_b"),
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("_r"),
+        )
+        .first()
+    )
+    stats["hot_buckets_dropped"] = stats.get("hot_buckets_dropped", 0) + int(row["_b"])
+    stats["hot_bucket_rows_dropped"] = stats.get("hot_bucket_rows_dropped", 0) + int(
+        row["_r"]
+    )
+
+
+def _cap_buckets_window(
+    frame: DataFrame,
+    keys: tuple[str, ...],
+    max_bucket_size: int | None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Drop rows of over-populated buckets via a count window.
+
+    For SELF-JOIN candidate generation the window is the right shape:
+    it shuffles on the same ``(band, bucket)`` keys the following
+    equi-join hashes on, so the join reuses the window's partitioning
+    instead of adding an Exchange — the cap rides the shuffle the join
+    needed anyway.
+    """
+    if not max_bucket_size:
+        return frame
+    if stats is not None:
+        record_hot_bucket_stats(frame, keys, max_bucket_size, stats)
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        frame.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
+def _cap_buckets_antijoin(
+    frame: DataFrame,
+    keys: tuple[str, ...],
+    max_bucket_size: int | None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Drop rows of over-populated buckets via a broadcast anti-join
+    against the (tiny) hot-bucket list.
+
+    For the INDEX side of a probe this is the right shape: the bucket
+    counts ride a map-side-partial aggregation (only distinct-bucket
+    counts shuffle, never rows) and the anti-join broadcasts the hot
+    list, so the index scan itself is never shuffled — the probe stays
+    map-side, which a count window would break.
+    """
+    if not max_bucket_size:
+        return frame
+    hot = (
+        frame.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_bucket_size)
+    )
+    if stats is not None:
+        row = hot.agg(
+            F.count(F.lit(1)).alias("_b"),
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("_r"),
+        ).first()
+        stats["hot_buckets_dropped"] = stats.get("hot_buckets_dropped", 0) + int(
+            row["_b"]
+        )
+        stats["hot_bucket_rows_dropped"] = stats.get(
+            "hot_bucket_rows_dropped", 0
+        ) + int(row["_r"])
+    return frame.join(F.broadcast(hot.select(*keys)), list(keys), "left_anti")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -98,9 +199,25 @@ def minhash_band_buckets(
 
 
 def lsh_candidate_pairs(
-    buckets: DataFrame, id_col: str = "doc_id"
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Distinct (a, b) with a < b sharing any band bucket."""
+    """Distinct (a, b) with a < b sharing any band bucket.
+
+    ``max_bucket_size`` (default :data:`DEFAULT_MAX_BUCKET_SIZE`)
+    drops buckets whose population exceeds the cap BEFORE the
+    self-join, bounding per-bucket pair fan-out at cap² — without it a
+    single degenerate bucket (boilerplate / empty-text cluster, B in
+    the millions on web corpora) emits B² rows and dominates the job.
+    ``None``/``0`` disables.  Pass ``stats={}`` to receive
+    ``hot_buckets_dropped`` / ``hot_bucket_rows_dropped`` counters
+    (costs one extra aggregation job).
+    """
+    buckets = _cap_buckets_window(
+        buckets, ("band", "bucket"), max_bucket_size, stats
+    )
     left = buckets.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
     )
@@ -123,13 +240,17 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     max_words: int = 50,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup candidates."""
+    """End-to-end MinHash-LSH near-dup candidates (hot buckets above
+    ``max_bucket_size`` dropped — see :func:`lsh_candidate_pairs`)."""
     sigs = minhash_signatures(
         docs, text_col, id_col, num_hashes, shingle_n, max_words
     )
     return lsh_candidate_pairs(
-        minhash_band_buckets(sigs, id_col, rows_per_band), id_col
+        minhash_band_buckets(sigs, id_col, rows_per_band), id_col,
+        max_bucket_size=max_bucket_size, stats=stats,
     )
 
 
@@ -471,6 +592,8 @@ def incremental_dedup_pairs(
     max_words: int = 50,
     rows_per_band: int = 2,
     n_pfx: int = DEFAULT_N_PFX,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Incremental fuzzy dedup: near-dup candidate pairs of a NEW
     document batch against an existing corpus's persisted MinHash band
@@ -498,7 +621,10 @@ def incremental_dedup_pairs(
         id_col=id_col,
         rows_per_band=rows_per_band,
     ).persist()
-    return band_probe_pairs(new_b, index, id_col, n_pfx=n_pfx)
+    return band_probe_pairs(
+        new_b, index, id_col, n_pfx=n_pfx,
+        max_bucket_size=max_bucket_size, stats=stats,
+    )
 
 
 def band_probe_pairs(
@@ -506,6 +632,8 @@ def band_probe_pairs(
     index: DataFrame,
     id_col: str = "doc_id",
     n_pfx: int = DEFAULT_N_PFX,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs of a (persisted) new band frame against a
     stored band index, plus new-vs-new pairs — the probe step shared
@@ -519,6 +647,16 @@ def band_probe_pairs(
     persisted band frame — and pushes them as an ``IN`` filter on the
     partition column, which Catalyst turns into PartitionFilters on
     the parquet scan: only the matching ``pfx=`` directories are read.
+
+    ``max_bucket_size`` caps bucket populations on EACH side
+    independently (anti-join shape on the index so its scan stays
+    unshuffled and the probe stays map-side; the capped-new side also
+    flows through :func:`lsh_candidate_pairs`' window cap).  Per-side
+    capping bounds per-bucket fan-out at cap·|new-in-bucket| ≤ cap²
+    — without it one degenerate index bucket (B in the millions)
+    multiplies against every probing batch forever.  Capping after pfx
+    pruning equals capping before it: ``pfx`` is a pure function of
+    ``bucket``, so pruning never splits a bucket's population.
     """
     if "pfx" in index.columns:
         pfxs = [
@@ -530,10 +668,16 @@ def band_probe_pairs(
             .collect()
         ]
         index = index.filter(F.col("pfx").isin(pfxs)).drop("pfx")
+    index = _cap_buckets_antijoin(
+        index, ("band", "bucket"), max_bucket_size, stats
+    )
+    capped_new = _cap_buckets_antijoin(
+        new_bands, ("band", "bucket"), max_bucket_size, stats
+    )
     cross = (
         index.select("band", "bucket", F.col(id_col).alias("_x"))
         .join(
-            new_bands.select("band", "bucket", F.col(id_col).alias("_y")),
+            capped_new.select("band", "bucket", F.col(id_col).alias("_y")),
             ["band", "bucket"],
         )
         .filter(F.col("_x") != F.col("_y"))
@@ -542,7 +686,9 @@ def band_probe_pairs(
             F.greatest("_x", "_y").alias("b"),
         )
     )
-    return cross.unionByName(lsh_candidate_pairs(new_bands, id_col)).distinct()
+    return cross.unionByName(
+        lsh_candidate_pairs(new_bands, id_col, max_bucket_size=max_bucket_size)
+    ).distinct()
 
 
 def dedup_keep_best(
@@ -603,6 +749,8 @@ def simhash_dup_pairs(
     max_hamming: int = 8,
     n_bands: int = 4,
     materialize: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one
     16-bit band of the 63-bit fingerprint, verified by exact Hamming
@@ -612,8 +760,10 @@ def simhash_dup_pairs(
     pair within Hamming distance ``n_bands - 1`` shares a band, and
     most near-dup pairs far closer than that collide in several);
     per-band bucket population is ~|docs|/2¹⁶ so the self-join never
-    goes quadratic.  Hamming verify is ``bit_count(a XOR b)`` — pure
-    integer column algebra, engine-portable.
+    goes quadratic — EXCEPT for degenerate clusters (identical
+    boilerplate / empty texts hash to one simhash → one bucket of B
+    members → B² candidates), which ``max_bucket_size`` drops before
+    the self-join, same contract as :func:`lsh_candidate_pairs`.
 
     ``materialize`` persists the signature frame (one 64-bit hash per
     doc — tiny): both sides of the self-join consume it, and without
@@ -636,6 +786,7 @@ def simhash_dup_pairs(
         F.col("simhash"),
         F.posexplode(bands).alias("band", "bucket"),
     )
+    bb = _cap_buckets_window(bb, ("band", "bucket"), max_bucket_size, stats)
     a = bb.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("sa"),
         "band", "bucket",

@@ -93,6 +93,7 @@ def stream_fuzzy_dedup(
     schema: str = "doc_id long, text string",
     max_files_per_trigger: int | None = None,
     n_pfx: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> None:
     """Streaming incremental fuzzy dedup: each micro-batch is
     MinHash-signed once, probed against the band index accumulated
@@ -121,9 +122,16 @@ def stream_fuzzy_dedup(
 
     All side-state I/O (batch-dir listing / delete) goes through the
     Hadoop FS API, so ``out_dir`` may be ``hdfs://`` / ``s3a://``.
+
+    ``max_bucket_size`` (default ``dedup.DEFAULT_MAX_BUCKET_SIZE``)
+    caps bucket populations at PROBE time (degenerate boilerplate
+    buckets would otherwise multiply against every future batch); the
+    index itself stays complete — the cap is a query-time policy, so
+    re-probing with a different cap needs no index rebuild.
     """
     from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
         DEFAULT_N_PFX,
         band_probe_pairs,
         lsh_candidate_pairs,
@@ -134,6 +142,8 @@ def stream_fuzzy_dedup(
 
     if n_pfx is None:
         n_pfx = DEFAULT_N_PFX
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     idx_dir = f"{out_dir}/band_index"
     pairs_dir = f"{out_dir}/pairs"
 
@@ -151,9 +161,13 @@ def stream_fuzzy_dedup(
             # the scan); without it, multiple batch=* roots that each
             # contain pfx=* children are rejected as conflicting
             index = spark.read.option("basePath", idx_dir).parquet(*prior)
-            pairs = band_probe_pairs(bands, index, n_pfx=n_pfx)
+            pairs = band_probe_pairs(
+                bands, index, n_pfx=n_pfx, max_bucket_size=max_bucket_size
+            )
         else:
-            pairs = lsh_candidate_pairs(bands)
+            pairs = lsh_candidate_pairs(
+                bands, max_bucket_size=max_bucket_size
+            )
         _fs.delete_dir(spark, f"{pairs_dir}/batch={batch_id}")
         _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
         pairs.write.parquet(f"{pairs_dir}/batch={batch_id}")
