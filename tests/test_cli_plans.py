@@ -60,7 +60,17 @@ def test_cli_build_rejects_multiallelic(spark, tmp_path):
     assert cli_main(["build", "--vcf", vcf, "--prefix", prefix]) == 2
     import os
 
-    assert os.path.exists(f"{prefix}-multiallelic-sites.tsv")
+    report = f"{prefix}-multiallelic-sites.tsv"
+    assert os.path.exists(report)
+    # the report is a DISTRIBUTED tab-separated write (a directory of
+    # part files) — a driver-side toPandas would OOM when every site
+    # of a pathological input is rejected
+    rows = (
+        spark.read.option("sep", "\t").option("header", True)
+        .csv(report)
+        .collect()
+    )
+    assert rows and any("," in r["alt"] for r in rows)
 
 
 def test_cli_resumable_build_rejects_multiallelic(spark, tmp_path):

@@ -19,6 +19,23 @@ import sys
 from pyspark.sql import functions as F
 
 
+def _write_reject_report(rejects, path: str) -> None:
+    """Distributed tab-separated reject report (header per part file).
+
+    The report is written executor-side as a CSV directory — never
+    collected to the driver: a pathological input (an unsplit
+    multiallelic VCF rejects EVERY site) makes the reject channel
+    corpus-sized, and a ``toPandas`` there OOMs the driver at scale.
+    The normal case (a handful of sites) produces one small part file.
+    """
+    (
+        rejects.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vcfdb", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -226,9 +243,10 @@ def main(argv: list[str] | None = None) -> int:
                 # (pipeline/01-generate-variant-ranges-index.R:43-53)
                 n_rejects = prog["aborted_on_rejects"]
                 reject_path = f"{args.prefix}-multiallelic-sites.tsv"
-                spark.read.parquet(f"{args.prefix}/_rejects").drop(
-                    "chunk"
-                ).toPandas().to_csv(reject_path, sep="\t", index=False)
+                _write_reject_report(
+                    spark.read.parquet(f"{args.prefix}/_rejects").drop("chunk"),
+                    reject_path,
+                )
                 print(
                     f"ERROR: {n_rejects} rejected records (multiallelic/"
                     f"malformed) — written to {reject_path}; fix the "
@@ -249,7 +267,7 @@ def main(argv: list[str] | None = None) -> int:
         n_rejects = tables.rejects.count()
         if n_rejects:
             reject_path = f"{args.prefix}-multiallelic-sites.tsv"
-            tables.rejects.toPandas().to_csv(reject_path, sep="\t", index=False)
+            _write_reject_report(tables.rejects, reject_path)
             # reference aborts the build on multiallelic input
             # (pipeline/01-generate-variant-ranges-index.R:43-53)
             print(
