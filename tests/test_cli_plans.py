@@ -296,10 +296,13 @@ def test_cli_dedup_index_probe_and_compact(spark, tmp_path):
 
 def test_every_registered_query_plan_is_scale_clean(spark):
     """Sweeping plan audit over EVERY queries() entry: no cartesian
-    product anywhere (except the documented 1x1 sketch join) — plan
-    compilation only, no execution, so the whole surface is audited
-    in seconds.  Catches any future query that accidentally plans a
-    nested-loop join at corpus scale."""
+    product anywhere (except the documented 1x1 sketch join).  Mostly
+    plan compilation only — the iterative dedup_components queries
+    necessarily execute their label-propagation loop at construction
+    (each round's convergence check is an action); they run with
+    materialize=False so nothing stays cached.  Catches any future
+    query that accidentally plans a nested-loop join at corpus
+    scale."""
     import __spark_entry__ as e
 
     allowed_cartesian = {"distinct_sketch"}  # documented 1x1 crossJoin

@@ -538,3 +538,46 @@ def test_hot_bucket_cap_probe_path(spark):
     assert (9001, 9002) in got
     assert not any(a < 600 or b < 600 for a, b in got)
     assert stats["hot_buckets_dropped"] >= 4
+
+
+def test_band_index_n_pfx_sidecar_guard(spark, tmp_path):
+    """ADVICE r6: the index records its modulus in an _n_pfx sidecar;
+    reading for a probe with a different n_pfx, or appending under a
+    different one, is a hard error instead of silently pruning the
+    wrong pfx= partitions."""
+    import pytest
+
+    from vcfdbr_spark.operators.dedup import (
+        index_n_pfx,
+        read_band_index,
+        write_band_index,
+    )
+
+    bands = minhash_band_buckets(minhash_signatures(_docs(spark)))
+    idx = str(tmp_path / "idx")
+    write_band_index(bands, idx, n_pfx=16)
+    assert index_n_pfx(spark, idx) == 16
+    # matching (or unspecified) modulus reads fine
+    assert read_band_index(spark, idx, n_pfx=16).count() > 0
+    assert read_band_index(spark, idx).count() > 0
+    with pytest.raises(ValueError, match="n_pfx=16"):
+        read_band_index(spark, idx, n_pfx=64)
+    with pytest.raises(ValueError, match="mix partition moduli"):
+        write_band_index(bands, idx, n_pfx=32, mode="append")
+    # append under the recorded modulus is allowed
+    write_band_index(bands, idx, n_pfx=16, mode="append")
+    # overwrite may re-bucket: sidecar follows
+    write_band_index(bands, idx, n_pfx=8, mode="overwrite")
+    assert index_n_pfx(spark, idx) == 8
+
+
+def test_list_subdirs_numeric_ordering(spark, tmp_path):
+    """ADVICE r6: batch=10 must sort AFTER batch=2 (numeric =N
+    suffix), not before it (string sort)."""
+    from vcfdbr_spark import fs as _fs
+
+    root = str(tmp_path / "idx")
+    for n in (1, 2, 10, 12):
+        (tmp_path / "idx" / f"batch={n}").mkdir(parents=True)
+    got = [p.rsplit("/", 1)[-1] for p in _fs.list_subdirs(spark, root, "batch=")]
+    assert got == ["batch=1", "batch=2", "batch=10", "batch=12"]

@@ -176,7 +176,11 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--docs", required=True, help="the new batch")
     dp.add_argument("--index", required=True, help="dedup-index directory")
     dp.add_argument("--out", required=True, help="pairs output directory")
-    dp.add_argument("--n-pfx", type=int, default=64)
+    dp.add_argument(
+        "--n-pfx", type=int, default=None,
+        help="partition modulus (default: the index's recorded _n_pfx "
+        "sidecar; an explicit mismatching value is an error)",
+    )
     dp.add_argument(
         "--append-index",
         action="store_true",
@@ -378,7 +382,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "dedup-probe":
         from vcfdbr_spark.operators.dedup import (
             DEFAULT_MAX_BUCKET_SIZE,
+            DEFAULT_N_PFX,
             band_probe_pairs,
+            index_n_pfx,
             minhash_band_buckets,
             minhash_signatures,
             read_band_index,
@@ -390,20 +396,28 @@ def main(argv: list[str] | None = None) -> int:
             if args.max_bucket_size is None
             else (args.max_bucket_size or None)
         )
+        # modulus resolution: explicit flag > index sidecar > default;
+        # read_band_index raises when an explicit flag contradicts the
+        # sidecar (a mismatched modulus prunes the wrong partitions)
+        n_pfx = (
+            args.n_pfx
+            or index_n_pfx(spark, args.index)
+            or DEFAULT_N_PFX
+        )
         new_docs = spark.read.parquet(args.docs)
-        index = read_band_index(spark, args.index)
+        index = read_band_index(spark, args.index, n_pfx=n_pfx)
         # sign the batch ONCE: the persisted band frame feeds the
         # probe, the new-new self-join AND the optional index append;
         # both caches are released before return (zero net cache)
         bands = minhash_band_buckets(minhash_signatures(new_docs)).persist()
         pairs = band_probe_pairs(
-            bands, index, n_pfx=args.n_pfx, max_bucket_size=cap
+            bands, index, n_pfx=n_pfx, max_bucket_size=cap
         ).persist()
         pairs.write.mode("overwrite").parquet(args.out)
         n = pairs.count()
         if args.append_index:
             write_band_index(
-                bands, args.index, n_pfx=args.n_pfx, mode="append"
+                bands, args.index, n_pfx=n_pfx, mode="append"
             )
         pairs.unpersist()
         bands.unpersist()

@@ -1446,7 +1446,10 @@ def q_dedup_clusters(spark, sf_dir):
     from vcfdbr_spark.operators.dedup import dedup_components
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_components(minhash_dedup_pairs(docs))
+    # materialize=False: the driver consumes this frame through ONE
+    # action, so nothing must stay persisted — bench/correctness call
+    # this function repeatedly and a leaked cache per call accumulates
+    return dedup_components(minhash_dedup_pairs(docs), materialize=False)
 
 
 def q_corpus_dedup(spark, sf_dir):
@@ -1462,7 +1465,7 @@ def q_corpus_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     drops = (
-        dedup_components(minhash_dedup_pairs(docs))
+        dedup_components(minhash_dedup_pairs(docs), materialize=False)
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id")
     )
@@ -1539,7 +1542,9 @@ def q_dedup_keep_best(spark, sf_dir):
     from vcfdbr_spark.operators.dedup import dedup_keep_best
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_keep_best(minhash_dedup_pairs(docs), docs)
+    return dedup_keep_best(
+        minhash_dedup_pairs(docs), docs, materialize=False
+    )
 
 
 SQL_DEDUP_KEEP_BEST = f"""

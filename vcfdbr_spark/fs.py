@@ -40,8 +40,14 @@ def makedirs(spark: SparkSession, path: str) -> None:
 
 
 def list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
-    """Sorted full paths of immediate subdirectories whose NAME starts
-    with ``prefix`` (e.g. ``batch=``) — the FS-portable ``glob``."""
+    """Full paths of immediate subdirectories whose NAME starts with
+    ``prefix`` (e.g. ``batch=``) — the FS-portable ``glob``.
+
+    Ordering: when every name carries a trailing ``=N`` integer suffix
+    (hive-style ``batch=N`` dirs), sorted NUMERICALLY on it — a plain
+    string sort puts ``batch=10`` before ``batch=2``, which silently
+    mis-orders any future order-sensitive caller past 9 batches;
+    otherwise plain lexicographic."""
     fs, p = _fs(spark, path)
     if not fs.exists(p):
         return []
@@ -49,7 +55,15 @@ def list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
     for st in fs.listStatus(p):
         if st.isDirectory() and st.getPath().getName().startswith(prefix):
             out.append(st.getPath().toString())
-    return sorted(out)
+
+    def _key(full: str):
+        name = full.rsplit("/", 1)[-1]
+        stem, eq, tail = name.rpartition("=")
+        if eq and tail.isdigit():
+            return (0, stem, int(tail))
+        return (1, name, 0)
+
+    return sorted(out, key=_key)
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:
@@ -77,7 +91,16 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
     """Atomic-ish small-file write: create ``path.tmp`` then rename
     over the target — readers never observe a half-written manifest.
     (HDFS rename is atomic; object stores approximate it, which is
-    fine for a single-writer progress file.)"""
+    fine for a single-writer progress file.)
+
+    Hadoop ``FileSystem.delete``/``rename`` report failure by
+    RETURNING FALSE rather than throwing; both results are checked
+    and raised here — a silently dropped rename would lose the
+    progress manifest and restart a resumable build from scratch.
+    The delete+rename pair does leave a no-manifest window on
+    filesystems without overwriting rename; readers treat an absent
+    manifest as "fresh start", so a crash inside the window costs a
+    re-run of completed work, never corruption."""
     fs, p = _fs(spark, path)
     jvm = spark._jvm
     parent = p.getParent()
@@ -89,6 +112,10 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    fs.rename(tmp, p)
+    if fs.exists(p) and not fs.delete(p, False):
+        raise IOError(f"could not delete {path} before manifest rename")
+    if not fs.rename(tmp, p):
+        raise IOError(
+            f"rename {path}.tmp -> {path} failed (Hadoop rename "
+            f"returned false); manifest write aborted"
+        )

@@ -512,11 +512,23 @@ def band_pfx(bucket, n_pfx: int = DEFAULT_N_PFX):
     Purely a storage-layout key (never part of the result), so the
     engine-native murmur hash is fine — the index is written and
     probed by the same engine.  Writer and prober must agree on
-    ``n_pfx``; :func:`write_band_index` records it in the directory
-    name of every partition, and :func:`read_band_index` asserts the
-    layout exists.
+    ``n_pfx``; :func:`write_band_index` records it in an ``_n_pfx``
+    sidecar next to the partitions, :func:`index_n_pfx` reads it back,
+    and :func:`read_band_index` / append-mode writes raise on a
+    mismatch — a silently different modulus would prune the WRONG
+    ``pfx=`` partitions and drop near-dup candidate pairs.
     """
     return F.pmod(F.hash(bucket), F.lit(n_pfx))
+
+
+def index_n_pfx(spark, path: str) -> int | None:
+    """The ``n_pfx`` a :func:`write_band_index` layout was written
+    with (from its ``_n_pfx`` sidecar); ``None`` for a pre-sidecar or
+    foreign layout."""
+    from vcfdbr_spark import fs as _fs
+
+    raw = _fs.read_text(spark, f"{path}/_n_pfx")
+    return int(raw.strip()) if raw else None
 
 
 def write_band_index(
@@ -535,18 +547,47 @@ def write_band_index(
     batch's bucket spread, not the total index size.  (A flat layout
     forces every probe to scan the whole accumulated index — O(index)
     per batch, the scale-killer this layout exists to remove.)
+
+    The modulus is recorded in a ``_n_pfx`` sidecar (underscore prefix
+    → invisible to parquet reads).  ``mode="append"`` VALIDATES the
+    sidecar first and raises on mismatch: appending under a different
+    modulus would mix layouts and silently break probe pruning.
     """
+    spark = bands.sparkSession
+    stored = index_n_pfx(spark, path)
+    if mode == "append" and stored is not None and stored != n_pfx:
+        raise ValueError(
+            f"band index at {path} was written with n_pfx={stored}; "
+            f"appending with n_pfx={n_pfx} would mix partition moduli "
+            f"and silently drop candidate pairs at probe time"
+        )
     (
         bands.withColumn("pfx", band_pfx(F.col("bucket"), n_pfx))
         .write.mode(mode)
         .partitionBy("pfx")
         .parquet(path)
     )
+    if stored != n_pfx:
+        from vcfdbr_spark import fs as _fs
+
+        _fs.write_text(spark, f"{path}/_n_pfx", str(n_pfx))
 
 
-def read_band_index(spark, path: str) -> DataFrame:
+def read_band_index(spark, path: str, n_pfx: int | None = None) -> DataFrame:
     """Open a :func:`write_band_index` layout; the ``pfx`` partition
-    column rides along so :func:`band_probe_pairs` can prune on it."""
+    column rides along so :func:`band_probe_pairs` can prune on it.
+
+    Pass the ``n_pfx`` you intend to probe with to have it validated
+    against the layout's ``_n_pfx`` sidecar — a mismatched modulus
+    prunes the wrong partitions and silently loses pairs."""
+    stored = index_n_pfx(spark, path)
+    if n_pfx is not None and stored is not None and stored != n_pfx:
+        raise ValueError(
+            f"band index at {path} was written with n_pfx={stored}, "
+            f"but the probe requested n_pfx={n_pfx}; probing with a "
+            f"different modulus prunes the wrong pfx= partitions. "
+            f"Re-probe with n_pfx={stored} or rebuild the index."
+        )
     return spark.read.parquet(path)
 
 
@@ -696,6 +737,7 @@ def dedup_keep_best(
     docs: DataFrame,
     score_col: str = "n_chars",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Quality-aware keep selection: like :func:`dedup_components`,
     but each component keeps its HIGHEST-``score_col`` member
@@ -712,13 +754,15 @@ def dedup_keep_best(
     ids, and the per-component window partitions by component label —
     components are tiny cliques/chains, so no skewed partition.
 
-    Caching contract mirrors :func:`dedup_components`: the returned
-    frame is persisted+materialized (it feeds both a write and an
-    anti-join in every real pipeline) and the intermediate component
-    cache is released here; caller ``.unpersist()``s the result.
+    Caching contract mirrors :func:`dedup_components`: with
+    ``materialize`` (default) the returned frame is
+    persisted+materialized (it feeds both a write and an anti-join in
+    every real pipeline) and the intermediate component cache is
+    released here; caller ``.unpersist()``s the result.  Pass
+    ``materialize=False`` when the result is consumed exactly once
+    (e.g. a single oracle/bench action) — nothing stays cached.
     """
-    comps = dedup_components(pairs)
-    from pyspark.sql import Window
+    comps = dedup_components(pairs, materialize=materialize)
 
     scored = comps.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
@@ -732,13 +776,13 @@ def dedup_keep_best(
         .filter(F.col("_rk") == 1)
         .select(F.col("keep_id").alias("_comp"), F.col("doc_id").alias("_best"))
     )
-    out = (
-        comps.join(best, comps["keep_id"] == best["_comp"])
-        .select("doc_id", F.col("_best").alias("keep_id"))
-        .persist()
+    out = comps.join(best, comps["keep_id"] == best["_comp"]).select(
+        "doc_id", F.col("_best").alias("keep_id")
     )
-    out.count()  # eager: reads hit THIS cache, comps' can be released
-    comps.unpersist()
+    if materialize:
+        out = out.persist()
+        out.count()  # eager: reads hit THIS cache, comps' can be released
+        comps.unpersist()
     return out
 
 

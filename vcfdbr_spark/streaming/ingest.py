@@ -134,18 +134,32 @@ def stream_fuzzy_dedup(
         DEFAULT_MAX_BUCKET_SIZE,
         DEFAULT_N_PFX,
         band_probe_pairs,
+        index_n_pfx,
         lsh_candidate_pairs,
         minhash_band_buckets,
         minhash_signatures,
         write_band_index,
     )
 
-    if n_pfx is None:
-        n_pfx = DEFAULT_N_PFX
-    if max_bucket_size is None:
-        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
     idx_dir = f"{out_dir}/band_index"
     pairs_dir = f"{out_dir}/pairs"
+    # restart guard: the modulus is baked into every batch's pfx=
+    # layout, so a restart MUST reuse the recorded n_pfx — a different
+    # one would append mixed-modulus partitions and silently prune the
+    # wrong dirs on every later probe.  Omitted n_pfx resumes with the
+    # recorded value; an explicit conflicting one is a hard error.
+    stored = index_n_pfx(spark, idx_dir)
+    if n_pfx is None:
+        n_pfx = stored if stored is not None else DEFAULT_N_PFX
+    elif stored is not None and stored != n_pfx:
+        raise ValueError(
+            f"stream index at {idx_dir} was built with n_pfx={stored}; "
+            f"restarting with n_pfx={n_pfx} would mix partition moduli"
+        )
+    if stored != n_pfx:
+        _fs.write_text(spark, f"{idx_dir}/_n_pfx", str(n_pfx))
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         bands = minhash_band_buckets(minhash_signatures(batch_df)).persist()
