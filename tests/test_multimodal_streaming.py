@@ -377,3 +377,65 @@ def test_stream_sessions_native_session_windows(spark, tmp_path):
         ).collect()
     }
     assert rows == {("2024-01-01 09:00:00", "2024-01-01 09:55:00")}
+
+
+def test_stream_fuzzy_dedup_auto_compaction(spark, tmp_path):
+    """VERDICT r6 #5: with compact_every=3, a 7-batch stream folds the
+    batch=N tail into band_index_compacted/ (write-to-side + atomic
+    swap) so the probe's dir-listing stays bounded on a long-lived
+    stream — and the pair results are IDENTICAL to an uncompacted
+    run, including pairs whose index side crossed a compaction."""
+    import glob
+
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    schema = "doc_id long, text string"
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "completely different text about spark engines",
+        "unrelated brand new content entirely here now",
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # 7 single-file batches; batch k carries a dup of text[k%3] (so
+    # late batches must pair against early batches THROUGH the
+    # compacted layout) plus one unique doc
+    for k in range(7):
+        spark.createDataFrame(
+            [
+                (100 * k + 1, texts[k % 3]),
+                (100 * k + 2, f"unique filler number {k} with extra words"),
+            ],
+            schema,
+        ).coalesce(1).write.parquet(str(src / f"f{k}"))
+
+    out_c = tmp_path / "with_compaction"
+    out_p = tmp_path / "plain"
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out_c),
+        max_files_per_trigger=1, compact_every=3,
+    )
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out_p),
+        max_files_per_trigger=1, compact_every=None,
+    )
+    got_c = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(out_c / "pairs")).collect()
+    }
+    got_p = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(out_p / "pairs")).collect()
+    }
+    assert got_c == got_p
+    # batch 6 (doc 601, texts[0]) paired with batch 0 (doc 1) and
+    # batch 3 (doc 301) — both folded into the compacted layout by then
+    assert (1, 601) in got_c and (301, 601) in got_c
+    # tail stays bounded: compaction fired at batches 3 and 6 → ≤2
+    # batch dirs remain; the plain run keeps all 7
+    assert len(glob.glob(str(out_c / "band_index" / "batch=*"))) <= 2
+    assert len(glob.glob(str(out_p / "band_index" / "batch=*"))) == 7
+    assert (out_c / "band_index_compacted" / "_n_pfx").exists()
+    # no half-swap debris
+    assert not (out_c / "band_index_compacted.tmp").exists()
+    assert not (out_c / "band_index_compacted.old").exists()

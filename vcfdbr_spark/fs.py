@@ -66,6 +66,16 @@ def list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
     return sorted(out, key=_key)
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory/file rename; raises on failure (Hadoop reports
+    failure by returning false).  On HDFS a rename is atomic — the
+    building block for compaction swaps."""
+    fs, p_src = _fs(spark, src)
+    p_dst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(p_src, p_dst):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Small-file read (progress manifests); None when absent."""
     fs, p = _fs(spark, path)

@@ -86,6 +86,51 @@ def stream_dedup(
     )
 
 
+def _compact_stream_index(
+    spark: SparkSession, idx_dir: str, comp_dir: str, n_pfx: int
+) -> None:
+    """Fold the accumulated ``batch=N`` tail dirs (plus any existing
+    compacted layout) into ONE consolidated :func:`write_band_index`
+    layout at ``comp_dir`` — write-to-side then atomic-swap, never a
+    rewrite under the live reader.
+
+    Swap protocol (each rename is atomic on HDFS): write ``.tmp`` →
+    rename current → ``.old`` → rename ``.tmp`` → current → delete
+    ``.old`` + tail dirs.  Crash windows: only ``.old`` present →
+    healed (renamed back) at the next compaction, and the probe falls
+    back to it meanwhile; partial tail deletion → duplicate rows,
+    harmless (probe output is distinct) and removed by the next
+    compaction's ``distinct``.
+    """
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.dedup import write_band_index
+
+    comp_old, comp_tmp = f"{comp_dir}.old", f"{comp_dir}.tmp"
+    if not _fs.exists(spark, comp_dir) and _fs.exists(spark, comp_old):
+        _fs.rename(spark, comp_old, comp_dir)  # heal half-finished swap
+    _fs.delete_dir(spark, comp_old)
+    _fs.delete_dir(spark, comp_tmp)
+    tail = _fs.list_subdirs(spark, idx_dir, "batch=")
+    if not tail:
+        return
+    allb = (
+        spark.read.option("basePath", idx_dir)
+        .parquet(*tail)
+        .select("doc_id", "band", "bucket")
+    )
+    if _fs.exists(spark, comp_dir):
+        allb = allb.unionByName(
+            spark.read.parquet(comp_dir).select("doc_id", "band", "bucket")
+        )
+    write_band_index(allb.distinct(), comp_tmp, n_pfx=n_pfx)
+    if _fs.exists(spark, comp_dir):
+        _fs.rename(spark, comp_dir, comp_old)
+    _fs.rename(spark, comp_tmp, comp_dir)
+    _fs.delete_dir(spark, comp_old)
+    for d in tail:
+        _fs.delete_dir(spark, d)
+
+
 def stream_fuzzy_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -94,6 +139,7 @@ def stream_fuzzy_dedup(
     max_files_per_trigger: int | None = None,
     n_pfx: int | None = None,
     max_bucket_size: int | None = None,
+    compact_every: int | None = 16,
 ) -> None:
     """Streaming incremental fuzzy dedup: each micro-batch is
     MinHash-signed once, probed against the band index accumulated
@@ -128,6 +174,15 @@ def stream_fuzzy_dedup(
     buckets would otherwise multiply against every future batch); the
     index itself stays complete — the cap is a query-time policy, so
     re-probing with a different cap needs no index rebuild.
+
+    ``compact_every``: once the ``batch=N`` tail reaches this many
+    dirs, the batch folds them (and any previous compacted layout)
+    into one consolidated layout at ``band_index_compacted/`` via
+    write-to-side + atomic swap (:func:`_compact_stream_index`).
+    Without it a long-lived stream's probe must LIST every batch dir
+    ever written — file-listing cost grows linearly with stream age
+    even though pfx pruning bounds the bytes read.  ``None`` disables
+    (the manual ``compact-band-index`` CLI remains).
     """
     from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.operators.dedup import (
@@ -160,6 +215,7 @@ def stream_fuzzy_dedup(
         _fs.write_text(spark, f"{idx_dir}/_n_pfx", str(n_pfx))
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    comp_dir = f"{out_dir}/band_index_compacted"
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         bands = minhash_band_buckets(minhash_signatures(batch_df)).persist()
@@ -168,13 +224,37 @@ def stream_fuzzy_dedup(
             for d in _fs.list_subdirs(spark, idx_dir, "batch=")
             if not d.endswith(f"batch={batch_id}")
         ]
+        frames = []
+        # compacted layout first (fall back to a half-swapped `.old`);
+        # a replayed batch whose rows were already folded in pairs
+        # against itself through it, which yields exactly the same
+        # distinct pair set as its own self-join — replays stay
+        # exactly-once in RESULT even across a compaction boundary
+        for cand in (comp_dir, f"{comp_dir}.old"):
+            if _fs.exists(spark, cand):
+                frames.append(
+                    spark.read.parquet(cand).select(
+                        "doc_id", "band", "bucket", "pfx"
+                    )
+                )
+                break
         if prior:
             # basePath anchors partition discovery at the index root,
             # so the prior batch=N dirs surface both `batch` and the
             # `pfx` column the probe prunes on (PartitionFilters on
             # the scan); without it, multiple batch=* roots that each
             # contain pfx=* children are rejected as conflicting
-            index = spark.read.option("basePath", idx_dir).parquet(*prior)
+            frames.append(
+                spark.read.option("basePath", idx_dir)
+                .parquet(*prior)
+                .select("doc_id", "band", "bucket", "pfx")
+            )
+        if frames:
+            index = frames[0]
+            for f in frames[1:]:
+                # the probe's pfx isin-filter pushes through the union
+                # into PartitionFilters on BOTH scans
+                index = index.unionByName(f)
             pairs = band_probe_pairs(
                 bands, index, n_pfx=n_pfx, max_bucket_size=max_bucket_size
             )
@@ -190,6 +270,10 @@ def stream_fuzzy_dedup(
             mode="errorifexists",
         )
         bands.unpersist()
+        if compact_every and len(
+            _fs.list_subdirs(spark, idx_dir, "batch=")
+        ) >= compact_every:
+            _compact_stream_index(spark, idx_dir, comp_dir, n_pfx)
 
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
