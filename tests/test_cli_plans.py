@@ -314,3 +314,35 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         if "Join Cross" in plan and name not in allowed_cartesian:
             bad[name] = "cartesian"
     assert not bad, bad
+
+
+def test_cli_end_chunk_partial_then_resume(spark, tmp_path, capsys):
+    """The reference's --end-chunk bounded partial run
+    (pipeline/02-build-db.R:34-38) through the CLI: a --end-chunk 0
+    build exits 0 with a valid manifest and NO tables; re-running
+    without the flag resumes and the finished store equals a one-shot
+    build."""
+    import os
+
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    prefix = str(tmp_path / "partial_db")
+    assert cli_main(
+        ["build", "--vcf", vcf, "--prefix", prefix, "--resumable",
+         "--chunks", "3", "--end-chunk", "0"]
+    ) == 0
+    assert "partial build: 1 chunk(s) staged" in capsys.readouterr().out
+    assert not os.path.exists(f"{prefix}/variant_info")
+
+    assert cli_main(
+        ["build", "--vcf", vcf, "--prefix", prefix, "--resumable",
+         "--chunks", "3"]
+    ) == 0
+    one_shot = str(tmp_path / "oneshot_db")
+    assert cli_main(["build", "--vcf", vcf, "--prefix", one_shot]) == 0
+    resumed = sorted(
+        map(tuple, spark.read.parquet(f"{prefix}/variant_info").collect())
+    )
+    direct = sorted(
+        map(tuple, spark.read.parquet(f"{one_shot}/variant_info").collect())
+    )
+    assert resumed == direct
