@@ -39,9 +39,112 @@ def test_decode_media_stub(spark):
     assert again["features"] == r["features"]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_non_png_is_stubbed():
+    """PNG decodes natively now; every other format still raises."""
     with pytest.raises(NotImplementedError):
-        decode_image(b"anything")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+
+
+def test_decode_png_roundtrip_and_filters():
+    """Stdlib PNG decoder: encode→decode roundtrip recovers exact
+    dimensions and channel means for RGB, gray and RGBA; a hand-built
+    stream using ALL five scanline filters decodes to the same stats
+    as its filter-0 encoding (real writers pick filters per line)."""
+    import struct
+    import zlib
+
+    from vcfdbr_spark.operators.multimodal import decode_png, encode_png
+
+    # 4x3 RGB: left half pure red, right half pure green
+    px = bytearray()
+    for _y in range(3):
+        px += bytes([255, 0, 0] * 2 + [0, 255, 0] * 2)
+    w, h, feats = decode_png(encode_png(4, 3, bytes(px)))
+    assert (w, h) == (4, 3)
+    r, g, b, a = feats[:4]
+    assert abs(r - 0.5) < 1e-9 and abs(g - 0.5) < 1e-9 and b == 0.0 and a == 1.0
+    assert feats[7] == 0.75  # 3 channels / 4
+
+    # gray 2x2 gradient
+    w, h, feats = decode_png(encode_png(2, 2, bytes([0, 85, 170, 255]), color_type=0))
+    assert (w, h) == (2, 2)
+    assert abs(feats[0] - (0 + 85 + 170 + 255) / 4 / 255) < 1e-9
+    assert feats[5] == 0.0 and feats[6] == 1.0  # luma min/max
+
+    # RGBA with half-transparent alpha
+    rgba = bytes([10, 20, 30, 128] * 4)
+    w, h, feats = decode_png(encode_png(2, 2, rgba, color_type=6))
+    assert abs(feats[3] - 128 / 255) < 1e-9 and feats[7] == 1.0
+
+    # all five filter types: filter each scanline of a 4x5 RGB image
+    # with type y%5 (the encoder's inverse transform), then decode and
+    # compare against the filter-0 encoding of the same pixels
+    wd, ht, nch = 4, 5, 3
+    stride = wd * nch
+    pix = bytes((7 * i + 3) % 256 for i in range(stride * ht))
+
+    def _paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(ht):
+        line = pix[y * stride : (y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        for x in range(stride):
+            left = line[x - nch] if x >= nch else 0
+            up = prev[x]
+            ul = prev[x - nch] if x >= nch else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = (line[x] - left) & 0xFF
+            elif f == 2:
+                v = (line[x] - up) & 0xFF
+            elif f == 3:
+                v = (line[x] - ((left + up) >> 1)) & 0xFF
+            else:
+                v = (line[x] - _paeth(left, up, ul)) & 0xFF
+            raw.append(v)
+        prev = line
+
+    def _chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    filtered_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", wd, ht, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(filtered_png) == decode_png(encode_png(wd, ht, pix))
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+
+
+def test_decode_media_with_real_png_decoder(spark):
+    """VERDICT r6 #8: a generated PNG decodes through the REAL decoder
+    on the same Arrow mapInPandas path the fake stand-in exercises."""
+    from vcfdbr_spark.operators.multimodal import decode_image, encode_png
+
+    png = encode_png(5, 4, bytes([200, 100, 50] * 20))
+    media = spark.createDataFrame(
+        [(1, "image", png, {})],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    row = decode_media(media, decoder=decode_image).first()
+    assert (row["width"], row["height"]) == (5, 4)
+    assert row["n_bytes"] == len(png)
+    assert abs(row["features"][0] - 200 / 255) < 1e-9
 
 
 def test_frame_sample_plan(spark):
