@@ -581,3 +581,35 @@ def test_list_subdirs_numeric_ordering(spark, tmp_path):
         (tmp_path / "idx" / f"batch={n}").mkdir(parents=True)
     got = [p.rsplit("/", 1)[-1] for p in _fs.list_subdirs(spark, root, "batch=")]
     assert got == ["batch=1", "batch=2", "batch=10", "batch=12"]
+
+
+def test_hot_bucket_cap_embedding_dup_pairs(spark):
+    """Embedding twin of the LSH hot-bucket guard: a degenerate
+    cluster of identical vectors (failed-encoder / default-init rows)
+    shares every sign band; with the cap those rows are dropped from
+    candidate generation, while distinct near-dup vector pairs
+    survive.  Default stays None (no other operator reports exact
+    embedding dups, so dropping is strictly opt-in)."""
+    from vcfdbr_spark.operators.similarity import embedding_dup_pairs
+
+    base = [0.5 if i % 2 else -0.5 for i in range(16)]
+    rows = [(i, [0.1] * 16) for i in range(40)]  # degenerate cluster
+    rows += [(901, base), (902, [x * 1.01 for x in base])]  # real near-dups
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = {
+        (r["a"], r["b"])
+        for r in embedding_dup_pairs(corpus, threshold=0.99).collect()
+    }
+    assert (901, 902) in uncapped
+    assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 // 2
+
+    stats: dict = {}
+    capped = {
+        (r["a"], r["b"])
+        for r in embedding_dup_pairs(
+            corpus, threshold=0.99, max_bucket_size=10, stats=stats
+        ).collect()
+    }
+    assert capped == {(901, 902)}
+    assert stats["hot_buckets_dropped"] == 4  # the cluster's 4 bands

@@ -66,7 +66,7 @@ def record_hot_bucket_stats(
     )
 
 
-def _cap_buckets_window(
+def cap_buckets_window(
     frame: DataFrame,
     keys: tuple[str, ...],
     max_bucket_size: int | None,
@@ -92,7 +92,7 @@ def _cap_buckets_window(
     )
 
 
-def _cap_buckets_antijoin(
+def cap_buckets_antijoin(
     frame: DataFrame,
     keys: tuple[str, ...],
     max_bucket_size: int | None,
@@ -215,7 +215,7 @@ def lsh_candidate_pairs(
     ``hot_buckets_dropped`` / ``hot_bucket_rows_dropped`` counters
     (costs one extra aggregation job).
     """
-    buckets = _cap_buckets_window(
+    buckets = cap_buckets_window(
         buckets, ("band", "bucket"), max_bucket_size, stats
     )
     left = buckets.select(
@@ -709,10 +709,10 @@ def band_probe_pairs(
             .collect()
         ]
         index = index.filter(F.col("pfx").isin(pfxs)).drop("pfx")
-    index = _cap_buckets_antijoin(
+    index = cap_buckets_antijoin(
         index, ("band", "bucket"), max_bucket_size, stats
     )
-    capped_new = _cap_buckets_antijoin(
+    capped_new = cap_buckets_antijoin(
         new_bands, ("band", "bucket"), max_bucket_size, stats
     )
     cross = (
@@ -830,7 +830,7 @@ def simhash_dup_pairs(
         F.col("simhash"),
         F.posexplode(bands).alias("band", "bucket"),
     )
-    bb = _cap_buckets_window(bb, ("band", "bucket"), max_bucket_size, stats)
+    bb = cap_buckets_window(bb, ("band", "bucket"), max_bucket_size, stats)
     a = bb.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("sa"),
         "band", "bucket",

@@ -383,6 +383,8 @@ def embedding_dup_pairs(
     n_bands: int = 4,
     bits_per_band: int = 16,
     materialize: bool = True,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share ANY
     sign band (multi-band LSH, see ``sign_band_buckets``), then exact
@@ -396,13 +398,25 @@ def embedding_dup_pairs(
     The (id, band, bucket) frame is persisted (``materialize``):
     both sides of the self-join consume it and the rows are a few
     bytes each, so caching beats re-scanning the fat embedding
-    column twice."""
+    column twice.
+
+    ``max_bucket_size``: same degenerate-bucket guard as the text
+    LSH paths (``dedup.DEFAULT_MAX_BUCKET_SIZE`` semantics) — a
+    corpus with millions of identical/zero embeddings (failed encoder
+    runs, default-initialized rows: common in real pipelines) puts
+    them all in one sign bucket and the self-join goes quadratic.
+    Defaults to ``None`` (exact parity with the oracle at any
+    threshold); pass ``dedup.DEFAULT_MAX_BUCKET_SIZE`` in production
+    pipelines.  Dropped-bucket counters land in ``stats``."""
+    from vcfdbr_spark.operators.dedup import cap_buckets_window
+
     bb = corpus.select(
         F.col(id_col).alias("_vid"),
         F.posexplode(
             sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
         ).alias("band", "bucket"),
     )
+    bb = cap_buckets_window(bb, ("band", "bucket"), max_bucket_size, stats)
     if materialize:
         bb = bb.persist()
     cand = (
