@@ -542,3 +542,53 @@ def test_stream_fuzzy_dedup_auto_compaction(spark, tmp_path):
     # no half-swap debris
     assert not (out_c / "band_index_compacted.tmp").exists()
     assert not (out_c / "band_index_compacted.old").exists()
+
+
+def test_manual_compaction_folds_auto_compacted_layout(spark, tmp_path):
+    """compact-band-index must work on ANY stream state: after
+    auto-compaction folded every batch dir, the manual CLI compacts
+    from the band_index_compacted sibling (plus any new tail) instead
+    of failing on an empty batch list."""
+    from vcfdbr_spark.operators.dedup import (
+        band_probe_pairs,
+        compact_band_index,
+        minhash_band_buckets,
+        minhash_signatures,
+        read_band_index,
+    )
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    for k in range(4):
+        spark.createDataFrame(
+            [(10 * k + 1, f"document number {k} about distributed engines")],
+            schema,
+        ).coalesce(1).write.parquet(str(src / f"f{k}"))
+    out = tmp_path / "out"
+    # compact_every=2 -> all 4 batches end up folded, tail empty
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out),
+        max_files_per_trigger=1, compact_every=2,
+    )
+    import glob
+
+    assert glob.glob(str(out / "band_index" / "batch=*")) == []
+    n = compact_band_index(
+        spark, str(out / "band_index"), str(tmp_path / "manual_idx")
+    )
+    assert n == 16  # 4 docs x 4 bands, deduplicated
+    # the manually-compacted index probes identically
+    probe = spark.createDataFrame(
+        [(99, "document number 0 about distributed engines")], schema
+    )
+    bands = minhash_band_buckets(minhash_signatures(probe)).persist()
+    got = {
+        (r["a"], r["b"])
+        for r in band_probe_pairs(
+            bands, read_band_index(spark, str(tmp_path / "manual_idx"))
+        ).collect()
+    }
+    bands.unpersist()
+    assert (1, 99) in got

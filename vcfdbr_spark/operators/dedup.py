@@ -608,18 +608,37 @@ def compact_band_index(
     Writes to a separate ``out_dir`` (atomic swap is the caller's
     choice — e.g. write, verify, rename over) rather than rewriting
     in place under a live stream.
+
+    When ``stream_fuzzy_dedup``'s AUTO-compaction already folded the
+    tail, the consolidated layout lives at the
+    ``<stream_idx_dir>_compacted`` sibling — it is folded in too (and
+    suffices alone when no batch tail remains), so this CLI works on
+    any stream state.
     """
     from vcfdbr_spark import fs as _fs
 
     batch_dirs = _fs.list_subdirs(spark, stream_idx_dir, "batch=")
-    if not batch_dirs:
-        raise FileNotFoundError(f"no batch=* partitions under {stream_idx_dir}")
-    bands = (
-        spark.read.option("basePath", stream_idx_dir)
-        .parquet(*batch_dirs)
-        .select("doc_id", "band", "bucket")
-    )
-    write_band_index(bands, out_dir, n_pfx=n_pfx)
+    sibling = f"{stream_idx_dir.rstrip('/')}_compacted"
+    frames = []
+    if batch_dirs:
+        frames.append(
+            spark.read.option("basePath", stream_idx_dir)
+            .parquet(*batch_dirs)
+            .select("doc_id", "band", "bucket")
+        )
+    if _fs.exists(spark, sibling):
+        frames.append(
+            spark.read.parquet(sibling).select("doc_id", "band", "bucket")
+        )
+    if not frames:
+        raise FileNotFoundError(
+            f"no batch=* partitions under {stream_idx_dir} and no "
+            f"compacted layout at {sibling}"
+        )
+    bands = frames[0]
+    for f in frames[1:]:
+        bands = bands.unionByName(f)
+    write_band_index(bands.distinct(), out_dir, n_pfx=n_pfx)
     return spark.read.parquet(out_dir).count()
 
 
