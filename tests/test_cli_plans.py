@@ -346,3 +346,29 @@ def test_cli_end_chunk_partial_then_resume(spark, tmp_path, capsys):
         map(tuple, spark.read.parquet(f"{one_shot}/variant_info").collect())
     )
     assert resumed == direct
+
+
+def test_cli_stream_dedup(spark, tmp_path, capsys):
+    """`vcfdb stream-dedup` drains new parquet files into cross-batch
+    near-dup pairs; a re-run picks up only NEW files (checkpointed)
+    and pairs them against the accumulated index."""
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    out = str(tmp_path / "sd_out")
+    args = ["stream-dedup", "--docs-dir", str(src) + "/*", "--out", out,
+            "--max-files-per-trigger", "1"]
+    assert cli_main(args) == 0
+    assert "0 candidate pairs" in capsys.readouterr().out
+    # a later file with a dup arrives; re-run drains ONLY the new file
+    spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    assert cli_main(args) == 0
+    assert "1 candidate pairs" in capsys.readouterr().out
+    got = {(r["a"], r["b"])
+           for r in spark.read.parquet(f"{out}/pairs").collect()}
+    assert got == {(1, 2)}

@@ -193,6 +193,29 @@ def main(argv: list[str] | None = None) -> int:
         "dedup.DEFAULT_MAX_BUCKET_SIZE; 0 disables)",
     )
 
+    sd = sub.add_parser(
+        "stream-dedup",
+        help="streaming incremental fuzzy dedup: each parquet file "
+        "appearing under --docs-dir is MinHash-signed once, probed "
+        "against the accumulated band index (near-dup pairs across "
+        "the whole stream history), and appended to the index; "
+        "re-run to pick up new files (checkpointed)",
+    )
+    sd.add_argument("--docs-dir", required=True,
+                    help="directory watched for (doc_id, text) parquet files")
+    sd.add_argument("--out", required=True,
+                    help="output root (pairs/, band_index/, _checkpoint)")
+    sd.add_argument("--max-files-per-trigger", type=int, default=None)
+    sd.add_argument("--n-pfx", type=int, default=None,
+                    help="index partition modulus (default: resume with "
+                    "the recorded value, else 64)")
+    sd.add_argument("--max-bucket-size", type=int, default=None,
+                    help="probe-time hot-bucket cap (default "
+                    "dedup.DEFAULT_MAX_BUCKET_SIZE; 0 disables)")
+    sd.add_argument("--compact-every", type=int, default=16,
+                    help="fold the batch tail into one compacted layout "
+                    "every N batches (0 disables)")
+
     cb = sub.add_parser(
         "compact-band-index",
         help="compact a streaming band index (batch=N/pfx=M dirs) "
@@ -302,6 +325,24 @@ def main(argv: list[str] | None = None) -> int:
             multi_value=multi,
         )
         print(f"stream-ingested {args.vcf_dir} into {args.prefix}")
+        return 0
+
+    if args.cmd == "stream-dedup":
+        from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+        stream_fuzzy_dedup(
+            spark,
+            args.docs_dir,
+            args.out,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_pfx=args.n_pfx,
+            # None -> operator default; 0 falls through the falsy cap
+            # check and disables
+            max_bucket_size=args.max_bucket_size,
+            compact_every=args.compact_every or None,
+        )
+        n = spark.read.parquet(f"{args.out}/pairs").count()
+        print(f"stream-deduped {args.docs_dir}: {n} candidate pairs → {args.out}")
         return 0
 
     if args.cmd == "append":
