@@ -287,3 +287,36 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                         assert row["rid"] == row["want_rid"], (
                             direction, exact, tol, row,
                         )
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([0, 2, 6]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(width, height, color_type, rnd):
+    """encode_png→decode_png recovers exact dimensions and exact
+    per-channel means for arbitrary small images of every supported
+    color type (the pixel statistics are pure integer sums, so the
+    comparison is exact up to one float division)."""
+    from vcfdbr_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        decode_png,
+        encode_png,
+    )
+
+    nch = _PNG_CHANNELS[color_type]
+    n = width * height * nch
+    pixels = bytes(rnd.randrange(256) for _ in range(n))
+    w, h, feats = decode_png(encode_png(width, height, pixels, color_type))
+    assert (w, h) == (width, height)
+    want = [
+        sum(pixels[i] for i in range(c, n, nch)) / (width * height) / 255.0
+        for c in range(nch)
+    ]
+    got = feats[:nch] if nch != 1 else feats[:1]
+    for a, b in zip(got, want):
+        assert abs(a - b) < 1e-12
+    assert feats[7] == nch / 4.0
