@@ -359,7 +359,10 @@ def test_band_index_pruned_probe_equivalence(spark, tmp_path):
     }
     assert pruned == flat and flat  # identical pairs, non-empty
 
-    # plan audit: the index scan is partition-pruned on pfx
+    # plan audit: the index scan is partition-pruned on pfx, the
+    # hot-bucket cap runs as a BROADCAST anti-join (the index is never
+    # shuffled for the cap), and no sort-merge join appears anywhere
+    # on the probe path — the probe stays map-side
     new_bands = minhash_band_buckets(minhash_signatures(new)).persist()
     try:
         probe = band_probe_pairs(new_bands, stored, n_pfx=16)
@@ -370,6 +373,9 @@ def test_band_index_pruned_probe_equivalence(spark, tmp_path):
             for seg in plan.split("PartitionFilters: [")[1:]
         ]
         assert any("pfx" in seg for seg in pf), pf
+        exec_plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti, BuildRight" in exec_plan  # broadcast cap
+        assert "SortMergeJoin" not in exec_plan
     finally:
         new_bands.unpersist()
 
