@@ -27,6 +27,7 @@ __all__ = [
     "write_band_index",
     "read_band_index",
     "compact_band_index",
+    "index_n_pfx",
     "cap_per_group",
 ]
 __version__ = "0.2.0"
@@ -56,6 +57,7 @@ def __getattr__(name: str):
         "write_band_index",
         "read_band_index",
         "compact_band_index",
+        "index_n_pfx",
     ):
         from vcfdbr_spark.operators import dedup
 
