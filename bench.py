@@ -62,6 +62,7 @@ DATA_QUERIES = [
     "weighted_sample",
     "text_normalize_dedup",
     "top_ngrams",
+    "tfidf_keywords",
     "benchmark_contamination",
     "multimodal_frames",
     "embedding_topk",

@@ -305,7 +305,8 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     scale."""
     import __spark_entry__ as e
 
-    allowed_cartesian = {"distinct_sketch"}  # documented 1x1 crossJoin
+    # documented 1x1 scalar crossJoins (sketch union / n_docs attach)
+    allowed_cartesian = {"distinct_sketch", "tfidf_keywords"}
     sf_dir = "/root/testdata/sf0.001"
     bad = {}
     for name, fn in e.queries().items():

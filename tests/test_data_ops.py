@@ -619,3 +619,31 @@ def test_hot_bucket_cap_embedding_dup_pairs(spark):
     }
     assert capped == {(901, 902)}
     assert stats["hot_buckets_dropped"] == 4  # the cluster's 4 bands
+
+
+def test_tfidf_keywords(spark):
+    """tf-idf keywords: corpus-common words score low, doc-unique
+    words score high; rank is deterministic (score desc, word asc)."""
+    from vcfdbr_spark.functions.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shared"),
+            (2, "duck duck shared"),
+            (3, "goose shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d: rows[0] for d, rows in by_doc.items()}
+    assert top1[1]["word"] == "spark" and top1[1]["tf"] == 3
+    assert top1[2]["word"] == "duck"
+    assert top1[3]["word"] == "goose"
+    # df=1 for unique words, score = tf * 3 / 1
+    assert top1[1]["score"] == 9.0 and top1[3]["score"] == 3.0
+    # 'shared' appears in all docs: df=3 -> score 1.0, ranked below
+    shared = [r for r in out if r["word"] == "shared"]
+    assert shared and all(r["score"] == 1.0 and r["rank"] == 2 for r in shared)

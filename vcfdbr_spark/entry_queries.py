@@ -1687,6 +1687,35 @@ QUALIFY rk <= 40
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 tf-idf keywords per document (linearized integer-ratio
+    idf — engine-portable, no transcendentals; functions/text.py)."""
+    from vcfdbr_spark.functions.text import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words WHERE word <> '' GROUP BY 1, 2),
+df AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         round(CAST(tf.tf AS DOUBLE) * n.n_docs / df.df, 6) AS score
+  FROM tf JOIN df USING (word), n),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, word, tf, df, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide n-gram frequency (vocab/contamination analysis):
     explode word bigrams → one hash-partial-agg shuffle → top-50 with
@@ -2250,6 +2279,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "text_normalize_dedup": q_text_normalize_dedup,
     "top_ngrams": q_top_ngrams,
+    "tfidf_keywords": q_tfidf_keywords,
     "benchmark_contamination": q_benchmark_contamination,
     "multimodal_frames": q_multimodal_frames,
     "embedding_topk": q_embedding_topk,
@@ -2371,6 +2401,7 @@ ORACLE: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "text_normalize_dedup": SQL_TEXT_NORMALIZE_DEDUP,
     "top_ngrams": SQL_TOP_NGRAMS,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "embedding_topk": SQL_EMBEDDING_TOPK,

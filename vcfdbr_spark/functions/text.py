@@ -186,3 +186,65 @@ def repetition_signals(
             & (distinct_frac >= min_distinct_frac)
         ).alias("keep"),
     )
+
+
+def tfidf_keywords(
+    docs,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-``k`` distinctive keywords per document by tf-idf — the
+    classic corpus-statistics text op (keyword extraction / topic
+    probes over a training corpus).
+
+    Returns ``(doc_id, word, tf, df, score, rank)`` with ``score =
+    round(tf * n_docs / df, 6)`` — a LINEARIZED idf: for ranking,
+    ``tf·(N/df)`` orders the same way as ``tf·idf`` within a document
+    whenever idf is any monotone function of ``N/df``, and unlike
+    ``ln(N/df)`` it needs no transcendental function, so the score is
+    bit-identical in every engine (IEEE integer-valued double
+    multiply/divide are correctly rounded) — hash-oracle-checkable.
+    Ties break on the word itself, so the top-k set is deterministic.
+
+    Scale shape: token explode → per-(doc, word) partial-agg shuffle
+    (tf) → per-word partial-agg on the tf rows (df — vocabulary-sized,
+    broadcast back) → per-doc top-k window (groups bounded by per-doc
+    vocabulary).  The corpus scan happens once; the 1×1 cross join
+    attaching ``n_docs`` is a scalar literal, not a data join.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("_n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))  # 1×1: scalar corpus size
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * F.col("_n_docs")
+                / F.col("df"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "tf", "df", "score", "rank")
+    )
