@@ -592,3 +592,55 @@ def test_manual_compaction_folds_auto_compacted_layout(spark, tmp_path):
     }
     bands.unpersist()
     assert (1, 99) in got
+
+
+def test_stream_compaction_crash_heal(spark, tmp_path):
+    """Crash window between the two swap renames leaves only
+    band_index_compacted.old: the probe must fall back to it (no
+    lost cross-batch pairs) and the next compaction must heal it
+    back into the live layout with no debris."""
+    import os
+
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "some entirely different filler content here")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    out = tmp_path / "out"
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out),
+        max_files_per_trigger=1, compact_every=2,
+    )
+    comp = out / "band_index_compacted"
+    assert comp.exists()
+    # simulate a crash between `rename current -> .old` and
+    # `rename .tmp -> current`
+    os.rename(str(comp), str(comp) + ".old")
+
+    # two more files: the first batch probes THROUGH the .old
+    # fallback; the second triggers compaction, which heals
+    spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    spark.createDataFrame(
+        [(12, "some entirely different filler content here")], schema
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out),
+        max_files_per_trigger=1, compact_every=2,
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(out / "pairs")).collect()
+    }
+    # cross-batch pairs found through the degraded (.old) index
+    assert (1, 11) in pairs and (2, 12) in pairs
+    assert comp.exists()
+    assert not (tmp_path / "out" / "band_index_compacted.old").exists()
+    assert not (tmp_path / "out" / "band_index_compacted.tmp").exists()
