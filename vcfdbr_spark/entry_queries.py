@@ -1504,6 +1504,11 @@ def q_dedup_incremental(spark, sf_dir):
     index = minhash_band_buckets(
         minhash_signatures(docs.filter(F.col("doc_id") % 5 != 4))
     )
+    # default materialize=True is load-bearing here: the batch band
+    # frame feeds ~6 plan subtrees (hot-list + anti-join + self-join
+    # sides + window); without the persist this query re-runs the
+    # batch signature pipeline per subtree (measured 1.7s -> 14.6s).
+    # The persisted frame is |batch|x4 tiny rows per invocation.
     return incremental_dedup_pairs(docs.filter(F.col("doc_id") % 5 == 4), index)
 
 

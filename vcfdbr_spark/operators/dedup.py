@@ -654,6 +654,7 @@ def incremental_dedup_pairs(
     n_pfx: int = DEFAULT_N_PFX,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     stats: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental fuzzy dedup: near-dup candidate pairs of a NEW
     document batch against an existing corpus's persisted MinHash band
@@ -673,6 +674,16 @@ def incremental_dedup_pairs(
     column) the probe additionally PRUNES index partitions to the new
     batch's own bucket prefixes, so probe I/O is O(batch spread), not
     O(index).
+
+    ``materialize`` (default True) persists the batch's band frame —
+    it feeds ~6 plan subtrees (hot-bucket list, anti-join side,
+    self-join sides, count window, pfx collection), so without the
+    persist the batch signature pipeline re-runs per subtree
+    (measured 8× slower).  The trade: the persist has no release
+    handle from here (a |batch|×bands frame stays cached per call).
+    Pipelines that need both the persist and an explicit release use
+    :func:`band_probe_pairs` directly with their own persisted frame
+    (the CLI and the streaming sink do).
     """
     new_b = minhash_band_buckets(
         minhash_signatures(
@@ -680,7 +691,9 @@ def incremental_dedup_pairs(
         ),
         id_col=id_col,
         rows_per_band=rows_per_band,
-    ).persist()
+    )
+    if materialize:
+        new_b = new_b.persist()
     return band_probe_pairs(
         new_b, index, id_col, n_pfx=n_pfx,
         max_bucket_size=max_bucket_size, stats=stats,
