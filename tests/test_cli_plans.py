@@ -61,16 +61,18 @@ def test_cli_build_rejects_multiallelic(spark, tmp_path):
     import os
 
     report = f"{prefix}-multiallelic-sites.tsv"
-    assert os.path.exists(report)
-    # the report is a DISTRIBUTED tab-separated write (a directory of
-    # part files) — a driver-side toPandas would OOM when every site
-    # of a pathological input is rejected
-    rows = (
-        spark.read.option("sep", "\t").option("header", True)
-        .csv(report)
-        .collect()
-    )
-    assert rows and any("," in r["alt"] for r in rows)
+    # ADVICE r7: the artifact is ONE flat TSV file (reference parity —
+    # downstream consumers open the path directly), produced by an
+    # executor-side coalesce(1) write + part rename, never a driver
+    # toPandas (which would OOM when every site is rejected)
+    assert os.path.isfile(report)
+    with open(report) as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0].startswith("chr")  # exactly one header line
+    assert sum(1 for ln in lines if ln == lines[0]) == 1
+    assert any("," in ln for ln in lines[1:])
+    # no leftover tmp dir from the rename
+    assert not os.path.exists(f"{report}.__spark_tmp__")
 
 
 def test_cli_resumable_build_rejects_multiallelic(spark, tmp_path):
@@ -373,3 +375,16 @@ def test_cli_stream_dedup(spark, tmp_path, capsys):
     got = {(r["a"], r["b"])
            for r in spark.read.parquet(f"{out}/pairs").collect()}
     assert got == {(1, 2)}
+
+
+def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
+    """ADVICE r7: a fresh/empty source dir fires zero batches, so
+    pairs/ is never created — the CLI must report zero pairs, not die
+    on an AnalysisException reading a missing path."""
+    src = tmp_path / "empty_in"
+    src.mkdir()
+    out = str(tmp_path / "sd_empty_out")
+    args = ["stream-dedup", "--docs-dir", str(src) + "/*", "--out", out,
+            "--max-files-per-trigger", "1"]
+    assert cli_main(args) == 0
+    assert "0 candidate pairs" in capsys.readouterr().out

@@ -575,6 +575,11 @@ def test_band_index_n_pfx_sidecar_guard(spark, tmp_path):
     # overwrite may re-bucket: sidecar follows
     write_band_index(bands, idx, n_pfx=8, mode="overwrite")
     assert index_n_pfx(spark, idx) == 8
+    # ADVICE r7: overwrite DELETES the dir (sidecar included) — a
+    # same-modulus rebuild must rewrite the sidecar, or the guard is
+    # silently stripped and a later default-n_pfx probe prunes wrong
+    write_band_index(bands, idx, n_pfx=8, mode="overwrite")
+    assert index_n_pfx(spark, idx) == 8
 
 
 def test_list_subdirs_numeric_ordering(spark, tmp_path):

@@ -644,3 +644,35 @@ def test_stream_compaction_crash_heal(spark, tmp_path):
     assert comp.exists()
     assert not (tmp_path / "out" / "band_index_compacted.old").exists()
     assert not (tmp_path / "out" / "band_index_compacted.tmp").exists()
+
+
+def test_manual_compaction_heals_from_old_sibling(spark, tmp_path):
+    """ADVICE r7: in the crash window (current renamed to .old, .tmp
+    never promoted) the MANUAL compact-band-index CLI must fold the
+    .old layout like the stream's own heal path does — otherwise it
+    silently emits an output missing all previously compacted rows."""
+    import os
+
+    from vcfdbr_spark.operators.dedup import compact_band_index
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    for k in range(2):
+        spark.createDataFrame(
+            [(k + 1, f"document number {k} about distributed engines")],
+            schema,
+        ).coalesce(1).write.parquet(str(src / f"f{k}"))
+    out = tmp_path / "out"
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out),
+        max_files_per_trigger=1, compact_every=2,
+    )
+    comp = out / "band_index_compacted"
+    assert comp.exists()
+    os.rename(str(comp), str(comp) + ".old")  # simulated crash window
+    n = compact_band_index(
+        spark, str(out / "band_index"), str(tmp_path / "manual_idx")
+    )
+    assert n == 8  # 2 docs x 4 bands — history NOT dropped

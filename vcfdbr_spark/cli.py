@@ -20,20 +20,37 @@ from pyspark.sql import functions as F
 
 
 def _write_reject_report(rejects, path: str) -> None:
-    """Distributed tab-separated reject report (header per part file).
+    """Tab-separated reject report, written as ONE flat TSV file at
+    ``path`` (matching the reference pipeline's single-file report,
+    pipeline/01-vcf-to-parquet.R's reject artifact) so downstream
+    consumers can open it directly.
 
-    The report is written executor-side as a CSV directory — never
-    collected to the driver: a pathological input (an unsplit
-    multiallelic VCF rejects EVERY site) makes the reject channel
-    corpus-sized, and a ``toPandas`` there OOMs the driver at scale.
-    The normal case (a handful of sites) produces one small part file.
+    The write itself stays executor-side (never collected to the
+    driver — a pathological input where an unsplit multiallelic VCF
+    rejects EVERY site makes the channel corpus-sized, and a
+    ``toPandas`` there OOMs the driver).  ``coalesce(1)`` bounds it to
+    one part file without a shuffle; the part is then renamed over
+    ``path`` so the artifact is a file, not a directory with
+    per-part repeated headers.
     """
+    from vcfdbr_spark import fs as _fs
+
+    spark = rejects.sparkSession
+    tmp = f"{path}.__spark_tmp__"
     (
-        rejects.write.mode("overwrite")
+        rejects.coalesce(1)
+        .write.mode("overwrite")
         .option("sep", "\t")
         .option("header", True)
-        .csv(path)
+        .csv(tmp)
     )
+    parts = _fs.list_files(spark, tmp, "part-")
+    _fs.delete_dir(spark, path)
+    if parts:
+        _fs.rename(spark, parts[0], path)
+    else:  # zero-row channel still yields a (header-only or empty) report
+        _fs.write_text(spark, path, "")
+    _fs.delete_dir(spark, tmp)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -341,7 +358,16 @@ def main(argv: list[str] | None = None) -> int:
             max_bucket_size=args.max_bucket_size,
             compact_every=args.compact_every or None,
         )
-        n = spark.read.parquet(f"{args.out}/pairs").count()
+        # A fresh/empty source dir fires zero batches, so pairs/ never
+        # gets created — report zero instead of an AnalysisException.
+        from vcfdbr_spark import fs as _cli_fs
+
+        pairs_dir = f"{args.out}/pairs"
+        n = (
+            spark.read.parquet(pairs_dir).count()
+            if _cli_fs.exists(spark, pairs_dir)
+            else 0
+        )
         print(f"stream-deduped {args.docs_dir}: {n} candidate pairs → {args.out}")
         return 0
 

@@ -22,6 +22,7 @@ from vcfdbr_spark import oracle_vcf as _oracle_vcf
 from vcfdbr_spark import simdata
 from vcfdbr_spark.functions.text import lang_guess, quality_stats, token_count
 from vcfdbr_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
     exact_dedup,
     minhash_band_buckets,
     minhash_dedup_pairs,
@@ -1390,16 +1391,17 @@ _BANDS_SQL = f"""
                        (2, md5(s.h4 || s.h5)), (3, md5(s.h6 || s.h7))) b(band, bucket)
 """
 
-# hot-bucket cap mirror (operators/dedup.py DEFAULT_MAX_BUCKET_SIZE):
-# buckets above 500 members are dropped before candidate generation so
-# one degenerate cluster can't emit B² pairs — the oracle encodes the
-# same policy so the gate value-checks the capped semantics
+# hot-bucket cap mirror (dedup.DEFAULT_MAX_BUCKET_SIZE, interpolated —
+# a literal here would silently desynchronize from the engine if the
+# constant changes): buckets above the cap are dropped before candidate
+# generation so one degenerate cluster can't emit B² pairs — the oracle
+# encodes the same policy so the gate value-checks the capped semantics
 _CAPPED_BANDS_SQL = f"""
   SELECT doc_id, band, bucket FROM (
     SELECT doc_id, band, bucket,
            COUNT(*) OVER (PARTITION BY band, bucket) AS bn
     FROM ({_BANDS_SQL}))
-  WHERE bn <= 500
+  WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}
 """
 
 _PAIRS_SQL = f"""
@@ -1519,11 +1521,11 @@ WITH bands AS ({_BANDS_SQL}),
 oldb AS (
   SELECT doc_id, band, bucket FROM (
     SELECT doc_id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
-    FROM bands WHERE doc_id % 5 <> 4) WHERE bn <= 500),
+    FROM bands WHERE doc_id % 5 <> 4) WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
 newb AS (
   SELECT doc_id, band, bucket FROM (
     SELECT doc_id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
-    FROM bands WHERE doc_id % 5 = 4) WHERE bn <= 500),
+    FROM bands WHERE doc_id % 5 = 4) WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
 cross_ AS (
   SELECT DISTINCT least(o.doc_id, n.doc_id) AS a,
          greatest(o.doc_id, n.doc_id) AS b
@@ -1844,10 +1846,10 @@ bands0 AS (
          (simhash >> (b.b * 16)) & 65535 AS bucket
   FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b),
 bands AS (
-  -- hot-bucket cap mirror (dedup.DEFAULT_MAX_BUCKET_SIZE)
+  -- hot-bucket cap mirror (dedup.DEFAULT_MAX_BUCKET_SIZE, interpolated)
   SELECT doc_id, simhash, band, bucket FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM bands0)
-  WHERE bn <= 500),
+  WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming

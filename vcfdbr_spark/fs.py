@@ -66,6 +66,20 @@ def list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
     return sorted(out, key=_key)
 
 
+def list_files(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
+    """Full paths of immediate plain FILES under ``path`` whose name
+    starts with ``prefix`` (e.g. ``part-``) — for picking the data
+    part out of a ``coalesce(1)`` write.  Lexicographic order."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(p)
+        if st.isFile() and st.getPath().getName().startswith(prefix)
+    )
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> None:
     """Directory/file rename; raises on failure (Hadoop reports
     failure by returning false).  On HDFS a rename is atomic — the

@@ -567,7 +567,10 @@ def write_band_index(
         .partitionBy("pfx")
         .parquet(path)
     )
-    if stored != n_pfx:
+    # A non-append write (overwrite) DELETES the target dir — sidecar
+    # included — so it must be rewritten even when stored == n_pfx, or
+    # a same-modulus rebuild silently strips the probe's mismatch guard.
+    if mode != "append" or stored != n_pfx:
         from vcfdbr_spark import fs as _fs
 
         _fs.write_text(spark, f"{path}/_n_pfx", str(n_pfx))
@@ -626,9 +629,19 @@ def compact_band_index(
             .parquet(*batch_dirs)
             .select("doc_id", "band", "bucket")
         )
+    # Crash window: the stream's atomic swap renames current -> .old
+    # before promoting .tmp; if it died in between, ONLY `.old` holds
+    # the previously folded history.  Mirror the stream's own heal
+    # path so a manual compact in that state doesn't drop it.
     if _fs.exists(spark, sibling):
         frames.append(
             spark.read.parquet(sibling).select("doc_id", "band", "bucket")
+        )
+    elif _fs.exists(spark, f"{sibling}.old"):
+        frames.append(
+            spark.read.parquet(f"{sibling}.old").select(
+                "doc_id", "band", "bucket"
+            )
         )
     if not frames:
         raise FileNotFoundError(
