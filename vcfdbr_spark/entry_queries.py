@@ -1969,10 +1969,21 @@ def q_lsh_recall(spark, sf_dir):
     """ANN quality measurement: recall@5 of the multi-band sign-LSH
     top-k against the brute-force exact top-k, per query — "measure,
     don't guess" for the approximate scale path.  One semi-join of
-    the two top-k frames (both |Q|·k rows, tiny) after the searches
-    themselves; the searches share the one embeddings scan."""
+    the two top-k frames (both |sample|·k rows, tiny) after the
+    searches themselves; the searches share the one embeddings scan.
+
+    The probe runs on a deterministic md5-keyed SAMPLE of the query
+    set (rate 4/16), not every query: recall is a statistic, and the
+    probe's internal brute force is O(|sample|·|corpus|) — measured
+    over ALL queries it would itself be the one quadratic job in the
+    registry at 100×.  md5 keying keeps the sample engine-portable
+    (sampling.md5_bernoulli) and run-stable."""
+    from vcfdbr_spark.operators.sampling import md5_bernoulli
+
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(
+        (F.col("vec_id") % 100 == 0) & md5_bernoulli(F.col("vec_id"), 4)
+    )
     bf = brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
     ls = lsh_topk(emb, queries, k=5, n_bands=8, bits_per_band=8).select(
         "query_id", "cand_id"
@@ -1998,9 +2009,14 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+# md5-keyed query-sample mirror of sampling.md5_bernoulli(vec_id, 4)
+_RECALL_SAMPLE = "substr(md5(CAST({c} AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+
 SQL_LSH_RECALL = f"""
-WITH bf AS (SELECT query_id, cand_id FROM ({SQL_EMBEDDING_TOPK})),
-lsh AS (SELECT query_id, cand_id FROM ({SQL_EMBEDDING_LSH_TOPK})),
+WITH bf AS (SELECT query_id, cand_id FROM ({SQL_EMBEDDING_TOPK})
+            WHERE {_RECALL_SAMPLE.format(c='query_id')}),
+lsh AS (SELECT query_id, cand_id FROM ({SQL_EMBEDDING_LSH_TOPK})
+        WHERE {_RECALL_SAMPLE.format(c='query_id')}),
 hits AS (
   SELECT bf.query_id, COUNT(*) AS n
   FROM bf JOIN lsh USING (query_id, cand_id)
@@ -2008,7 +2024,8 @@ hits AS (
 SELECT q.query_id,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
        round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_5
-FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0) q
+FROM (SELECT vec_id AS query_id FROM embeddings
+      WHERE vec_id % 100 = 0 AND {_RECALL_SAMPLE.format(c='vec_id')}) q
 LEFT JOIN hits h USING (query_id)
 """
 
