@@ -374,6 +374,69 @@ def test_stream_vcf_ingest_three_table_batch_parity(spark, tmp_path):
     assert db.pull([1, 4]).count() == 8
 
 
+def test_stream_vcf_ingest_auto_compaction(spark, tmp_path):
+    """VERDICT r7 #4: a long-lived ingest stream's per-batch
+    ``ingest_batch=N`` dirs must not grow unboundedly — every
+    ``compact_every`` batches they fold into one consolidated
+    ``ingest_batch=-1`` partition per table (atomic whole-table swap,
+    current batch excluded for at-least-once replay safety), with the
+    streamed data bit-identical afterwards."""
+    import glob
+    import os
+    import shutil
+
+    vcf_dir = tmp_path / "vcf_in"
+    vcf_dir.mkdir()
+    header_path = write_vcf(str(tmp_path / "header.vcf"))
+    out = str(tmp_path / "db")
+    ckpt = str(tmp_path / "ckpt")
+    src = write_vcf(str(tmp_path / "chunk.vcf"))
+    for k in range(5):  # one drain per file -> batch ids 0..4
+        shutil.copy(src, str(vcf_dir / f"chunk{k}.vcf"))
+        stream_vcf_ingest(
+            spark, str(vcf_dir), out, ckpt, header_path, compact_every=3
+        )
+
+    def batch_dirs(table):
+        return sorted(
+            os.path.basename(d)
+            for d in glob.glob(f"{out}/{table}/ingest_batch=*")
+        )
+
+    # compaction fired at batches 2 and 4: only the folded history
+    # partition and the latest batch remain — NOT five dirs per table
+    for table in ("variant_info", "variant_geno"):
+        assert batch_dirs(table) == ["ingest_batch=-1", "ingest_batch=4"], table
+    # all-empty _rejects: the empty tail dirs (no data files) are
+    # deleted rather than folded — bounded without a schemaless rewrite
+    assert batch_dirs("_rejects") == ["ingest_batch=4"]
+    # no swap debris
+    assert not os.path.exists(f"{out}/variant_info.compact-tmp")
+    assert not os.path.exists(f"{out}/variant_info.compact-old")
+    # data integrity: 5 identical chunks x 6 variants, dense ids carry
+    info = spark.read.parquet(f"{out}/variant_info")
+    assert info.count() == 30
+    assert info.select("variant_id").distinct().count() == 30
+    assert info.agg(F.max("variant_id")).first()[0] == 30
+    # the compacted store still opens and queries like any other
+    from vcfdbr_spark.operators.query import filter_test
+    from vcfdbr_spark.sources.store import open_vcfdb
+
+    db = open_vcfdb(spark, out)
+    assert filter_test(db.variant_impact, db.variant_info, "GENE2", af=0.9).count() > 0
+
+    # crash-heal: simulate dying between the two swap renames (table
+    # renamed away, tmp never promoted) — the next run heals it back
+    shutil.move(f"{out}/variant_info", f"{out}/variant_info.compact-old")
+    shutil.copy(src, str(vcf_dir / "chunk5.vcf"))
+    stream_vcf_ingest(
+        spark, str(vcf_dir), out, ckpt, header_path, compact_every=3
+    )
+    info = spark.read.parquet(f"{out}/variant_info")
+    assert info.count() == 36  # healed history + new batch
+    assert info.select("variant_id").distinct().count() == 36
+
+
 def test_stream_fuzzy_dedup_file_scheme_out_dir(spark, tmp_path):
     """Side-state goes through the Hadoop FS: an explicitly
     scheme-qualified ``file://`` out_dir (the local stand-in for

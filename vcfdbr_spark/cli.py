@@ -144,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
         help="a VCF whose header (and first rows, for the FORMAT "
         "schema probe) defines the stream's schema",
     )
+    si.add_argument(
+        "--compact-every",
+        type=int,
+        default=16,
+        help="fold ingest_batch=N partition dirs into one consolidated "
+        "partition per table once this many accumulate (0 disables)",
+    )
     si.add_argument("--include-multivalue-gt", action="store_true")
     si.add_argument(
         "--multivalue-as-array",
@@ -340,6 +347,7 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.prefix}/_checkpoint",
             args.header,
             multi_value=multi,
+            compact_every=args.compact_every or None,
         )
         print(f"stream-ingested {args.vcf_dir} into {args.prefix}")
         return 0

@@ -20,6 +20,7 @@ checkpointLocation replace the .progress.RData file, and
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -421,6 +422,108 @@ def _finalize_stream_store(spark: SparkSession, out_dir: str, header) -> None:
     )
 
 
+_STREAM_TABLES = ("variant_info", "variant_impact", "variant_geno", "_rejects")
+
+# sort applied inside the folded partition at compaction (scan
+# efficiency parity with sources/build._COMPACT_SORTS; _rejects is
+# tiny and unsorted)
+_STREAM_COMPACT_SORTS = {
+    "variant_info": ["variant_id"],
+    "variant_impact": ["symbol", "variant_id"],
+    "variant_geno": ["variant_id", "sample"],
+}
+
+
+def _heal_stream_table(spark: SparkSession, table_path: str) -> None:
+    """Recover from a compaction-swap crash window: only
+    ``.compact-old`` present → rename it back; a finished swap that
+    died before cleanup → drop the leftovers."""
+    from vcfdbr_spark import fs as _fs
+
+    old, tmp = f"{table_path}.compact-old", f"{table_path}.compact-tmp"
+    if _fs.exists(spark, old) and not _fs.exists(spark, table_path):
+        _fs.rename(spark, old, table_path)
+    _fs.delete_dir(spark, old)
+    _fs.delete_dir(spark, tmp)
+
+
+def _compact_stream_table(
+    spark: SparkSession, table_path: str, current_batch_id: int
+) -> None:
+    """Fold a streamed table's ``ingest_batch=N`` tail dirs into ONE
+    consolidated ``ingest_batch=-1`` partition, leaving the CURRENT
+    batch's dir untouched.
+
+    The current batch is excluded because ``foreachBatch`` is
+    at-least-once: until its checkpoint commit lands it can replay,
+    and a replay re-writes ``ingest_batch=<id>`` from scratch — if
+    compaction had folded those rows, the replay would duplicate
+    them.  Batches below the current id have committed (micro-batches
+    run in order) and can never replay, so folding them is safe.
+
+    Swap is whole-table and atomic (the :func:`compact_table`
+    protocol): the complete new layout — folded ``-1`` partition plus
+    the current batch's dir — is built in a ``.compact-tmp`` sibling,
+    then table → ``.compact-old``, tmp → table.  A crash leaves
+    either the original or the finished copy, never dup/missing rows;
+    :func:`_heal_stream_table` recovers the half-swapped window.
+    Cost is O(table) per compaction (same model as the band-index
+    fold); ``compact_every`` amortizes it — raise it for very long
+    streams.
+    """
+    from vcfdbr_spark import fs as _fs
+
+    _heal_stream_table(spark, table_path)
+    if not _fs.exists(spark, table_path):
+        return
+    tail = [
+        d
+        for d in _fs.list_subdirs(spark, table_path, "ingest_batch=")
+        if d.rsplit("=", 1)[-1] not in ("-1", str(current_batch_id))
+    ]
+    if not tail:
+        return
+    old, tmp = f"{table_path}.compact-old", f"{table_path}.compact-tmp"
+    table = table_path.rstrip("/").rsplit("/", 1)[-1]
+    # Zero-row batches (the common _rejects case) write schema-only
+    # (or no) part files.  Two husk traps: a table with NO data files
+    # fails schema inference outright, and a readable-but-all-empty
+    # tail would make the partitionBy rewrite emit nothing — the swap
+    # would then replace the table with a bare _SUCCESS husk.  In
+    # both cases the tail dirs hold no rows: deleting them bounds the
+    # dir count without touching the (possibly row-bearing) current
+    # batch dir.
+    try:
+        df = spark.read.parquet(table_path)
+        tail_is_empty = (
+            set(df.columns) <= {"ingest_batch"}
+            or df.filter(F.col("ingest_batch") != current_batch_id).isEmpty()
+        )
+    except AnalysisException:
+        tail_is_empty = True
+    if tail_is_empty:
+        for d in tail:
+            _fs.delete_dir(spark, d)
+        return
+    folded = df.withColumn(
+        "ingest_batch",
+        F.when(F.col("ingest_batch") == current_batch_id,
+               F.col("ingest_batch")).otherwise(F.lit(-1)),
+    )
+    sort_cols = _STREAM_COMPACT_SORTS.get(table)
+    if sort_cols:
+        # range-partition on the SORT keys, not on ingest_batch — the
+        # folded -1 partition is nearly the whole table, and hashing
+        # on ingest_batch would funnel it into a single write task
+        folded = folded.repartitionByRange(*sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    folded.write.partitionBy("ingest_batch").parquet(tmp)
+    _fs.rename(spark, table_path, old)
+    _fs.rename(spark, tmp, table_path)
+    _fs.delete_dir(spark, old)
+
+
 def stream_vcf_ingest(
     spark: SparkSession,
     vcf_dir: str,
@@ -430,6 +533,7 @@ def stream_vcf_ingest(
     multi_value: str = "melt",
     probe_rows: int = 1000,
     finalize: bool = True,
+    compact_every: int | None = 16,
 ) -> None:
     """Streaming VCF ingest with full three-table parity: new VCF text
     files appearing in ``vcf_dir`` are parsed with the SAME
@@ -459,7 +563,15 @@ def stream_vcf_ingest(
 
     ``finalize`` (default) writes samples / header metadata /
     gene_map / the store manifest after the drain, so the streamed
-    output opens with ``open_vcfdb`` like a batch-built store."""
+    output opens with ``open_vcfdb`` like a batch-built store.
+
+    ``compact_every``: once a table's ``ingest_batch=N`` tail reaches
+    this many dirs, the batch folds them into one consolidated
+    ``ingest_batch=-1`` partition per table via an atomic whole-table
+    swap (:func:`_compact_stream_table`) — without it a long-lived
+    stream's file count grows linearly with batch count and every
+    later read pays the listing.  ``None`` disables (the manual
+    ``compact`` CLI remains usable after the stream stops)."""
     import json
 
     from vcfdbr_spark.operators.ids import with_dense_ids
@@ -484,6 +596,10 @@ def stream_vcf_ingest(
     # progress manifest lives NEXT TO the (possibly hdfs://-s3a://)
     # store output, so it goes through the Hadoop FS, not local open()
     progress_path = f"{out_dir}/_stream_progress.json"
+
+    # heal any compaction swap the previous run crashed inside of
+    for _t_name in _STREAM_TABLES:
+        _heal_stream_table(spark, f"{out_dir}/{_t_name}")
 
     def _load_progress() -> dict:
         raw = _fs.read_text(spark, progress_path)
@@ -560,6 +676,17 @@ def stream_vcf_ingest(
         # batch re-runs after later batches already advanced the carry
         prog["next_id"] = max(int(prog["next_id"]), start + int(n))
         _save_progress(prog)
+        if compact_every and len(
+            [
+                d
+                for d in _fs.list_subdirs(
+                    spark_l, f"{out_dir}/variant_info", "ingest_batch="
+                )
+                if d.rsplit("=", 1)[-1] != "-1"
+            ]
+        ) >= compact_every:
+            for t in tables:
+                _compact_stream_table(spark_l, f"{out_dir}/{t}", batch_id)
 
     q = (
         records.writeStream.foreachBatch(_write_batch)
