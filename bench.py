@@ -265,6 +265,27 @@ def main() -> None:
             lambda: interval_query(info, "2", 2_000, 50_000).count(),
         )
 
+        # ---- skewed-gene canonical path: remap ~10% of impact rows
+        # onto ONE hot symbol (the reference's genome regime — its
+        # hottest gene carries 121,630 variants ≈ 10% of impact,
+        # benchmarks/01-filter-benchmark-genome.csv) and run the full
+        # filter→geno-pull chain on it.  Stays fast because the
+        # filtered side broadcasts: the geno table never shuffles, so
+        # the hot key has no reducer to skew (pinned by
+        # test_canonical_queries_on_skewed_gene_fixture).
+        skew_impact = impact.withColumn(
+            "symbol",
+            F.when(
+                F.pmod(F.col("variant_id"), F.lit(10)) == 0, F.lit("HOTGENE")
+            ).otherwise(F.col("symbol")),
+        )
+        timed(
+            "pull_geno_hot_gene_10pct",
+            lambda: pull_geno_test(
+                skew_impact, info, geno, "HOTGENE", af=0.5
+            ).count(),
+        )
+
         # ---- bucketed-layout join (plans/bucketing.py): the full
         # info⋈geno merge join + aggregate, plain range-sorted store
         # vs co-bucketed catalog tables.  This is the workload

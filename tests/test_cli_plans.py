@@ -29,6 +29,28 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     assert "(2 rows)" in capsys.readouterr().out
 
 
+def test_cli_build_debug_stage_timings(spark, tmp_path, capsys):
+    """``build --debug`` prints per-stage wall times to stderr
+    (VCFdb.R:88 / pipeline/02-build-db.R:309-313 parity); without the
+    flag the stderr channel stays clean."""
+    vcf = write_vcf(str(tmp_path / "toy.vcf"))
+    prefix = str(tmp_path / "dbg_db")
+    assert cli_main(["build", "--vcf", vcf, "--prefix", prefix,
+                     "--debug"]) == 0
+    err = capsys.readouterr().err
+    for stage in ("parse_and_schema_probe", "reject_check", "write_store"):
+        assert f"[debug] stage={stage} wall=" in err
+    # the flag is opt-in: a plain build prints no stage lines
+    prefix2 = str(tmp_path / "dbg_db2")
+    assert cli_main(["build", "--vcf", vcf, "--prefix", prefix2]) == 0
+    assert "[debug]" not in capsys.readouterr().err
+    # resumable path gets a stage line too
+    prefix3 = str(tmp_path / "dbg_db3")
+    assert cli_main(["build", "--vcf", vcf, "--prefix", prefix3,
+                     "--resumable", "--debug"]) == 0
+    assert "[debug] stage=resumable_build wall=" in capsys.readouterr().err
+
+
 def test_cli_dedup(spark, tmp_path, capsys):
     """`vcfdb dedup` writes pairs/components/corpus; --keep best
     retains the longest member instead of the minimum id."""

@@ -140,6 +140,82 @@ def test_salted_join_equals_plain_join(spark):
     assert got_l == want_l
 
 
+def test_canonical_queries_on_skewed_gene_fixture(spark):
+    """Reference-scale gene skew (benchmarks/01-filter-benchmark-
+    genome.csv: the hottest gene carries 121,630 variants ≈ 10% of
+    all impact rows).  Drive the canonical filter_test /
+    pull_geno_test / per_gene_counts paths on a fixture with one
+    symbol = 10% of rows and pin the three skew defenses:
+
+    1. the single-symbol filtered side BROADCASTS, so the hot gene
+       can never skew a shuffle (the big side doesn't move);
+    2. per_gene_counts partial-aggregates map-side, so the hot
+       symbol adds no reducer pressure;
+    3. for full-shuffle symbol-keyed joins the salted fallback
+       produces the plain-join result while spreading the hot key
+       across (symbol, _salt) reducers — and AQE skew-split stays
+       enabled for the 256 MB-partition regime tests can't reach.
+    """
+    from vcfdbr_spark.operators.query import (
+        filter_test,
+        per_gene_counts,
+        pull_geno_test,
+    )
+    from vcfdbr_spark.plans.layout import physical_plan
+
+    n = 60_000
+    impact = spark.range(0, n).select(
+        F.col("id").alias("variant_id"),
+        F.when(F.col("id") % 10 == 0, F.lit("HOTGENE"))
+        .otherwise(F.concat(F.lit("G"), (F.col("id") % 200).cast("string")))
+        .alias("symbol"),
+    )
+    info = spark.range(0, n).select(
+        F.col("id").alias("variant_id"),
+        (F.pmod(F.col("id"), F.lit(100)) / 100.0).alias("af"),
+    )
+    geno = spark.range(0, n).select(
+        F.col("id").alias("variant_id"), F.lit("0/1").alias("gt")
+    )
+
+    # hot ids are multiples of 10 → af ∈ {.0,.1,…,.9}; af<0.5 keeps half
+    ft = filter_test(impact, info, "HOTGENE", af=0.5)
+    ft.collect()
+    assert ft.count() == 3_000
+    assert "BroadcastHashJoin" in physical_plan(ft)
+
+    pg = pull_geno_test(impact, info, geno, "HOTGENE", af=0.5)
+    pg.collect()
+    assert pg.count() == 3_000
+    assert "BroadcastHashJoin" in physical_plan(pg)
+
+    pgc = per_gene_counts(impact, info, af=0.5)
+    counts = {r["symbol"]: r["n_vars"] for r in pgc.collect()}
+    assert counts["HOTGENE"] == 3_000
+    assert "partial_count" in physical_plan(pgc)
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    # salted fallback on the skewed symbol key, with broadcast off to
+    # force the full-shuffle regime salting exists for
+    genes = spark.createDataFrame(
+        [("HOTGENE", 1)] + [(f"G{i}", i + 2) for i in range(200)],
+        "symbol string, gene_rank int",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(impact, genes, "symbol")
+        plain = impact.join(genes, "symbol")
+        assert salted.count() == plain.count() == n
+        splan = physical_plan(salted)
+        # the join's exchange keys include the salt: the hot symbol
+        # is spread across n_salt reducers instead of one
+        assert "hashpartitioning(symbol" in splan and "_salt" in splan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_apply_per_group(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double"

@@ -14,9 +14,29 @@ spark-submit supplies parallelism and the flag is ignored.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
+import time
 
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _stage(name: str, enabled: bool):
+    """Per-stage wall-time print for ``build --debug`` — the
+    reference's debug timing surface (VCFdb.R:88 sets ``debug``;
+    pipeline/02-build-db.R:309-313 prints per-block elapsed times).
+    Stages are the driver-visible phase boundaries; intra-stage task
+    detail lives in the Spark UI."""
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        if enabled:
+            print(
+                f"[debug] stage={name} wall={time.time() - t0:.2f}s",
+                file=sys.stderr,
+            )
 
 
 def _write_reject_report(rejects, path: str) -> None:
@@ -87,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument(
         "--end-chunk", type=int, default=None,
         help="stop after this chunk index (partial run; re-run to continue)",
+    )
+    b.add_argument(
+        "--debug",
+        action="store_true",
+        help="print per-stage wall times to stderr (VCFdb.R:88 parity)",
     )
 
     f = sub.add_parser("filter", help="per-gene rare-variant query")
@@ -280,14 +305,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.multivalue_as_array
             else ("melt" if args.include_multivalue_gt else "skip")
         )
+        dbg = args.debug
         if args.resumable:
             from vcfdbr_spark.sources.build import build_vcfdb_resumable
 
-            prog = build_vcfdb_resumable(
-                spark, args.vcf, args.prefix, mode=args.mode,
-                multi_value=multi, n_chunks=args.chunks,
-                end_chunk=args.end_chunk, abort_on_rejects=True,
-            )
+            with _stage("resumable_build", dbg):
+                prog = build_vcfdb_resumable(
+                    spark, args.vcf, args.prefix, mode=args.mode,
+                    multi_value=multi, n_chunks=args.chunks,
+                    end_chunk=args.end_chunk, abort_on_rejects=True,
+                )
             if prog.get("aborted_on_rejects"):
                 # same contract as the non-resumable path: the
                 # reference aborts the build on multiallelic input
@@ -314,8 +341,13 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             print(f"built {args.prefix} (mode={args.mode}, resumable)")
             return 0
-        tables = read_vcf(spark, args.vcf, multi_value=multi)
-        n_rejects = tables.rejects.count()
+        # stage boundaries mirror the reference's timed blocks
+        # (pipeline/02-build-db.R:309-313): header probe + parse plan,
+        # the reject-channel action, then the three-table store write
+        with _stage("parse_and_schema_probe", dbg):
+            tables = read_vcf(spark, args.vcf, multi_value=multi)
+        with _stage("reject_check", dbg):
+            n_rejects = tables.rejects.count()
         if n_rejects:
             reject_path = f"{args.prefix}-multiallelic-sites.tsv"
             _write_reject_report(tables.rejects, reject_path)
@@ -328,7 +360,8 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        write_vcfdb(tables, args.prefix, mode=args.mode)
+        with _stage("write_store", dbg):
+            write_vcfdb(tables, args.prefix, mode=args.mode)
         print(f"built {args.prefix} (mode={args.mode})")
         return 0
 
