@@ -1,0 +1,53 @@
+"""The bench report generator (tools/bench_report.py — the
+benchmarks/04-benchmark-plots.R parity surface) must keep rendering
+the committed artifacts: every committed round appears, every
+latest-round query gets a row, and sf1 artifacts get scaling ratios.
+No SparkSession needed."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "bench_report", os.path.join(ROOT, "tools", "bench_report.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_report"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_report_renders_committed_artifacts(tmp_path):
+    br = _load()
+    rounds = br.load_rounds()
+    assert len(rounds) >= 7  # every committed BENCH_r*.json parses
+    sf1 = br.load_sf1()
+    report = br.render(rounds, sf1)
+    for r in rounds:
+        assert f"| r{r:02d} |" in report
+    latest = rounds[max(rounds)]
+    for q in latest["queries"]:
+        assert f"| {q} |" in report
+    # sf1 artifacts committed → the scaling section must render
+    if sf1:
+        assert "Scaling shape" in report
+        assert "ratio" in report
+    # baseline comparison table always present
+    assert "vs reference baseline" in report
+    out = tmp_path / "r.md"
+    out.write_text(report)
+    assert out.stat().st_size > 1_000
+
+
+def test_bench_report_main_writes_default_target(tmp_path):
+    br = _load()
+    target = tmp_path / "BENCH_REPORT.md"
+    sys.argv = ["bench_report.py", "--out", str(target)]
+    br.main()
+    assert target.exists() and target.stat().st_size > 1_000
