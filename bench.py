@@ -61,6 +61,7 @@ DATA_QUERIES = [
     "doc_repetition",
     "weighted_sample",
     "text_normalize_dedup",
+    "pii_scrub",
     "top_ngrams",
     "tfidf_keywords",
     "benchmark_contamination",

@@ -316,6 +316,41 @@ def test_normalize_text(spark):
     assert got[1] == got[2] == "hello world 42"
 
 
+def test_scrub_pii_and_counts(spark):
+    """Emails, IPv4s and phone-like runs are replaced with typed
+    tokens; counts reflect the raw text; clean text carries no
+    residual matches; non-PII digits/words survive."""
+    from vcfdbr_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-site.org and root@10.2.3.4 now"),
+            (2, "call +1 (319) 555-0123 or 0044 207 946 0958 ok"),
+            (3, "plain text with year 2024 and version 1.2"),
+            (4, "x@y.io x@y.io twice"),
+        ],
+        "doc_id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+            scrub_pii(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"]) == (1, 1)
+    assert out[1]["clean"] == "mail <EMAIL> and root@<IP> now"
+    assert out[2]["p"] == 2
+    assert out[2]["clean"] == "call <PHONE> or <PHONE> ok"
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 0)
+    assert out[3]["clean"] == out[3]["clean"] == "plain text with year 2024 and version 1.2"
+    assert out[4]["e"] == 2 and out[4]["clean"] == "<EMAIL> <EMAIL> twice"
+
+
 def test_asof_join_semantics(spark):
     """Latest right row at-or-before the left time; NULL when none;
     equal timestamps count (right sorts before left at the same ts)."""
