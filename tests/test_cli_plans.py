@@ -76,6 +76,31 @@ def test_cli_dedup(spark, tmp_path, capsys):
     assert comps == {1: 2, 2: 2}
 
 
+def test_cli_scrub(spark, tmp_path, capsys):
+    """`vcfdb scrub` redacts PII in place and reports per-type totals;
+    non-PII rows pass through byte-identical."""
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at a@b.io or 10.1.2.3"),
+            (2, "call +1 (319) 555-0100 twice: +1 (319) 555-0101"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "clean")
+    assert cli_main(["scrub", "--docs", src, "--out", out]) == 0
+    assert "1 emails, 1 ips, 2 phones" in capsys.readouterr().out
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "reach me at <EMAIL> or <IP>"
+    assert got[2] == "call <PHONE> twice: <PHONE>"
+    assert got[3] == "nothing sensitive here"
+    # bad column name errors out instead of writing
+    assert cli_main(["scrub", "--docs", src, "--out", out,
+                     "--text-col", "body"]) == 1
+
+
 def test_cli_build_rejects_multiallelic(spark, tmp_path):
     vcf = write_vcf(str(tmp_path / "bad.vcf"), include_multiallelic=True)
     prefix = str(tmp_path / "db2")

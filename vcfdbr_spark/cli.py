@@ -265,6 +265,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="fold the batch tail into one compacted layout "
                     "every N batches (0 disables)")
 
+    sc = sub.add_parser(
+        "scrub",
+        help="PII-scrub a documents parquet (emails/IPv4/phones → "
+        "typed tokens): writes the scrubbed corpus and prints "
+        "per-type hit totals",
+    )
+    sc.add_argument("--docs", required=True, help="parquet with (doc_id, text, ...)")
+    sc.add_argument("--out", required=True, help="scrubbed corpus output directory")
+    sc.add_argument(
+        "--text-col", default="text",
+        help="column to scrub (replaced in place in the output)",
+    )
+
     cb = sub.add_parser(
         "compact-band-index",
         help="compact a streaming band index (batch=N/pfx=M dirs) "
@@ -530,6 +543,29 @@ def main(argv: list[str] | None = None) -> int:
         pairs.unpersist()
         bands.unpersist()
         print(f"probed {args.docs} vs {args.index}: {n} pairs → {args.out}")
+        return 0
+    if args.cmd == "scrub":
+        from vcfdbr_spark.functions.text import pii_counts, scrub_pii
+
+        docs = spark.read.parquet(args.docs)
+        col = args.text_col
+        if col not in docs.columns:
+            print(f"ERROR: no '{col}' column in {args.docs}", file=sys.stderr)
+            return 1
+        counts = pii_counts(F.col(col))
+        # ONE pass: totals aggregate over the same frame the write
+        # materializes — scrub + count + write in a single job each,
+        # no driver-side row handling
+        scrubbed = docs.withColumn(col, scrub_pii(F.col(col)))
+        totals = docs.agg(
+            *[F.sum(c).alias(n) for n, c in counts.items()]
+        ).first()
+        scrubbed.write.mode("overwrite").parquet(args.out)
+        print(
+            f"scrubbed {args.docs}: {totals['n_emails']} emails, "
+            f"{totals['n_ips']} ips, {totals['n_phones']} phones "
+            f"redacted → {args.out}"
+        )
         return 0
     if args.cmd == "compact-band-index":
         from vcfdbr_spark.operators.dedup import compact_band_index
