@@ -29,6 +29,8 @@ __all__ = [
     "compact_band_index",
     "index_n_pfx",
     "cap_per_group",
+    "scrub_pii",
+    "pii_counts",
 ]
 __version__ = "0.2.0"
 
@@ -66,4 +68,8 @@ def __getattr__(name: str):
         from vcfdbr_spark.operators import sampling
 
         return sampling.cap_per_group
+    if name in ("scrub_pii", "pii_counts"):
+        from vcfdbr_spark.functions import text
+
+        return getattr(text, name)
     raise AttributeError(name)

@@ -46,6 +46,15 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # PySpark 4 walks the Python stack on EVERY DataFrame API call
+        # to enrich error messages with the user call site.  The VCF
+        # parse builds thousands of Column expressions, where that walk
+        # is a measured ~0.6 s of pure driver time per plan build
+        # (profiled via errors.utils._capture_call_site).  An engine
+        # library doesn't need per-call user-frame attribution; pass
+        # extra_conf={"spark.python.sql.dataFrameDebugging.enabled":
+        # "true"} to re-enable while debugging.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)
