@@ -320,3 +320,74 @@ def test_png_codec_roundtrip_property(width, height, color_type, rnd):
     for a, b in zip(got, want):
         assert abs(a - b) < 1e-12
     assert feats[7] == nch / 4.0
+
+
+# --- PII scrub: cross-engine regex parity -----------------------------
+# The pii_scrub oracle claims the pattern constants behave identically
+# under Java regex (Spark) and RE2 (DuckDB).  Fuzz that claim directly:
+# texts composed from adversarial fragments (near-emails, bad IPv4
+# octet counts, digit runs spanning spaces, stray pattern metachars)
+# must scrub AND count identically in both engines.
+
+_PII_FRAGMENTS = st.sampled_from([
+    "a@b.co", "x.y+z@mail-host.org", "user@site", "@", "a@b", "b.co",
+    "A@B.DE.", "%+-a@b.cc", "1.2.3.4", "10.0.0.255", "999.999.999.999",
+    "1.2.3", "1.2.3.4.5", "+1 (319) 555-0100", "0044 207 946 0958",
+    "12345678", "123-456-7890", "(12) 3456 789", "word", "W0rd.",
+    "2024", "v1.2", "a..b", "..", "-", "+", "()", "12 34", "+1+2",
+])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(_PII_FRAGMENTS, min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scrub_pii_matches_duckdb_oracle(spark, texts):
+    import duckdb
+    import pandas as pd
+
+    from vcfdbr_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    c = pii_counts(F.col("text"))
+    got = [
+        (r["doc_id"], r["e"], r["i"], r["p"], r["clean"])
+        for r in df.select(
+            "doc_id",
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+            scrub_pii(F.col("text")).alias("clean"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = con.execute(
+        f"""
+        SELECT doc_id,
+          CAST(length(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT),
+          CAST(length(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT),
+          CAST(length(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT),
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+            '{PII_IPV4_RE}', '<IP>', 'g'),
+            '{PII_PHONE_RE}', '<PHONE>', 'g')
+        FROM t ORDER BY doc_id
+        """
+    ).fetchall()
+    con.close()
+    assert got == [tuple(w) for w in want]
