@@ -62,6 +62,7 @@ DATA_QUERIES = [
     "weighted_sample",
     "text_normalize_dedup",
     "pii_scrub",
+    "repeated_passages",
     "top_ngrams",
     "tfidf_keywords",
     "benchmark_contamination",

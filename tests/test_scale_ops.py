@@ -316,6 +316,48 @@ def test_normalize_text(spark):
     assert got[1] == got[2] == "hello world 42"
 
 
+def test_repeated_passages_finds_planted_span(spark):
+    """A 12-word span planted in two otherwise-different documents
+    surfaces as a repeated window; unique docs contribute nothing;
+    short docs (< window words) are represented by one whole-doc
+    passage and can still collide exactly."""
+    from vcfdbr_spark.operators.dedup import (
+        passage_windows,
+        repeated_passages,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(10)) + " " + span),
+            (2, span + " " + " ".join(f"b{i}" for i in range(10))),
+            (3, " ".join(f"c{i}" for i in range(30))),
+            (4, "tiny doc"),
+            (5, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = repeated_passages(docs, window=12, stride=1).collect()
+    by_docs = {(r["n_docs"], r["first_doc"]): r["n_occurrences"] for r in rep}
+    # the planted span aligns at stride-1 in both docs 1 and 2
+    assert (2, 1) in by_docs
+    # the two identical tiny docs collide on their whole-doc passage
+    assert (2, 4) in by_docs
+    # no window from the unique doc 3 repeats
+    wins3 = passage_windows(docs.filter(F.col("doc_id") == 3), 12, 1)
+    hashes3 = {r["passage"] for r in wins3.collect()}
+    rep_hashes = {r["passage_hash"] for r in rep}
+    import hashlib
+
+    assert all(
+        hashlib.md5(p.encode()).hexdigest() not in rep_hashes
+        for p in hashes3
+    )
+    # short doc yields exactly ONE whole-doc window
+    assert wins3.count() == 19  # 30 words, window 12, stride 1
+    assert passage_windows(docs.filter(F.col("doc_id") == 4), 12, 1).count() == 1
+
+
 def test_scrub_pii_and_counts(spark):
     """Emails, IPv4s and phone-like runs are replaced with typed
     tokens; counts reflect the raw text; clean text carries no

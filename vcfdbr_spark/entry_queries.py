@@ -1717,6 +1717,38 @@ FROM raw_
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+def q_repeated_passages(spark, sf_dir):
+    """Cross-document repeated-passage detection (window-level exact
+    dedup — the distributed approximation of substring-level training
+    -data dedup): 20-word windows every 10 words, md5-grouped, HAVING
+    count > 1.  One hash groupBy with map-side combine, no join — a
+    boilerplate passage shared by millions of docs is one aggregation
+    group, not a pair blowup."""
+    from vcfdbr_spark.operators.dedup import repeated_passages
+
+    return repeated_passages(
+        _t(spark, sf_dir, "documents"), window=20, stride=10
+    )
+
+
+SQL_REPEATED_PASSAGES = r"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, s.s AS w_start,
+         array_to_string(list_slice(w, s.s, s.s + 19), ' ') AS passage
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 19, 1), 10)) AS s) s)
+SELECT md5(passage) AS passage_hash,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM wins
+GROUP BY md5(passage)
+HAVING COUNT(*) > 1
+"""
+
+
 def q_doc_len_quantiles(spark, sf_dir):
     """Exact grouped percentiles (``percentile`` ↔ ``quantile_cont``
     parity): per-language doc-length quartiles + p90.  Exact
@@ -2441,6 +2473,7 @@ QUERIES: dict[str, QueryFn] = {
     # cap this round — judge-verifiable via tools/check_correctness.py
     # and pinned by CORRECTNESS_LOCAL_r8.json; rotate forward next round
     "pii_scrub": q_pii_scrub,
+    "repeated_passages": q_repeated_passages,
 }
 
 ORACLE: dict[str, str] = {
@@ -2513,4 +2546,5 @@ ORACLE: dict[str, str] = {
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "pii_scrub": SQL_PII_SCRUB,
+    "repeated_passages": SQL_REPEATED_PASSAGES,
 }

@@ -940,3 +940,78 @@ def simhash(
         term = F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return per_doc.select(id_col, packed.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------
+# Passage-level (window) exact dedup
+# --------------------------------------------------------------------
+
+def passage_windows(
+    docs: DataFrame,
+    window: int = 30,
+    stride: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into overlapping ``window``-word passages
+    every ``stride`` words: (id, w_start, passage).
+
+    This is the distributed stand-in for substring-level training-data
+    dedup (the suffix-array approach of "Deduplicating Training Data
+    Makes Language Models Better" finds repeated spans exactly; fixed
+    stride windows approximate it with an embarrassingly parallel
+    per-row explode).  Blowup is ceil(words/stride) rows per doc —
+    linear in corpus size with a constant ~window/stride factor, never
+    quadratic.  A short document (fewer words than ``window``) yields
+    exactly one passage of all its words, so every document is
+    represented.
+    """
+    words = F.split(F.col(text_col), " ")
+    exploded = docs.select(
+        id_col,
+        words.alias("_w"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(words) - (window - 1), F.lit(1)),
+                F.lit(stride),
+            )
+        ).alias("w_start"),
+    )
+    return exploded.select(
+        id_col,
+        "w_start",
+        F.concat_ws(
+            " ", F.slice(F.col("_w"), F.col("w_start"), window)
+        ).alias("passage"),
+    )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    window: int = 30,
+    stride: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passages that occur more than once across the corpus —
+    cross-document boilerplate / quoted-span / template detection at
+    word-window granularity.
+
+    Plan shape: explode → ONE hash groupBy on md5(passage) with
+    map-side partial aggregation (count / count-distinct / min fold
+    per mapper), HAVING count > 1.  No join, no window function, so a
+    degenerate passage shared by millions of documents is a single
+    combined aggregation group, not a candidate-pair blowup — this op
+    needs no bucket cap.
+    """
+    wins = passage_windows(docs, window, stride, id_col, text_col)
+    return (
+        wins.groupBy(F.md5(F.col("passage")).alias("passage_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
