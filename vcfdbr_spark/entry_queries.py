@@ -2448,9 +2448,15 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_nearest": q_events_asof_nearest,
     "events_sliding": q_events_sliding,
     "events_cube": q_events_cube,
+    # r8 additions take window slots 49-50 so they get driver
+    # CORRECTNESS rows this round; the two they displace
+    # (weighted_sample, events_rollup) are multi-round driver-green
+    # and move to the tail
+    "pii_scrub": q_pii_scrub,
+    "repeated_passages": q_repeated_passages,
+    # --- tail (driver-green in CORRECTNESS_r07.json) ---------------
     "weighted_sample": q_weighted_sample,
     "events_rollup": q_events_rollup,
-    # --- tail (driver-green in CORRECTNESS_r07.json) ---------------
     "events_pivot": q_events_pivot,
     "doc_len_quantiles": q_doc_len_quantiles,
     "corpus_balance": q_corpus_balance,
@@ -2469,11 +2475,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
-    # registry tail (r8 addition): past the driver's 50-entry artifact
-    # cap this round — judge-verifiable via tools/check_correctness.py
-    # and pinned by CORRECTNESS_LOCAL_r8.json; rotate forward next round
-    "pii_scrub": q_pii_scrub,
-    "repeated_passages": q_repeated_passages,
 }
 
 ORACLE: dict[str, str] = {
