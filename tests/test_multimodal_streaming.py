@@ -739,3 +739,37 @@ def test_manual_compaction_heals_from_old_sibling(spark, tmp_path):
         spark, str(out / "band_index"), str(tmp_path / "manual_idx")
     )
     assert n == 8  # 2 docs x 4 bands — history NOT dropped
+
+
+def test_decode_media_mixed_real_decoders(spark):
+    """decode_content dispatches per row inside one Arrow batch: a
+    real PNG and a real PCM WAV decode side by side through the same
+    mapInPandas plan; audio lands (sample_rate, n_channels) in the
+    schema's (width, height) slots as documented."""
+    import struct
+
+    from vcfdbr_spark.operators.multimodal import (
+        decode_content,
+        decode_media,
+        encode_png,
+        encode_wav,
+    )
+
+    png = encode_png(3, 2, bytes(range(3 * 2 * 3)), color_type=2)
+    samples = [0, 1000, -1000, 32767, -32768, 0, 500, -500]
+    wav = encode_wav(16000, 2, 2, struct.pack("<8h", *samples))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), {}), (2, "audio", bytearray(wav), {})],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_media(media, decoder=decode_content).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert (rows[2]["width"], rows[2]["height"]) == (16000, 2)
+    feats = rows[2]["features"]
+    assert feats[0] == 4 / 16000  # duration: 4 stereo frames
+    assert feats[1] == 2.0 and feats[2] == 2.0
+    assert abs(feats[5] - 1.0) < 1e-6  # peak is full-scale -32768
+    assert feats[7] == 4.0

@@ -391,3 +391,52 @@ def test_scrub_pii_matches_duckdb_oracle(spark, texts):
     ).fetchall()
     con.close()
     assert got == [tuple(w) for w in want]
+
+
+@given(
+    st.integers(min_value=1, max_value=2),   # channels
+    st.sampled_from([1, 2]),                 # sample width
+    st.integers(min_value=1, max_value=200),  # frames
+    st.integers(min_value=8000, max_value=48000),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_property(nch, sw, nframes, rate, rnd):
+    """encode_wav→decode_wav recovers (rate, channels) exactly and the
+    8 signal stats match an independent recomputation from the source
+    samples (integer sums + single float divisions — exact)."""
+    import struct
+
+    from vcfdbr_spark.operators.multimodal import decode_wav, encode_wav
+
+    n = nframes * nch
+    if sw == 1:
+        vals = [rnd.randrange(256) for _ in range(n)]
+        frames = bytes(vals)
+        samples = [v - 128 for v in vals]
+        full = 128.0
+    else:
+        samples = [rnd.randrange(-32768, 32768) for _ in range(n)]
+        frames = struct.pack(f"<{n}h", *samples)
+        full = 32768.0
+    got_rate, got_nch, feats = decode_wav(encode_wav(rate, nch, sw, frames))
+    assert (got_rate, got_nch) == (rate, nch)
+    means = []
+    for c in range(min(nch, 2)):
+        ch = samples[c::nch]
+        means.append(sum(abs(s) for s in ch) / len(ch) / full)
+    while len(means) < 2:
+        means.append(0.0)
+    ch0 = samples[0::nch]
+    zc = sum(1 for a, b in zip(ch0, ch0[1:]) if (a >= 0) != (b >= 0))
+    want = [
+        nframes / rate,
+        float(nch),
+        float(sw),
+        means[0],
+        means[1],
+        max(abs(s) for s in samples) / full,
+        zc / (len(ch0) - 1) if len(ch0) > 1 else 0.0,
+        float(nframes),
+    ]
+    assert feats == want

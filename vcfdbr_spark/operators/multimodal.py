@@ -2,14 +2,15 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode hook ships
-with a REAL stdlib-only PNG decoder (``decode_png``: zlib inflate +
-scanline unfilter, 8-bit gray/RGB/RGBA) wired through
-``decode_image``; every other format still raises
-``NotImplementedError``, and ``fake_decode`` remains the
-deterministic stand-in the value oracle pins (the plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is identical for
-both decoders).
+The container has no image/audio libraries, so the decode hooks ship
+with REAL stdlib-only decoders for the formats the stdlib can parse:
+PNG (``decode_png``: zlib inflate + scanline unfilter, 8-bit
+gray/RGB/RGBA) and PCM WAV (``decode_wav``: ``wave`` module, 8/16-bit,
+deterministic signal stats), dispatched by ``decode_content``; every
+other format raises ``NotImplementedError``, and ``fake_decode``
+remains the deterministic stand-in the value oracle pins (the
+plumbing — schema, partitioning, UDF signature, Arrow batch shape —
+is identical for all decoders).
 
 Scale notes: binary payloads ride in their own column so column
 pruning skips them unless a stage touches them; ``mapInPandas``
@@ -205,6 +206,102 @@ def decode_image(content: bytes) -> tuple[int, int, list[float]]:
         "only PNG decodes natively here; other image formats require "
         "an image library not present in this container — inject a "
         "decoder or use fake_decode for plumbing tests"
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[float]]:
+    """Real stdlib-only WAV (RIFF PCM) decoder — the audio analog of
+    :func:`decode_png` (same "no media libs in the container, so
+    decode the container format we CAN with the stdlib" stance).
+
+    The shared ``DECODED_SCHEMA`` is image-shaped; for audio its
+    (width, height) slots carry ``(sample_rate, n_channels)``.  The
+    8-dim feature vector is deterministic signal stats, exact up to
+    single float divisions of integer sums:
+
+    ``[duration_s, n_channels, sample_width_bytes, mean|amp| ch0,
+    mean|amp| ch1 (0 if mono), peak|amp|, zero-crossing rate (ch0),
+    n_frames]``   (amplitudes normalized to full scale).
+
+    PCM 8-bit (unsigned) and 16-bit (signed LE) — the wave-module
+    formats — are supported; anything else raises, mirroring the
+    non-PNG image path.
+    """
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    if sw == 1:
+        samples = [b - 128 for b in raw]
+        full = 128.0
+    elif sw == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+        full = 32768.0
+    else:
+        raise NotImplementedError(
+            "PCM 8/16-bit WAV only — wider samples need an audio "
+            "library this container doesn't have"
+        )
+    per_ch_mean = []
+    for c in range(min(nch, 2)):
+        ch = samples[c::nch]
+        per_ch_mean.append(
+            sum(abs(s) for s in ch) / len(ch) / full if ch else 0.0
+        )
+    while len(per_ch_mean) < 2:
+        per_ch_mean.append(0.0)
+    peak = max((abs(s) for s in samples), default=0) / full
+    ch0 = samples[0::nch] if nch else []
+    zc = sum(1 for a, b in zip(ch0, ch0[1:]) if (a >= 0) != (b >= 0))
+    zcr = zc / (len(ch0) - 1) if len(ch0) > 1 else 0.0
+    dur = nframes / rate if rate else 0.0
+    feats = [
+        dur,
+        float(nch),
+        float(sw),
+        per_ch_mean[0],
+        per_ch_mean[1],
+        peak,
+        zcr,
+        float(nframes),
+    ]
+    return rate, nch, feats
+
+
+def encode_wav(
+    rate: int, n_channels: int, samp_width: int, frames: bytes
+) -> bytes:
+    """Inverse of :func:`decode_wav` for tests (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(samp_width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_content(content: bytes) -> tuple[int, int, list[float]]:
+    """Format-dispatching real-decoder hook for mixed media tables:
+    PNG → :func:`decode_png`, RIFF/WAVE → :func:`decode_wav`; other
+    formats raise (inject a decoder, or use :func:`fake_decode` for
+    plumbing tests)."""
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    raise NotImplementedError(
+        "only PNG and PCM WAV decode natively here; other formats "
+        "require media libraries not present in this container"
     )
 
 
