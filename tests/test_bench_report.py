@@ -45,9 +45,11 @@ def test_bench_report_renders_committed_artifacts(tmp_path):
     assert out.stat().st_size > 1_000
 
 
-def test_bench_report_main_writes_default_target(tmp_path):
+def test_bench_report_main_writes_default_target(tmp_path, monkeypatch):
     br = _load()
     target = tmp_path / "BENCH_REPORT.md"
-    sys.argv = ["bench_report.py", "--out", str(target)]
+    # monkeypatch restores the original argv after the test — a bare
+    # assignment would leak into every later test in the process
+    monkeypatch.setattr(sys, "argv", ["bench_report.py", "--out", str(target)])
     br.main()
     assert target.exists() and target.stat().st_size > 1_000

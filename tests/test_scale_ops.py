@@ -358,6 +358,40 @@ def test_repeated_passages_finds_planted_span(spark):
     assert passage_windows(docs.filter(F.col("doc_id") == 4), 12, 1).count() == 1
 
 
+def test_passage_windows_cover_document_tail(spark):
+    """Every word of every document lands in at least one window: when
+    the stride sequence does not reach the last full window, a tail
+    window clamped to end at the last word is emitted (25 words,
+    window 20, stride 10 → starts 1 AND 6, not just 1 — a span living
+    in words 21-25 is detectable)."""
+    from vcfdbr_spark.operators.dedup import passage_windows
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(25)))], "doc_id long, text string"
+    )
+    wins = {r["w_start"]: r["passage"] for r in
+            passage_windows(docs, window=20, stride=10).collect()}
+    assert set(wins) == {1, 6}
+    assert wins[6].split(" ")[-1] == "w24"  # tail window ends at last word
+    # exact stride landing emits no duplicate tail window
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(31)))], "doc_id long, text string"
+    )  # 31 words → last start 12; starts 1, 11 ... then tail 12
+    starts2 = sorted(
+        r["w_start"]
+        for r in passage_windows(docs2, window=20, stride=10).collect()
+    )
+    assert starts2 == [1, 11, 12]
+    docs3 = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(39)))], "doc_id long, text string"
+    )  # 39 words → last start 20 = 1 + 10 + 10 exactly: no extra row
+    starts3 = sorted(
+        r["w_start"]
+        for r in passage_windows(docs3, window=20, stride=10).collect()
+    )
+    assert starts3 == [1, 11, 20]
+
+
 def test_scrub_pii_and_counts(spark):
     """Emails, IPv4s and phone-like runs are replaced with typed
     tokens; counts reflect the raw text; clean text carries no

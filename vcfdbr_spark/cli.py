@@ -552,15 +552,21 @@ def main(argv: list[str] | None = None) -> int:
         if col not in docs.columns:
             print(f"ERROR: no '{col}' column in {args.docs}", file=sys.stderr)
             return 1
+        from pyspark.sql import Observation
+
         counts = pii_counts(F.col(col))
-        # ONE pass: totals aggregate over the same frame the write
-        # materializes — scrub + count + write in a single job each,
-        # no driver-side row handling
-        scrubbed = docs.withColumn(col, scrub_pii(F.col(col)))
-        totals = docs.agg(
-            *[F.sum(c).alias(n) for n, c in counts.items()]
-        ).first()
+        # ONE scan: the totals ride the write job itself via observe()
+        # — metrics accumulate on the exact rows the write
+        # materializes, so the printed counts can never diverge from
+        # the written output (a separate agg job would re-read the
+        # source and race any concurrent change to it)
+        obs = Observation("pii_totals")
+        observed = docs.observe(
+            obs, *[F.sum(c).alias(n) for n, c in counts.items()]
+        )
+        scrubbed = observed.withColumn(col, scrub_pii(F.col(col)))
         scrubbed.write.mode("overwrite").parquet(args.out)
+        totals = obs.get
         print(
             f"scrubbed {args.docs}: {totals['n_emails']} emails, "
             f"{totals['n_ips']} ips, {totals['n_phones']} phones "

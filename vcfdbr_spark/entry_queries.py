@@ -1902,10 +1902,15 @@ SQL_REPEATED_PASSAGES = r"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 wins AS (
+  -- stride starts plus a tail start clamped to the last full window
+  -- (list_distinct folds it in when the stride already lands there) —
+  -- mirrors operators/dedup.py passage_windows exactly
   SELECT doc_id, s.s AS w_start,
          array_to_string(list_slice(w, s.s, s.s + 19), ' ') AS passage
   FROM words,
-       LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 19, 1), 10)) AS s) s)
+       LATERAL (SELECT unnest(list_distinct(list_append(
+                  generate_series(1, greatest(len(w) - 19, 1), 10),
+                  greatest(len(w) - 19, 1)))) AS s) s)
 SELECT md5(passage) AS passage_hash,
        COUNT(*) AS n_occurrences,
        COUNT(DISTINCT doc_id) AS n_docs,
@@ -2582,7 +2587,7 @@ QUERIES: dict[str, QueryFn] = {
     # front, joined by the new mixed-real-codec query
     # (multimodal_codec) which needs its first driver row.  The 21
     # they displace — the r8 rotation block (distinct_sketch ..
-    # dedup_incremental), pii_scrub, repeated_passages, and
+    # dedup_incremental), pii_scrub, events_cube, and
     # events_asof_null — are all green in CORRECTNESS_r08.json, so
     # every registered query keeps a driver-artifact green row within
     # the 2-round window.  Rotate again whenever a query would
@@ -2637,11 +2642,16 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_fwd": q_events_asof_fwd,
     "events_asof_nearest": q_events_asof_nearest,
     "events_sliding": q_events_sliding,
-    "events_cube": q_events_cube,
+    # repeated_passages holds a window slot despite its green r8 row:
+    # its semantics changed this round (tail-window coverage fix), so
+    # the r8 driver row no longer pins the current code — it needs a
+    # fresh one.  events_cube (r8-green, code unchanged) cedes the
+    # slot and moves to the tail.
+    "repeated_passages": q_repeated_passages,
     # --- tail (driver-green in CORRECTNESS_r08.json) ---------------
+    "events_cube": q_events_cube,
     "events_asof_null": q_events_asof_null,
     "pii_scrub": q_pii_scrub,
-    "repeated_passages": q_repeated_passages,
     "distinct_sketch": q_distinct_sketch,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,

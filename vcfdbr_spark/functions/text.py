@@ -147,6 +147,17 @@ def normalize_text(text: Column) -> Column:
 # removes text a later, looser pattern could partially re-match.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+# Precision tradeoff (deliberate, recall-over-precision): this matches
+# ANY >=9-char run of digits/spaces/parens/dashes, so benign content —
+# year ranges ("2010 - 2024"), ISBN/ID sequences, columns of numbers —
+# is redacted as <PHONE> too.  That is the standard conservative
+# stance for pre-training scrubs (a missed phone number is a leak; an
+# over-redacted ID is noise).  Tightening to "7-15 digits total"
+# requires a lookahead, which RE2 (the DuckDB oracle's engine) does
+# not support — a stricter pattern would fork the Spark and oracle
+# semantics this module deliberately keeps identical.  Deployments
+# needing higher precision swap the constant; counts/scrub/oracle all
+# follow it.
 PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
 

@@ -963,20 +963,24 @@ def passage_windows(
     per-row explode).  Blowup is ceil(words/stride) rows per doc —
     linear in corpus size with a constant ~window/stride factor, never
     quadratic.  A short document (fewer words than ``window``) yields
-    exactly one passage of all its words, so every document is
-    represented.
+    exactly one passage of all its words, and when the stride sequence
+    does not land on the last full window (``(L-1) % stride != 0``) an
+    extra tail window clamped to end at the last word is emitted — so
+    EVERY word of every document is covered by at least one passage,
+    not just the first ``stride``-aligned ones.
     """
     words = F.split(F.col(text_col), " ")
+    last_start = F.greatest(F.size(words) - (window - 1), F.lit(1))
+    # array_union dedupes: the tail start folds into the stride
+    # sequence whenever the sequence already ends on it
+    starts = F.array_union(
+        F.sequence(F.lit(1), last_start, F.lit(stride)),
+        F.array(last_start),
+    )
     exploded = docs.select(
         id_col,
         words.alias("_w"),
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.size(words) - (window - 1), F.lit(1)),
-                F.lit(stride),
-            )
-        ).alias("w_start"),
+        F.explode(starts).alias("w_start"),
     )
     return exploded.select(
         id_col,
