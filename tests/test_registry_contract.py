@@ -1,0 +1,84 @@
+"""Contract tests for the driver-artifact registry rotation policy.
+
+The grading driver records CORRECTNESS rows for only the FIRST 50
+entries of ``entry_queries.QUERIES``; the rotation policy (comment at
+the top of the registry) promises that no registered query sits past
+that cap for 2+ rounds without a driver row.  That policy was only a
+comment until now — these tests make it load-bearing: a future
+addition that silently pushes a query past the cap for too long, or a
+query added without an oracle, fails CI instead of quietly starving
+the correctness evidence.
+
+Pure-Python over the committed artifacts: no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+from vcfdbr_spark.entry_queries import ORACLE, QUERIES
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_CAP = 50
+
+
+def _committed_rounds() -> dict[int, set[str]]:
+    """Round number → key set of each committed driver artifact."""
+    rounds: dict[int, set[str]] = {}
+    for name in os.listdir(ROOT):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", name)
+        if not m:
+            continue
+        with open(os.path.join(ROOT, name)) as fh:
+            rounds[int(m.group(1))] = set(json.load(fh))
+    return rounds
+
+
+def test_every_query_has_an_oracle():
+    """The correctness gate compares values, not just row counts —
+    every registered query ships its DuckDB oracle SQL (genuinely
+    non-SQL-expressible ops live outside the registry)."""
+    assert set(QUERIES) == set(ORACLE)
+
+
+def test_driver_window_is_full():
+    """With more than 50 registered queries, exactly 50 occupy the
+    driver window — an accidental short window wastes driver evidence
+    slots."""
+    assert len(QUERIES) >= DRIVER_CAP
+
+
+def test_no_query_starves_past_the_cap():
+    """Every key past the driver cap must have a green driver row in
+    one of the two most recent committed CORRECTNESS_r*.json artifacts
+    — the rotation policy's actual invariant.  Fails when a future
+    round forgets to rotate (or parks a never-driver-checked query in
+    the tail)."""
+    rounds = _committed_rounds()
+    if not rounds:
+        pytest.skip("no committed driver artifacts (round 1)")
+    recent = sorted(rounds)[-2:]
+    covered = set().union(*(rounds[r] for r in recent))
+    tail = list(QUERIES)[DRIVER_CAP:]
+    starved = [k for k in tail if k not in covered]
+    assert not starved, (
+        f"tail queries with no driver row in rounds {recent}: {starved} — "
+        f"rotate them into the first {DRIVER_CAP} registry entries"
+    )
+
+
+def test_committed_artifacts_only_name_registered_queries():
+    """The LATEST committed artifact's keys are all present-tense
+    registry members: a rename/removal that orphans driver evidence
+    should be deliberate, not silent.  (Older artifacts may legitimately
+    reference since-renamed keys.)"""
+    rounds = _committed_rounds()
+    if not rounds:
+        pytest.skip("no committed driver artifacts (round 1)")
+    latest = rounds[max(rounds)]
+    unknown = sorted(latest - set(QUERIES))
+    assert not unknown, f"latest driver artifact names unregistered keys: {unknown}"
