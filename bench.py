@@ -311,6 +311,32 @@ def main() -> None:
             ).count(),
         )
 
+        # ---- reference-scale ABSOLUTE hot gene: the genome
+        # benchmark's hottest gene carries 121,630 variants regardless
+        # of cohort size (benchmarks/01-filter-benchmark-genome.csv
+        # max).  The 10% key above scales the hot set with the data;
+        # this one pins it to the reference's absolute count, so at
+        # sf1 (~1.5M variants) the hot gene is the reference's actual
+        # worst case (~122k variants on ONE symbol) while the corpus
+        # is 10x bigger.  At sf0.1 the divisor floors at 2 (~50% of
+        # rows hot) — a heavier-skew stress, documented as such; the
+        # key's scale story is the sf1 row (SCALE.md).
+        ref_hot_variants = 121_630
+        k_hot = max(2, -(-max_id // ref_hot_variants))
+        ref_impact = impact.withColumn(
+            "symbol",
+            F.when(
+                F.pmod(F.col("variant_id"), F.lit(k_hot)) == 0,
+                F.lit("HOTGENE"),
+            ).otherwise(F.col("symbol")),
+        )
+        timed(
+            "pull_geno_hot_gene_ref_scale",
+            lambda: pull_geno_test(
+                ref_impact, info, geno, "HOTGENE", af=0.5
+            ).count(),
+        )
+
         # ---- bucketed-layout join (plans/bucketing.py): the full
         # info⋈geno merge join + aggregate, plain range-sorted store
         # vs co-bucketed catalog tables.  This is the workload
