@@ -53,3 +53,38 @@ def test_bench_report_main_writes_default_target(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["bench_report.py", "--out", str(target)])
     br.main()
     assert target.exists() and target.stat().st_size > 1_000
+    # the two scaling-curve SVGs render next to the report and are
+    # embedded in it (benchmarks/04-benchmark-plots.R parity)
+    report = target.read_text()
+    for fname, _title, _keys in br.CHART_SPECS:
+        svg = tmp_path / fname
+        assert svg.exists(), f"{fname} not rendered"
+        assert f"]({fname})" in report
+        body = svg.read_text()
+        assert body.startswith("<svg") and body.rstrip().endswith("</svg>")
+        # well-formed XML with in-bounds geometry
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(body)
+        w = float(root.get("width"))
+        h = float(root.get("height"))
+        ns = "{http://www.w3.org/2000/svg}"
+        for c in root.iter(f"{ns}circle"):
+            assert 0 <= float(c.get("cx")) <= w
+            assert 0 <= float(c.get("cy")) <= h
+        # a polyline per series with data
+        assert len(list(root.iter(f"{ns}path"))) >= 1
+
+
+def test_curve_svg_handles_gaps_and_missing_rounds():
+    """A key absent in some rounds renders with a gap, not a crash;
+    a chart whose keys never appear is skipped entirely."""
+    br = _load()
+    svg = br.render_curve_svg(
+        "t", [1, 2, 3], {"a": [0.5, None, 0.25], "b": [None, 1.0, None]}
+    )
+    assert svg.count("<path") == 2
+    written = br.write_charts(
+        {1: {"queries": {"unrelated": 1.0}, "value": 1.0}}, "/tmp"
+    )
+    assert written == []

@@ -41,6 +41,163 @@ BASELINE_ROWS = [
 
 MAX_ROUND_COLS = 5
 
+# The two committed scaling-curve charts — the SVG analog of the
+# reference's vcfdb-filter-plot.pdf / vcfdb-pull-plot.pdf
+# (benchmarks/04-benchmark-plots.R).  Colors are the first four slots
+# of the skill-validated categorical order (adjacent-pair CVD ΔE 9.1,
+# normal-vision 22.9, both PASS; the two sub-3:1-contrast hues carry
+# the relief rule via direct end labels + the report's tables).
+CHART_SPECS = [
+    (
+        "bench_filter_curve.svg",
+        "Filter-test latency per round (sf0.1, seconds)",
+        [
+            "filter_test_per_gene_median",
+            "filter_test_per_gene_max",
+            "per_gene_counts_all",
+            "interval_query",
+        ],
+    ),
+    (
+        "bench_pull_curve.svg",
+        "Genotype-pull latency per round (sf0.1, seconds)",
+        [
+            "pull_random_ids_1000",
+            "pull_geno_gene",
+            "pull_wide_100x2504",
+            "pull_geno_hot_gene_10pct",
+        ],
+    ),
+]
+
+_SERIES_COLORS = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+_SURFACE, _INK, _INK2, _GRID = "#fcfcfb", "#0b0b0b", "#52514e", "#e4e3df"
+
+
+def _nice_ticks(vmax: float, n: int = 4) -> list[float]:
+    """0-based axis with ~n round-number ticks."""
+    import math
+
+    if vmax <= 0:
+        return [0.0, 1.0]
+    mag = 10 ** math.floor(math.log10(vmax / n))
+    for mult in (1, 2, 2.5, 5, 10):
+        step = mult * mag
+        if step * n >= vmax:
+            break
+    return [round(i * step, 10) for i in range(n + 1)]
+
+
+def render_curve_svg(
+    title: str, rounds: list[int], series: dict[str, list[float | None]]
+) -> str:
+    """One polyline chart: rounds on x, seconds on y (0-based, one
+    axis), 2px lines, 8px markers with a surface ring, recessive
+    grid, direct end labels in text ink with a color swatch (the
+    legend), native <title> tooltips per marker."""
+    w, h, ml, mr, mt, mb = 720, 300, 46, 190, 40, 30
+    pw, ph = w - ml - mr, h - mt - mb
+    vmax = max(
+        (v for vals in series.values() for v in vals if v is not None),
+        default=1.0,
+    )
+    ticks = _nice_ticks(vmax)
+    top = ticks[-1]
+
+    def x(i: int) -> float:
+        return ml + (pw * i / max(1, len(rounds) - 1))
+
+    def y(v: float) -> float:
+        return mt + ph - (ph * v / top)
+
+    p = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}" '
+        f'viewBox="0 0 {w} {h}" font-family="system-ui, sans-serif">',
+        f'<rect width="{w}" height="{h}" fill="{_SURFACE}"/>',
+        f'<text x="{ml}" y="22" font-size="13" font-weight="600" '
+        f'fill="{_INK}">{title}</text>',
+    ]
+    for tv in ticks:
+        ty = y(tv)
+        p.append(
+            f'<line x1="{ml}" y1="{ty:.1f}" x2="{ml + pw}" y2="{ty:.1f}" '
+            f'stroke="{_GRID}" stroke-width="1"/>'
+        )
+        p.append(
+            f'<text x="{ml - 6}" y="{ty + 4:.1f}" font-size="11" '
+            f'fill="{_INK2}" text-anchor="end">{tv:g}</text>'
+        )
+    for i, r in enumerate(rounds):
+        p.append(
+            f'<text x="{x(i):.1f}" y="{h - 10}" font-size="11" '
+            f'fill="{_INK2}" text-anchor="middle">r{r:02d}</text>'
+        )
+    label_ys: list[float] = []
+    for si, (name, vals) in enumerate(series.items()):
+        color = _SERIES_COLORS[si % len(_SERIES_COLORS)]
+        pts = [
+            (x(i), y(v)) for i, v in enumerate(vals) if v is not None
+        ]
+        if not pts:
+            continue
+        path = " ".join(
+            f"{'M' if j == 0 else 'L'}{px:.1f},{py:.1f}"
+            for j, (px, py) in enumerate(pts)
+        )
+        p.append(
+            f'<path d="{path}" fill="none" stroke="{color}" '
+            f'stroke-width="2" stroke-linejoin="round"/>'
+        )
+        for (px, py), (r, v) in zip(
+            pts,
+            [
+                (rounds[i], v)
+                for i, v in enumerate(vals)
+                if v is not None
+            ],
+        ):
+            p.append(
+                f'<circle cx="{px:.1f}" cy="{py:.1f}" r="4" fill="{color}" '
+                f'stroke="{_SURFACE}" stroke-width="2">'
+                f"<title>{name} r{r:02d}: {v:.3f}s</title></circle>"
+            )
+        # direct end label (doubles as the legend); nudge apart when
+        # two series end at the same height
+        ly = pts[-1][1] + 4
+        while any(abs(ly - o) < 14 for o in label_ys):
+            ly += 14
+        label_ys.append(ly)
+        p.append(
+            f'<rect x="{ml + pw + 8}" y="{ly - 9}" width="9" height="9" '
+            f'rx="2" fill="{color}"/>'
+        )
+        p.append(
+            f'<text x="{ml + pw + 21}" y="{ly}" font-size="11" '
+            f'fill="{_INK2}">{name}</text>'
+        )
+    p.append("</svg>")
+    return "\n".join(p)
+
+
+def write_charts(rounds: dict[int, dict], out_dir: str) -> list[str]:
+    """Render CHART_SPECS next to the report; returns filenames
+    actually written (a chart with no data is skipped)."""
+    written = []
+    rs = sorted(rounds)
+    for fname, title, keys in CHART_SPECS:
+        series = {
+            k: [rounds[r]["queries"].get(k) for r in rs] for k in keys
+        }
+        series = {
+            k: v for k, v in series.items() if any(x is not None for x in v)
+        }
+        if not series:
+            continue
+        with open(os.path.join(out_dir, fname), "w") as fh:
+            fh.write(render_curve_svg(title, rs, series))
+        written.append(fname)
+    return written
+
 
 def _payload(path: str) -> dict | None:
     with open(path) as fh:
@@ -90,6 +247,7 @@ def render(
     rounds: dict[int, dict],
     sf1: dict[str, dict],
     local: dict[str, dict] | None = None,
+    charts: list[str] | None = None,
 ) -> str:
     lines = [
         "# Bench report",
@@ -109,18 +267,44 @@ def render(
         lines.append(f"| r{r:02d} | {v:.2f} | `{_bar(v, vmax)}` |")
     lines.append("")
 
+    if charts:
+        lines += [
+            "## Scaling curves",
+            "",
+            "SVG analog of the reference's committed "
+            "`vcfdb-filter-plot.pdf` / `vcfdb-pull-plot.pdf` "
+            "(benchmarks/04-benchmark-plots.R); regenerated with this "
+            "report.",
+            "",
+        ]
+        for fname in charts:
+            lines.append(f"![{fname}]({fname})")
+            lines.append("")
+
     last = sorted(rounds)[-MAX_ROUND_COLS:]
     latest, prev = last[-1], (last[-2] if len(last) > 1 else None)
+    iqr_latest = rounds[latest].get("iqr") or {}
     lines += [
         f"## Per-query medians, last {len(last)} rounds (s)",
         "",
         "Sorted by the latest round, slowest first.  Δ = latest vs "
         "previous round (negative = faster); timings on this shared "
         "box swing ±30% run-to-run (BENCH_NOTES.md), so read |Δ| < "
-        "~30% as noise.",
+        "~30% as noise."
+        + (
+            "  The band column reads the artifact's per-key IQR: "
+            "**out** = |latest − previous| > 2×IQR AND |Δ| ≥ 15% — a "
+            "move the run-to-run spread does NOT explain; everything "
+            "else is in-band."
+            if iqr_latest
+            else ""
+        ),
         "",
-        "| query | " + " | ".join(f"r{r:02d}" for r in last) + " | Δ |",
-        "|" + "---|" * (len(last) + 2),
+        "| query | "
+        + " | ".join(f"r{r:02d}" for r in last)
+        + " | Δ |"
+        + (" band |" if iqr_latest else ""),
+        "|" + "---|" * (len(last) + 2 + (1 if iqr_latest else 0)),
     ]
     q_latest = rounds[latest]["queries"]
     all_q = sorted(q_latest, key=lambda q: -q_latest[q])
@@ -130,13 +314,26 @@ def render(
             v = rounds[r]["queries"].get(q)
             cells.append("—" if v is None else f"{v:.3f}")
         delta = "—"
+        band = ""
         if prev is not None:
             pv = rounds[prev]["queries"].get(q)
             # `pv > 0` (not truthiness): a recorded 0.0 is data, but a
             # zero denominator still can't produce a percentage
             if pv is not None and pv > 0:
-                delta = f"{100 * (q_latest[q] - pv) / pv:+.0f}%"
-        lines.append(f"| {q} | " + " | ".join(cells) + f" | {delta} |")
+                move = q_latest[q] - pv
+                delta = f"{100 * move / pv:+.0f}%"
+                if iqr_latest:
+                    iqr = iqr_latest.get(q)
+                    if (
+                        iqr is not None
+                        and abs(move) > 2 * max(iqr, 0.005)
+                        and abs(move / pv) >= 0.15
+                    ):
+                        band = "**out**"
+        row = f"| {q} | " + " | ".join(cells) + f" | {delta} |"
+        if iqr_latest:
+            row += f" {band} |"
+        lines.append(row)
     # queries that existed before but were dropped from the harness
     gone = sorted(
         {q for r in last[:-1] for q in rounds[r]["queries"]} - set(q_latest)
@@ -224,10 +421,11 @@ def main() -> None:
     rounds = load_rounds()
     if not rounds:
         raise SystemExit("no BENCH_r*.json artifacts found")
-    report = render(rounds, load_sf1(), load_local())
+    charts = write_charts(rounds, os.path.dirname(os.path.abspath(args.out)))
+    report = render(rounds, load_sf1(), load_local(), charts=charts)
     with open(args.out, "w") as fh:
         fh.write(report)
-    print(f"wrote {args.out} ({len(rounds)} rounds)")
+    print(f"wrote {args.out} ({len(rounds)} rounds, {len(charts)} charts)")
 
 
 if __name__ == "__main__":
