@@ -58,6 +58,8 @@ DATA_QUERIES = [
     "simhash",
     "simhash_dup_pairs",
     "pack_sequences",
+    "chunk_documents",
+    "lm_score",
     "doc_repetition",
     "weighted_sample",
     "text_normalize_dedup",

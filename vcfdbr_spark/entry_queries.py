@@ -2162,6 +2162,86 @@ FROM run
 """
 
 
+# chunk_documents query constants (interpolated into the oracle SQL
+# below — never literal-duplicated)
+_CHUNK_WINDOW = 32
+_CHUNK_STRIDE = 24
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (operators/chunking.py): fixed windows
+    with overlap — the LLM context-window / RAG preprocessing step.
+    One narrow explode, zero shuffle; tail chunks clamp short so
+    every token is covered (stride <= window invariant)."""
+    from vcfdbr_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        window=_CHUNK_WINDOW,
+        stride=_CHUNK_STRIDE,
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+st AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(1, greatest(n, 1), {_CHUNK_STRIDE})) AS s
+  FROM toks)
+SELECT doc_id,
+       CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(least({_CHUNK_WINDOW}, n - s + 1) AS BIGINT) AS chunk_tokens,
+       array_to_string(t[s : s + {_CHUNK_WINDOW} - 1], ' ') AS chunk_text
+FROM st
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality score (operators/lm.py): per-doc
+    cross-entropy in bits/bigram under an add-1/2-smoothed bigram
+    model trained on the corpus itself — the perplexity-filter family
+    (CCNet-style by public description).  Per-bigram log2 p is
+    quantized to integer micro-bits BEFORE aggregation so reduce
+    order cannot perturb the score (oracle-exact floats)."""
+    from vcfdbr_spark.operators.lm import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"))
+
+
+# LM_QUANT interpolated from the operator module — single source.
+from vcfdbr_spark.operators.lm import LM_QUANT as _LM_QUANT  # noqa: E402
+
+SQL_LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+counts AS (SELECT prev, cur, COUNT(*) AS c FROM big GROUP BY prev, cur),
+ctx AS (SELECT prev, SUM(c) AS ctx_c FROM counts GROUP BY prev),
+v AS (SELECT COUNT(DISTINCT cur) AS vocab FROM counts),
+model AS (
+  SELECT prev, cur,
+         CAST(round(log2(CAST(2 * c + 1 AS DOUBLE)
+                         / CAST(2 * ctx_c + vocab AS DOUBLE)) * {_LM_QUANT})
+              AS BIGINT) AS q
+  FROM counts JOIN ctx USING (prev) CROSS JOIN v),
+db AS (
+  SELECT doc_id, prev, cur, COUNT(*) AS k
+  FROM big GROUP BY doc_id, prev, cur)
+SELECT db.doc_id,
+       CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
+       round(-CAST(SUM(db.k * model.q) AS DOUBLE) / {_LM_QUANT}.0
+             / CAST(SUM(db.k) AS DOUBLE), 6) AS bits_per_bigram
+FROM db JOIN model USING (prev, cur)
+GROUP BY db.doc_id
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -2637,11 +2717,16 @@ QUERIES: dict[str, QueryFn] = {
     "in_list_pull": q_in_list_pull,
     "dim_scan_distinct": q_dim_scan_distinct,
     "per_key_count_binned": q_per_key_count_binned,
-    "events_hourly": q_events_hourly,
+    # chunk_documents + lm_score are NEW this round (token-window
+    # chunking; bigram-LM perplexity-filter scoring) — they need
+    # their first driver rows, so they take window slots from
+    # events_hourly + events_sliding (both r8-green, code unchanged,
+    # moved to the tail).
+    "chunk_documents": q_chunk_documents,
+    "lm_score": q_lm_score,
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
     "events_asof_nearest": q_events_asof_nearest,
-    "events_sliding": q_events_sliding,
     # repeated_passages holds a window slot despite its green r8 row:
     # its semantics changed this round (tail-window coverage fix), so
     # the r8 driver row no longer pins the current code — it needs a
@@ -2649,6 +2734,8 @@ QUERIES: dict[str, QueryFn] = {
     # slot and moves to the tail.
     "repeated_passages": q_repeated_passages,
     # --- tail (driver-green in CORRECTNESS_r08.json) ---------------
+    "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "events_cube": q_events_cube,
     "events_asof_null": q_events_asof_null,
     "pii_scrub": q_pii_scrub,
@@ -2696,6 +2783,8 @@ ORACLE: dict[str, str] = {
     "in_list_pull": SQL_IN_LIST_PULL,
     "dim_scan_distinct": SQL_DIM_SCAN_DISTINCT,
     "per_key_count_binned": SQL_PER_KEY_COUNT_BINNED,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "lm_score": SQL_LM_SCORE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_asof": SQL_EVENTS_ASOF,
     "events_asof_null": SQL_EVENTS_ASOF_NULL,

@@ -1,0 +1,147 @@
+"""Bigram language-model quality scoring — the perplexity-filter
+family of LLM data pipelines (CCNet-style by public description:
+score each document by how predictable its text is under an n-gram
+LM; outlier-perplexity docs are gibberish or boilerplate and get
+filtered).  Here the LM is a bigram model with add-1/2 (Jeffreys)
+smoothing trained on the corpus itself; the score is the document's
+cross-entropy in bits per bigram.
+
+Spark shape (all built-in column algebra, no UDFs):
+
+1. bigram extraction: per-row ``zip_with`` of two token-array slices
+   + ONE narrow explode — no shuffle;
+2. model training: ``groupBy(prev, cur).count()`` with map-side
+   combine [shuffle 1, output = distinct-bigram table, |model| ≪
+   corpus]; context totals from the model itself (``groupBy(prev)``,
+   shuffle 2 over the already-small model); vocabulary size attached
+   as a 1×1 broadcast scalar (same documented cartesian-free
+   exemption pattern as tf-idf's n_docs);
+3. scoring: doc bigrams pre-aggregated per (doc, prev, cur) [shuffle
+   3, map-side combine] then joined to the model [shuffle 4 — AQE
+   broadcasts the model when it fits, shuffles otherwise] and
+   reduced per doc [shuffle 5, tiny].
+
+At 100 TB the corpus-sized stages are the two map-side-combined
+aggregations; the model table scales with *observed vocabulary*²,
+not corpus size, so the join side stays comparatively small.
+
+Float determinism (oracle parity): the per-bigram log-probability is
+quantized to integer micro-bits (``round(log2(p) * 1e6)`` as BIGINT)
+BEFORE any aggregation — integer sums are order-independent and
+exact, so the engine's nondeterministic reduce order cannot perturb
+the score (same pattern as the embedding quantization).  ``p`` itself
+is a ratio of exact integers, and IEEE requires correctly-rounded
+division, so both engines feed bit-identical doubles to ``log2``;
+only a last-ulp libm difference could flip a quantized value, and
+the 1e6 grid makes that a ~1e-8 event per distinct bigram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vcfdbr_spark.functions.text import ws_tokens
+
+#: quantization grid for per-bigram log2 p (micro-bits).
+LM_QUANT = 1_000_000
+
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, prev, cur) — one row per bigram instance, lowercased
+    whitespace tokens.  Documents with fewer than 2 tokens emit no
+    rows (a 1-token doc has no bigram to score)."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(pairs).alias("_b")
+    ).select(id_col, F.col("_b.prev").alias("prev"), F.col("_b.cur").alias("cur"))
+
+
+def train_bigram_model(bigrams: DataFrame) -> DataFrame:
+    """(prev, cur, q) — the smoothed model: ``q`` is the per-bigram
+    log2-probability in integer micro-bits,
+
+        p(cur | prev) = (c + 1/2) / (ctx + V/2)
+                      = (2c + 1) / (2*ctx + V)
+
+    with ``c`` the bigram count, ``ctx`` the context total (sum of
+    counts for ``prev``) and ``V`` the observed vocabulary size
+    (distinct ``cur``)."""
+    counts = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.persist()
+    ctx = counts.groupBy("prev").agg(F.sum("c").alias("ctx_c"))
+    vocab = counts.agg(
+        F.count_distinct("cur").cast("long").alias("vocab")
+    )
+    p = (2 * F.col("c") + 1).cast("double") / (
+        2 * F.col("ctx_c") + F.col("vocab")
+    ).cast("double")
+    return (
+        counts.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))  # 1x1 scalar attach (documented)
+        .select(
+            "prev",
+            "cur",
+            F.round(F.log2(p) * LM_QUANT).cast("long").alias("q"),
+        )
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, bits_per_bigram) — per-document cross-entropy
+    under the bigram model (lower = more predictable text; extreme
+    values in either direction flag gibberish / boilerplate).
+
+    With ``model=None`` the model is trained on ``docs`` itself (the
+    self-scored corpus shape: every doc bigram is in the model, so
+    the join is inner).  Pass a pre-trained model frame to score a
+    NEW batch against a reference corpus; unseen bigrams then fall
+    back to the unsmoothed-miss floor q = round(log2(1/V)·1e6) via a
+    left join."""
+    big = doc_bigrams(docs, text_col=text_col, id_col=id_col)
+    trained_here = model is None
+    if trained_here:
+        model = train_bigram_model(big)
+    per_doc = big.groupBy(id_col, "prev", "cur").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    joined = (
+        per_doc.join(model, ["prev", "cur"])
+        if trained_here
+        else per_doc.join(model, ["prev", "cur"], "left")
+    )
+    if not trained_here:
+        # miss floor: p = 1/V for bigrams the reference corpus never
+        # saw (V re-derived from the model's distinct cur set)
+        vocab = model.agg(F.count_distinct("cur").cast("long").alias("_v"))
+        joined = joined.crossJoin(F.broadcast(vocab)).withColumn(
+            "q",
+            F.coalesce(
+                F.col("q"),
+                F.round(-F.log2(F.col("_v").cast("double")) * LM_QUANT).cast(
+                    "long"
+                ),
+            ),
+        )
+    return joined.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("k") * F.col("q")).cast("double")
+            / F.lit(float(LM_QUANT))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("bits_per_bigram"),
+    )
