@@ -73,6 +73,7 @@ DATA_QUERIES = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_dup_pairs",
+    "semantic_dedup",
     "multimodal_decode",
     "multimodal_codec",
     "events_pivot",

@@ -652,3 +652,34 @@ def test_tfidf_keywords(spark):
     # 'shared' appears in all docs: df=3 -> score 1.0, ranked below
     shared = [r for r in out if r["word"] == "shared"]
     assert shared and all(r["score"] == 1.0 and r["rank"] == 2 for r in shared)
+
+
+def test_semantic_dedup_keeps_component_minimum(spark):
+    """semantic_dedup composition (entry_queries.q_semantic_dedup
+    shape): embedding near-dup pairs -> components -> keep-list
+    anti-join.  A planted chain of near-identical vectors collapses
+    to its min id; distinct vectors all survive."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+    from vcfdbr_spark.operators.similarity import embedding_dup_pairs
+
+    base = [0.5 if i % 2 else -0.5 for i in range(16)]
+    # chain 10~11~12 (pairwise near-identical), plus isolated vectors
+    rows = [
+        (10, base),
+        (11, [x * 1.001 for x in base]),
+        (12, [x * 1.002 for x in base]),
+        (20, [float(i) / 16 for i in range(16)]),
+        (21, [1.0 if i == 0 else 0.0 for i in range(16)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_dup_pairs(emb, threshold=0.999).select("a", "b")
+    drops = (
+        dedup_components(pairs, materialize=False)
+        .filter("doc_id != keep_id")
+        .selectExpr("doc_id AS vec_id")
+    )
+    kept = {
+        r["vec_id"]
+        for r in emb.join(drops, "vec_id", "left_anti").collect()
+    }
+    assert kept == {10, 20, 21}
