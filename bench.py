@@ -74,6 +74,7 @@ DATA_QUERIES = [
     "embedding_ivf_topk",
     "embedding_dup_pairs",
     "semantic_dedup",
+    "corpus_filter",
     "multimodal_decode",
     "multimodal_codec",
     "events_pivot",

@@ -159,3 +159,29 @@ def test_lm_model_probabilities_sum_below_one(spark):
     assert sums, "model is empty"
     for r in sums:
         assert r["s"] < 1.0 + 1e-9
+
+
+def test_corpus_filter_invariants(spark):
+    """Capstone composition: every surviving doc satisfies all three
+    gates, and survivors are a subset of the corpus."""
+    from vcfdbr_spark.entry_queries import (
+        _CF_MAX_BITS,
+        _CF_MIN_TOKENS,
+        _CF_MIN_TTR,
+        q_corpus_filter,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_corpus_filter(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert out, "filter kept nothing — thresholds degenerate"
+    for r in out:
+        assert r["doc_id"] in docs
+        assert r["n_tokens"] >= _CF_MIN_TOKENS
+        assert r["ttr"] >= _CF_MIN_TTR
+        assert r["bits_per_bigram"] <= _CF_MAX_BITS

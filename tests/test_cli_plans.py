@@ -355,8 +355,14 @@ def test_every_registered_query_plan_is_scale_clean(spark):
     import __spark_entry__ as e
 
     # documented 1x1 scalar crossJoins (sketch union / n_docs attach /
-    # the bigram model's vocab-size attach)
-    allowed_cartesian = {"distinct_sketch", "tfidf_keywords", "lm_score"}
+    # the bigram model's vocab-size attach — corpus_filter embeds
+    # lm_score, so it inherits that one)
+    allowed_cartesian = {
+        "distinct_sketch",
+        "tfidf_keywords",
+        "lm_score",
+        "corpus_filter",
+    }
     sf_dir = "/root/testdata/sf0.001"
     bad = {}
     for name, fn in e.queries().items():

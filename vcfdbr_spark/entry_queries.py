@@ -2607,6 +2607,92 @@ WHERE e.vec_id NOT IN (SELECT vid FROM comp WHERE vid <> keep_id)
 """
 
 
+# corpus_filter thresholds (interpolated into the oracle — single
+# source).  Chosen against the sf corpus distributions: n_tokens
+# 10-99 (p5=16), ttr 0.28-1.0 (p5=0.31), bits_per_bigram 4.7-5.2
+# (p95=4.96) — each rule drops a real few-percent slice.
+_CF_MIN_TOKENS = 20
+_CF_MIN_TTR = 0.3
+_CF_MAX_BITS = 5.1
+
+
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-corpus filter — the capstone composition a
+    pretraining pipeline actually ships: per-row quality gates
+    (length, type-token ratio), the bigram-LM gibberish cap
+    (operators/lm.py), and MinHash-LSH fuzzy dedup (operators/
+    dedup.py) applied as ONE declarative plan.
+
+    Plan shape: quality predicates are per-row column algebra
+    evaluated at the scan; the LM score joins back on doc_id (model
+    table ≪ corpus, AQE-broadcast); the dedup drop list is the
+    LSH-bounded component loser set applied as a terminal anti-join —
+    the corpus is never self-joined, and every stage reuses an
+    operator that is independently oracle-checked."""
+    from vcfdbr_spark.operators.dedup import (
+        dedup_components,
+        minhash_dedup_pairs,
+    )
+    from vcfdbr_spark.operators.lm import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6
+    )
+    qual = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"),
+    )
+    lm = lm_score(docs).select("doc_id", "bits_per_bigram")
+    drops = (
+        dedup_components(minhash_dedup_pairs(docs), materialize=False)
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return (
+        qual.join(lm, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= _CF_MIN_TOKENS)
+            & (F.col("ttr") >= _CF_MIN_TTR)
+            & (F.col("bits_per_bigram") <= _CF_MAX_BITS)
+        )
+        .join(drops, "doc_id", "left_anti")
+    )
+
+
+SQL_CORPUS_FILTER = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+  FROM reach GROUP BY src),
+lm AS ({SQL_LM_SCORE}),
+qual AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+  FROM documents)
+SELECT q.doc_id, q.lang, q.source, q.n_tokens, q.ttr, lm.bits_per_bigram
+FROM qual q JOIN lm USING (doc_id)
+WHERE q.n_tokens >= {_CF_MIN_TOKENS}
+  AND q.ttr >= {_CF_MIN_TTR}
+  AND lm.bits_per_bigram <= {_CF_MAX_BITS}
+  AND q.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id)
+"""
+
+
 def q_vcfsim_interval_join(spark, sf_dir):
     """Range join (multi-interval interval_query): binned equi-join,
     never a nested-loop cross product."""
@@ -2754,7 +2840,6 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "filter_distinct_join_count": q_filter_distinct_join_count,
-    "left_join_fill": q_left_join_fill,
     "in_list_pull": q_in_list_pull,
     "dim_scan_distinct": q_dim_scan_distinct,
     "per_key_count_binned": q_per_key_count_binned,
@@ -2769,6 +2854,10 @@ QUERIES: dict[str, QueryFn] = {
     # dedup) — first driver row needed; anti_join_orders (r8-green,
     # code unchanged) cedes its slot to the tail.
     "semantic_dedup": q_semantic_dedup,
+    # corpus_filter (NEW): the quality+LM+dedup capstone — first
+    # driver row needed; left_join_fill (r8-green, code unchanged)
+    # cedes its slot to the tail.
+    "corpus_filter": q_corpus_filter,
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
     "events_asof_nearest": q_events_asof_nearest,
@@ -2782,6 +2871,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "anti_join_orders": q_anti_join_orders,
+    "left_join_fill": q_left_join_fill,
     "events_cube": q_events_cube,
     "events_asof_null": q_events_asof_null,
     "pii_scrub": q_pii_scrub,
@@ -2832,6 +2922,7 @@ ORACLE: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "lm_score": SQL_LM_SCORE,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "corpus_filter": SQL_CORPUS_FILTER,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_asof": SQL_EVENTS_ASOF,
     "events_asof_null": SQL_EVENTS_ASOF_NULL,
