@@ -65,6 +65,7 @@ DATA_QUERIES = [
     "text_normalize_dedup",
     "pii_scrub",
     "repeated_passages",
+    "scrub_passages",
     "top_ngrams",
     "tfidf_keywords",
     "benchmark_contamination",

@@ -683,3 +683,25 @@ def test_semantic_dedup_keeps_component_minimum(spark):
         for r in emb.join(drops, "vec_id", "left_anti").collect()
     }
     assert kept == {10, 20, 21}
+
+
+def test_scrub_repeated_passages_keep_first(spark):
+    """Removal APPLY step: an identical doc pair keeps exactly one
+    copy (the min id); unique docs are untouched byte-for-byte."""
+    from vcfdbr_spark.operators.dedup import scrub_repeated_passages
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    unique = " ".join(f"u{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, unique)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_repeated_passages(docs, window=5, stride=2).collect()
+    }
+    assert len(out) == 3
+    # min-id holder keeps the span, twin is fully scrubbed
+    assert out[1]["text"] == boiler and out[1]["n_removed"] == 0
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 12
+    # unique doc untouched
+    assert out[3]["text"] == unique and out[3]["n_removed"] == 0

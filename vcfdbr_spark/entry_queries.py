@@ -1921,6 +1921,59 @@ HAVING COUNT(*) > 1
 """
 
 
+def q_scrub_passages(spark, sf_dir):
+    """Repeated-passage REMOVAL (the APPLY step to
+    ``repeated_passages``' detection): cross-document boilerplate is
+    scrubbed from every doc except the span's min-id holder —
+    keep-first substring-level dedup at 20/10 word-window
+    granularity.  Per-row rebuild is higher-order column algebra
+    (transform/filter/exists), no UDF; span lists are bounded by
+    ~words/stride structs per doc."""
+    from vcfdbr_spark.operators.dedup import scrub_repeated_passages
+
+    return scrub_repeated_passages(
+        _t(spark, sf_dir, "documents"), window=20, stride=10
+    )
+
+
+SQL_SCRUB_PASSAGES = r"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, s.s AS w_start,
+         md5(array_to_string(list_slice(w, s.s, s.s + 19), ' ')) AS h
+  FROM words,
+       LATERAL (SELECT unnest(list_distinct(list_append(
+                  generate_series(1, greatest(len(w) - 19, 1), 10),
+                  greatest(len(w) - 19, 1)))) AS s) s),
+rep AS (
+  SELECT h, MIN(doc_id) AS first_doc
+  FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+rem AS (
+  SELECT DISTINCT sp.doc_id, p.i
+  FROM (SELECT wins.doc_id, wins.w_start AS s0, wins.w_start + 19 AS s1
+        FROM wins JOIN rep USING (h)
+        WHERE wins.doc_id <> rep.first_doc) sp,
+       LATERAL (SELECT unnest(generate_series(sp.s0, sp.s1)) AS i) p),
+pos AS (
+  SELECT words.doc_id, p.i, words.w[p.i] AS word
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(words.w))) AS i) p),
+kept AS (
+  SELECT pos.doc_id,
+         string_agg(pos.word, ' ' ORDER BY pos.i) AS text,
+         COUNT(*) AS n_kept
+  FROM pos LEFT JOIN rem ON pos.doc_id = rem.doc_id AND pos.i = rem.i
+  WHERE rem.i IS NULL
+  GROUP BY pos.doc_id)
+SELECT d.doc_id,
+       COALESCE(k.text, '') AS text,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(k.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def q_doc_len_quantiles(spark, sf_dir):
     """Exact grouped percentiles (``percentile`` ↔ ``quantile_cont``
     parity): per-language doc-length quartiles + p90.  Exact
@@ -2840,7 +2893,6 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "filter_distinct_join_count": q_filter_distinct_join_count,
-    "in_list_pull": q_in_list_pull,
     "dim_scan_distinct": q_dim_scan_distinct,
     "per_key_count_binned": q_per_key_count_binned,
     # chunk_documents + lm_score are NEW this round (token-window
@@ -2858,6 +2910,10 @@ QUERIES: dict[str, QueryFn] = {
     # driver row needed; left_join_fill (r8-green, code unchanged)
     # cedes its slot to the tail.
     "corpus_filter": q_corpus_filter,
+    # scrub_passages (NEW): the repeated-passage REMOVAL apply step —
+    # first driver row needed; in_list_pull (r8-green, code
+    # unchanged) cedes its slot to the tail.
+    "scrub_passages": q_scrub_passages,
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
     "events_asof_nearest": q_events_asof_nearest,
@@ -2872,6 +2928,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sliding": q_events_sliding,
     "anti_join_orders": q_anti_join_orders,
     "left_join_fill": q_left_join_fill,
+    "in_list_pull": q_in_list_pull,
     "events_cube": q_events_cube,
     "events_asof_null": q_events_asof_null,
     "pii_scrub": q_pii_scrub,
@@ -2923,6 +2980,7 @@ ORACLE: dict[str, str] = {
     "lm_score": SQL_LM_SCORE,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "corpus_filter": SQL_CORPUS_FILTER,
+    "scrub_passages": SQL_SCRUB_PASSAGES,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_asof": SQL_EVENTS_ASOF,
     "events_asof_null": SQL_EVENTS_ASOF_NULL,

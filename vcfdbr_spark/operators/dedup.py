@@ -1019,3 +1019,82 @@ def repeated_passages(
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+def scrub_repeated_passages(
+    docs: DataFrame,
+    window: int = 30,
+    stride: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY step to ``repeated_passages``' detection: REMOVE
+    cross-document boilerplate from every doc except the span's
+    canonical holder.  A word is scrubbed iff some window covering it
+    hashes to a passage seen in >1 distinct documents AND this doc is
+    not that passage's ``first_doc`` (min id) — i.e. exactly one copy
+    of every cross-document span survives, the keep-first policy of
+    substring-level training-data dedup ("Deduplicating Training Data
+    Makes Language Models Better", word-window approximation).
+    Within-document repeats (n_docs == 1) are deliberately left
+    alone — that is ``doc_repetition``'s signal, not boilerplate.
+
+    Returns one row per input doc: (id, text, n_removed) with the
+    scrubbed text (unchanged when nothing matched) and the number of
+    words removed.
+
+    Plan shape: the detection groupBy [shuffle 1] → spans re-attached
+    to their windows by hash [shuffle 2] → per-doc span list [shuffle
+    3, bounded by ~words/stride structs per doc] → per-row rebuild
+    with higher-order functions (transform/filter/exists — no UDF).
+    The span-coverage test is order-independent, so collect_list's
+    nondeterministic order cannot affect the output.
+    """
+    wins = passage_windows(docs, window, stride, id_col, text_col).select(
+        id_col, "w_start", F.md5(F.col("passage")).alias("h")
+    )
+    rep = (
+        wins.groupBy("h")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    spans = (
+        wins.join(rep, "h")
+        .filter(F.col(id_col) != F.col("first_doc"))
+        .select(
+            id_col,
+            F.col("w_start").cast("long").alias("s0"),
+            (F.col("w_start") + window - 1).cast("long").alias("s1"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s0", "s1")).alias("_spans"))
+    )
+    words = F.split(F.col(text_col), " ")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s0:long,s1:long>>"),
+    )
+    indexed = F.transform(
+        words, lambda w, i: F.struct(w.alias("w"), (i + 1).alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s["i"] >= sp["s0"]) & (s["i"] <= sp["s1"]),
+        ),
+    )
+    return (
+        docs.join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(kept, lambda s: s["w"])
+            ).alias(text_col),
+            (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
