@@ -2845,14 +2845,17 @@ QUERIES: dict[str, QueryFn] = {
     # registered query sits past the cap for 2+ rounds.  This round
     # the 20 r8-tail queries (weighted_sample .. embedding_dup_pairs,
     # last driver rows: CORRECTNESS_r07.json) rotate back to the
-    # front, joined by the new mixed-real-codec query
-    # (multimodal_codec) which needs its first driver row.  The 21
-    # they displace — the r8 rotation block (distinct_sketch ..
-    # dedup_incremental), pii_scrub, events_cube, and
-    # events_asof_null — are all green in CORRECTNESS_r08.json, so
-    # every registered query keeps a driver-artifact green row within
-    # the 2-round window.  Rotate again whenever a query would
-    # otherwise sit past the cap for 2+ rounds.
+    # front, joined by SIX queries needing their first driver row:
+    # multimodal_codec (mixed real-codec decode) and the five new r9
+    # operators (chunk_documents, lm_score, semantic_dedup,
+    # corpus_filter, scrub_passages — slots ceded by events_hourly,
+    # events_sliding, anti_join_orders, left_join_fill, in_list_pull,
+    # all r8-green with unchanged code; see the per-key comments).
+    # Everything displaced is green in CORRECTNESS_r08.json, so every
+    # registered query keeps a driver-artifact green row within the
+    # 2-round window (enforced by tests/test_registry_contract.py).
+    # Rotate again whenever a query would otherwise sit past the cap
+    # for 2+ rounds.
     "weighted_sample": q_weighted_sample,
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
