@@ -31,19 +31,33 @@ def test_chunk_exact_windows(spark):
     docs = _docs(spark, [(1, "a b c d e f")])
     out = chunk_documents(docs, window=3, stride=3).orderBy("chunk_id")
     rows = [tuple(r) for r in out.collect()]
-    assert rows == [(1, 0, 3, "a b c"), (1, 1, 3, "d e f")]
+    assert rows == [(1, 0, 1, 3, "a b c"), (1, 1, 4, 3, "d e f")]
 
 
-def test_chunk_overlap_and_tail(spark):
-    # 7 tokens, window 4, stride 2 -> starts 1,3,5,7; tail clamps
+def test_chunk_overlap_and_clamped_tail(spark):
+    # 7 tokens, window 4, stride 2 -> stride starts clamp at the last
+    # full-window position (4): starts 1, 3, 4 — NO duplicate-suffix
+    # trailing chunks, and every chunk of a >=window doc is full width
     docs = _docs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7")])
     out = chunk_documents(docs, window=4, stride=2).orderBy("chunk_id")
     rows = [tuple(r) for r in out.collect()]
     assert rows == [
-        (1, 0, 4, "t1 t2 t3 t4"),
-        (1, 1, 4, "t3 t4 t5 t6"),
-        (1, 2, 3, "t5 t6 t7"),
-        (1, 3, 1, "t7"),
+        (1, 0, 1, 4, "t1 t2 t3 t4"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, 4, "t4 t5 t6 t7"),
+    ]
+
+
+def test_chunk_stride_lands_on_tail_exactly(spark):
+    # 9 tokens, window 3, stride 3: stride starts 1,4,7 already end at
+    # the last-window position 7 — the tail union must NOT duplicate it
+    docs = _docs(spark, [(1, " ".join(f"x{i}" for i in range(1, 10)))])
+    out = chunk_documents(docs, window=3, stride=3).orderBy("chunk_id")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (1, 0, 1, 3, "x1 x2 x3"),
+        (1, 1, 4, 3, "x4 x5 x6"),
+        (1, 2, 7, 3, "x7 x8 x9"),
     ]
 
 
@@ -52,14 +66,15 @@ def test_chunk_short_and_empty_docs(spark):
     out = chunk_documents(docs, window=16, stride=8)
     rows = {r["doc_id"]: tuple(r) for r in out.collect()}
     # shorter than window -> exactly one chunk
-    assert rows[1] == (1, 0, 2, "only two")
+    assert rows[1] == (1, 0, 1, 2, "only two")
     # empty text: the single empty whitespace token, one chunk
-    assert rows[2] == (2, 0, 1, "")
+    assert rows[2] == (2, 0, 1, 1, "")
 
 
-def test_chunk_every_token_covered(spark):
-    """Coverage invariant: with stride <= window, reassembling the
-    non-overlapping prefix of each chunk reproduces the document."""
+def test_chunk_every_token_covered_no_redundant_chunks(spark):
+    """Coverage invariant: with stride <= window every token appears
+    in at least one chunk; and no chunk's token range is contained in
+    another chunk's (no duplicate-suffix tails)."""
     texts = [
         (i, " ".join(f"w{i}_{j}" for j in range(n)))
         for i, n in enumerate([1, 5, 24, 25, 26, 49, 50, 99])
@@ -71,15 +86,24 @@ def test_chunk_every_token_covered(spark):
         .orderBy("doc_id", "chunk_id")
         .collect()
     )
-    rebuilt: dict[int, list[str]] = {}
+    ranges: dict[int, list[tuple[int, int]]] = {}
     for r in out:
-        toks = r["chunk_text"].split(" ")
-        assert len(toks) == r["chunk_tokens"] <= window
-        # tokens the previous chunk did not already cover
-        new = toks if r["chunk_id"] == 0 else toks[-(len(toks) - (window - stride)):] if len(toks) > window - stride else []
-        rebuilt.setdefault(r["doc_id"], []).extend(new)
+        assert len(r["chunk_text"].split(" ")) == r["chunk_tokens"] <= window
+        ranges.setdefault(r["doc_id"], []).append(
+            (r["w_start"], r["w_start"] + r["chunk_tokens"] - 1)
+        )
     for i, text in texts:
-        assert " ".join(rebuilt[i]) == text
+        n = len(text.split(" "))
+        covered = set()
+        for s, e in ranges[i]:
+            covered.update(range(s, e + 1))
+        assert covered == set(range(1, n + 1)), f"doc {i} coverage gap"
+        rs = ranges[i]
+        for a in rs:
+            for b in rs:
+                assert a == b or not (
+                    a[0] >= b[0] and a[1] <= b[1]
+                ), f"doc {i}: chunk {a} contained in {b}"
 
 
 def test_chunk_rejects_bad_stride(spark):
@@ -131,18 +155,36 @@ def test_lm_score_case_normalizes(spark):
     assert out[1] == out[2]
 
 
-def test_lm_score_pretrained_model_miss_floor(spark):
-    """Scoring a NEW batch against a reference model: unseen bigrams
-    take the 1/V miss floor via the left join."""
+def test_lm_score_pretrained_model_context_aware_miss(spark):
+    """Scoring a NEW batch against a reference model: an unseen
+    bigram takes the add-1/2 smoothed miss p = 1/(2*ctx + V) of ITS
+    context (1/V when the context is unseen) — monotone below every
+    seen bigram of the same context, so gibberish can't out-score
+    rare-but-valid text."""
     ref = _docs(spark, [(1, "a b"), (2, "b c")])
-    model = train_bigram_model(doc_bigrams(ref))
-    new = _docs(spark, [(10, "a b"), (11, "x y")])
+    model = train_bigram_model(doc_bigrams(ref), materialize=False)
+    new = _docs(spark, [(10, "a b"), (11, "x y"), (12, "a c")])
     out = {r["doc_id"]: r for r in lm_score(new, model=model).collect()}
-    # V = 2 (distinct cur in model: b, c); miss floor = -log2(1/2) = 1 bit
+    # V = 2 (distinct cur: b, c); unseen context x: p = 1/V -> 1 bit
     assert out[11]["bits_per_bigram"] == pytest.approx(1.0, abs=1e-6)
-    # seen bigram scores strictly better than the miss floor here:
-    # p(b|a) = (2*1+1)/(2*1+2) = 3/4 -> ~0.415 bits
-    assert out[10]["bits_per_bigram"] < out[11]["bits_per_bigram"]
+    # unseen bigram in SEEN context a (ctx=1): p = 1/(2*1+2) = 1/4
+    # -> 2 bits, strictly worse than the seen (a,b) at 3/4 -> 0.415
+    assert out[12]["bits_per_bigram"] == pytest.approx(2.0, abs=1e-6)
+    assert out[10]["bits_per_bigram"] < out[12]["bits_per_bigram"]
+
+
+def test_lm_train_materialize_releases_intermediates(spark):
+    """materialize=True leaves exactly ONE net cache — the returned
+    model (the reusable index; caller releases) — not the counts
+    intermediate."""
+    spark.catalog.clearCache()
+    docs = _docs(spark, [(1, "a b a c"), (2, "b a b c")])
+    model = train_bigram_model(doc_bigrams(docs), materialize=True)
+    jsc = spark.sparkContext._jsc.sc()
+    cached = jsc.getPersistentRDDs().size()
+    assert cached == 1, f"expected only the model cached, got {cached}"
+    model.unpersist(True)
+    assert jsc.getPersistentRDDs().size() == 0
 
 
 def test_lm_model_probabilities_sum_below_one(spark):
@@ -159,6 +201,50 @@ def test_lm_model_probabilities_sum_below_one(spark):
     assert sums, "model is empty"
     for r in sums:
         assert r["s"] < 1.0 + 1e-9
+
+
+def test_corpus_filter_dedups_among_survivors_only(spark):
+    """Ordering pin: a near-dup cluster whose MIN-ID member fails a
+    quality gate must still keep its passing member — dedup runs
+    among survivors, not on the raw corpus (where min-id keep would
+    drop the passing doc and the gate would drop the kept one)."""
+    from vcfdbr_spark.operators.pipeline import corpus_filter
+
+    junk = " ".join(["junk"] * 50)  # ttr = 1/50 -> fails min_ttr
+    tail = " ".join(f"t{i}" for i in range(60))
+    rows = [
+        (1, junk, "en", "s"),  # min id, fails ttr, shares sig prefix
+        (2, junk + " " + tail, "en", "s"),  # passes, near-dup of 1
+        (3, " ".join(f"u{i}" for i in range(40)), "en", "s"),  # unique
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {
+        r["doc_id"]
+        for r in corpus_filter(
+            docs, min_tokens=20, min_ttr=0.3, max_bits=None
+        ).collect()
+    }
+    # doc 1 fails ttr; doc 2 must SURVIVE despite pairing with the
+    # failing min-id doc; doc 3 untouched
+    assert out == {2, 3}
+
+
+def test_corpus_filter_still_dedups_passing_pairs(spark):
+    """Counterpart: two PASSING near-dups still collapse to min id."""
+    from vcfdbr_spark.operators.pipeline import corpus_filter
+
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s"), (2, base + " extra", "en", "s")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {
+        r["doc_id"]
+        for r in corpus_filter(
+            docs, min_tokens=20, min_ttr=0.3, max_bits=None
+        ).collect()
+    }
+    assert out == {1}
 
 
 def test_corpus_filter_invariants(spark):

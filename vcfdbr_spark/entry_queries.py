@@ -1884,6 +1884,13 @@ FROM raw_
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+# passage window constants shared by the detection AND removal
+# queries and interpolated into both oracles (never
+# literal-duplicated — retuning one place retunes all four).
+_RP_WINDOW = 20
+_RP_STRIDE = 10
+
+
 def q_repeated_passages(spark, sf_dir):
     """Cross-document repeated-passage detection (window-level exact
     dedup — the distributed approximation of substring-level training
@@ -1894,11 +1901,13 @@ def q_repeated_passages(spark, sf_dir):
     from vcfdbr_spark.operators.dedup import repeated_passages
 
     return repeated_passages(
-        _t(spark, sf_dir, "documents"), window=20, stride=10
+        _t(spark, sf_dir, "documents"),
+        window=_RP_WINDOW,
+        stride=_RP_STRIDE,
     )
 
 
-SQL_REPEATED_PASSAGES = r"""
+SQL_REPEATED_PASSAGES = f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 wins AS (
@@ -1906,11 +1915,13 @@ wins AS (
   -- (list_distinct folds it in when the stride already lands there) —
   -- mirrors operators/dedup.py passage_windows exactly
   SELECT doc_id, s.s AS w_start,
-         array_to_string(list_slice(w, s.s, s.s + 19), ' ') AS passage
+         array_to_string(list_slice(w, s.s, s.s + {_RP_WINDOW - 1}), ' ')
+           AS passage
   FROM words,
        LATERAL (SELECT unnest(list_distinct(list_append(
-                  generate_series(1, greatest(len(w) - 19, 1), 10),
-                  greatest(len(w) - 19, 1)))) AS s) s)
+                  generate_series(1, greatest(len(w) - {_RP_WINDOW - 1}, 1),
+                                  {_RP_STRIDE}),
+                  greatest(len(w) - {_RP_WINDOW - 1}, 1)))) AS s) s)
 SELECT md5(passage) AS passage_hash,
        COUNT(*) AS n_occurrences,
        COUNT(DISTINCT doc_id) AS n_docs,
@@ -1932,26 +1943,31 @@ def q_scrub_passages(spark, sf_dir):
     from vcfdbr_spark.operators.dedup import scrub_repeated_passages
 
     return scrub_repeated_passages(
-        _t(spark, sf_dir, "documents"), window=20, stride=10
+        _t(spark, sf_dir, "documents"),
+        window=_RP_WINDOW,
+        stride=_RP_STRIDE,
     )
 
 
-SQL_SCRUB_PASSAGES = r"""
+SQL_SCRUB_PASSAGES = f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 wins AS (
   SELECT doc_id, s.s AS w_start,
-         md5(array_to_string(list_slice(w, s.s, s.s + 19), ' ')) AS h
+         md5(array_to_string(list_slice(w, s.s, s.s + {_RP_WINDOW - 1}), ' '))
+           AS h
   FROM words,
        LATERAL (SELECT unnest(list_distinct(list_append(
-                  generate_series(1, greatest(len(w) - 19, 1), 10),
-                  greatest(len(w) - 19, 1)))) AS s) s),
+                  generate_series(1, greatest(len(w) - {_RP_WINDOW - 1}, 1),
+                                  {_RP_STRIDE}),
+                  greatest(len(w) - {_RP_WINDOW - 1}, 1)))) AS s) s),
 rep AS (
   SELECT h, MIN(doc_id) AS first_doc
   FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
 rem AS (
   SELECT DISTINCT sp.doc_id, p.i
-  FROM (SELECT wins.doc_id, wins.w_start AS s0, wins.w_start + 19 AS s1
+  FROM (SELECT wins.doc_id, wins.w_start AS s0,
+               wins.w_start + {_RP_WINDOW - 1} AS s1
         FROM wins JOIN rep USING (h)
         WHERE wins.doc_id <> rep.first_doc) sp,
        LATERAL (SELECT unnest(generate_series(sp.s0, sp.s1)) AS i) p),
@@ -2241,11 +2257,19 @@ WITH toks AS (
          len(string_split(text, ' ')) AS n
   FROM documents),
 st AS (
+  -- stride starts clamped at the last full-window position plus the
+  -- tail start itself (list_distinct folds it in when the stride
+  -- lands there) — mirrors operators/chunking.py exactly
   SELECT doc_id, t, n,
-         unnest(generate_series(1, greatest(n, 1), {_CHUNK_STRIDE})) AS s
+         unnest(list_distinct(list_append(
+           generate_series(1, greatest(n - {_CHUNK_WINDOW - 1}, 1),
+                           {_CHUNK_STRIDE}),
+           greatest(n - {_CHUNK_WINDOW - 1}, 1)))) AS s
   FROM toks)
 SELECT doc_id,
-       CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+            AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS w_start,
        CAST(least({_CHUNK_WINDOW}, n - s + 1) AS BIGINT) AS chunk_tokens,
        array_to_string(t[s : s + {_CHUNK_WINDOW} - 1], ' ') AS chunk_text
 FROM st
@@ -2681,45 +2705,43 @@ def q_corpus_filter(spark, sf_dir):
     table ≪ corpus, AQE-broadcast); the dedup drop list is the
     LSH-bounded component loser set applied as a terminal anti-join —
     the corpus is never self-joined, and every stage reuses an
-    operator that is independently oracle-checked."""
-    from vcfdbr_spark.operators.dedup import (
-        dedup_components,
-        minhash_dedup_pairs,
-    )
-    from vcfdbr_spark.operators.lm import lm_score
+    operator that is independently oracle-checked.
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks)
-    ttr = F.round(
-        F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6
-    )
-    qual = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        n_tokens.cast("long").alias("n_tokens"),
-        ttr.alias("ttr"),
-    )
-    lm = lm_score(docs).select("doc_id", "bits_per_bigram")
-    drops = (
-        dedup_components(minhash_dedup_pairs(docs), materialize=False)
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id")
-    )
-    return (
-        qual.join(lm, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= _CF_MIN_TOKENS)
-            & (F.col("ttr") >= _CF_MIN_TTR)
-            & (F.col("bits_per_bigram") <= _CF_MAX_BITS)
-        )
-        .join(drops, "doc_id", "left_anti")
+    Ordering is load-bearing: dedup runs AMONG THE QUALITY SURVIVORS
+    (candidate pairs are restricted to passing docs before the
+    component step) — see ``operators/pipeline.py::corpus_filter``
+    for the rationale and the planted-cluster test pinning it."""
+    from vcfdbr_spark.operators.pipeline import corpus_filter
+
+    return corpus_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=_CF_MIN_TOKENS,
+        min_ttr=_CF_MIN_TTR,
+        max_bits=_CF_MAX_BITS,
     )
 
 
 SQL_CORPUS_FILTER = f"""
-WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+WITH RECURSIVE lm AS ({SQL_LM_SCORE}),
+qual AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+  FROM documents),
+passing AS (
+  SELECT q.doc_id, q.lang, q.source, q.n_tokens, q.ttr,
+         lm.bits_per_bigram
+  FROM qual q JOIN lm USING (doc_id)
+  WHERE q.n_tokens >= {_CF_MIN_TOKENS}
+    AND q.ttr >= {_CF_MIN_TTR}
+    AND lm.bits_per_bigram <= {_CF_MAX_BITS}),
+-- dedup AMONG SURVIVORS: candidate pairs restricted to passing docs
+-- before the component step (mirrors q_corpus_filter exactly)
+pairs AS (
+  SELECT a, b FROM ({_PAIRS_SQL})
+  WHERE a IN (SELECT doc_id FROM passing)
+    AND b IN (SELECT doc_id FROM passing)),
 edges AS (
   SELECT a AS src, b AS dst FROM pairs
   UNION ALL SELECT b AS src, a AS dst FROM pairs),
@@ -2729,20 +2751,10 @@ reach(src, dst) AS (
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
 comp AS (
   SELECT src AS doc_id, least(src, min(dst)) AS keep_id
-  FROM reach GROUP BY src),
-lm AS ({SQL_LM_SCORE}),
-qual AS (
-  SELECT doc_id, lang, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
-  FROM documents)
-SELECT q.doc_id, q.lang, q.source, q.n_tokens, q.ttr, lm.bits_per_bigram
-FROM qual q JOIN lm USING (doc_id)
-WHERE q.n_tokens >= {_CF_MIN_TOKENS}
-  AND q.ttr >= {_CF_MIN_TTR}
-  AND lm.bits_per_bigram <= {_CF_MAX_BITS}
-  AND q.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id)
+  FROM reach GROUP BY src)
+SELECT p.doc_id, p.lang, p.source, p.n_tokens, p.ttr, p.bits_per_bigram
+FROM passing p
+WHERE p.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id)
 """
 
 

@@ -1,0 +1,76 @@
+"""End-to-end training-corpus filter — the capstone composition a
+pretraining pipeline ships: per-row quality gates (length,
+type-token ratio), the bigram-LM gibberish cap (operators/lm.py),
+and MinHash-LSH fuzzy dedup (operators/dedup.py) applied as ONE
+declarative plan.
+
+Ordering is load-bearing: dedup runs AMONG THE QUALITY SURVIVORS
+(candidate pairs are restricted to passing docs before the component
+step).  Deduping the raw corpus first with min-id keep would let a
+cluster whose minimum-id member fails a quality gate silently drop
+every member — including passing docs — because the kept doc dies at
+the gate and the passing ones died in the drop list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    min_ttr: float = 0.3,
+    max_bits: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """(id, *keep_cols, n_tokens, ttr, bits_per_bigram) — the docs
+    that pass every gate, deduplicated among themselves.
+
+    ``max_bits=None`` skips the LM gate (the bits column is still
+    computed and returned).  Plan shape: quality predicates evaluate
+    at the scan; the LM model joins back AQE-broadcast; the dedup
+    drop list is the LSH-bounded component loser set restricted to
+    passing docs and applied as a terminal anti-join — the corpus is
+    never self-joined.
+    """
+    from vcfdbr_spark.operators.dedup import (
+        dedup_components,
+        minhash_dedup_pairs,
+    )
+    from vcfdbr_spark.operators.lm import lm_score
+
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6
+    )
+    qual = docs.select(
+        id_col,
+        *keep_cols,
+        n_tokens.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"),
+    )
+    lm = lm_score(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "bits_per_bigram"
+    )
+    gates = (F.col("n_tokens") >= min_tokens) & (F.col("ttr") >= min_ttr)
+    if max_bits is not None:
+        gates = gates & (F.col("bits_per_bigram") <= max_bits)
+    passing = qual.join(lm, id_col).filter(gates)
+    pass_ids = passing.select(id_col)
+    pairs = (
+        minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
+        .join(pass_ids.withColumnRenamed(id_col, "a"), "a", "left_semi")
+        .join(pass_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
+        .select("a", "b")
+    )
+    drops = (
+        dedup_components(pairs, materialize=False)
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return passing.join(drops, id_col, "left_anti")
