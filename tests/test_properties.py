@@ -440,3 +440,100 @@ def test_wav_codec_roundtrip_property(nch, sw, nframes, rate, rnd):
         float(nframes),
     ]
     assert feats == want
+
+
+# ------------------------------------------------------------------
+# chunking / passage scrub (r9)
+# ------------------------------------------------------------------
+
+
+def _py_chunks(words: list[str], window: int, stride: int):
+    """Pure-Python reference for chunk_documents: clamped-tail starts."""
+    n = len(words)
+    last = max(n - window + 1, 1)
+    starts = list(range(1, last + 1, stride))
+    if starts[-1] != last:
+        starts.append(last)
+    return [
+        (idx, s, min(window, n - s + 1), " ".join(words[s - 1 : s - 1 + window]))
+        for idx, s in enumerate(starts)
+    ]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcX", min_size=1, max_size=3),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=12),
+    st.data(),
+)
+def test_chunk_documents_matches_python_oracle(spark, words, window, data):
+    from vcfdbr_spark.operators.chunking import chunk_documents
+
+    stride = data.draw(st.integers(min_value=1, max_value=window))
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    got = sorted(
+        (r["chunk_id"], r["w_start"], r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, window=window, stride=stride).collect()
+    )
+    assert got == _py_chunks(words, window, stride)
+
+
+def _py_scrub(corpus: dict[int, list[str]], window: int, stride: int):
+    """Pure-Python reference for scrub_repeated_passages."""
+    wins: dict[int, list[tuple[int, str]]] = {}
+    for did, words in corpus.items():
+        n = len(words)
+        last = max(n - window + 1, 1)
+        starts = sorted({*range(1, last + 1, stride), last})
+        wins[did] = [
+            (s, " ".join(words[s - 1 : s - 1 + window])) for s in starts
+        ]
+    first: dict[str, int] = {}
+    docs_of: dict[str, set[int]] = {}
+    for did, ws in wins.items():
+        for _, p in ws:
+            docs_of.setdefault(p, set()).add(did)
+            first[p] = min(first.get(p, did), did)
+    out = {}
+    for did, words in corpus.items():
+        removed = set()
+        for s, p in wins[did]:
+            if len(docs_of[p]) > 1 and first[p] != did:
+                removed.update(range(s, s + window))
+        kept = [w for i, w in enumerate(words, start=1) if i not in removed]
+        out[did] = (" ".join(kept), len(words) - len(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["p", "q", "r"]),  # tiny alphabet -> collisions
+            min_size=1,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_scrub_passages_matches_python_oracle(spark, docs_words, window):
+    from vcfdbr_spark.operators.dedup import scrub_repeated_passages
+
+    stride = max(1, window // 2)
+    corpus = {i: ws for i, ws in enumerate(docs_words)}
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in corpus.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in scrub_repeated_passages(
+            docs, window=window, stride=stride
+        ).collect()
+    }
+    assert got == _py_scrub(corpus, window, stride)
