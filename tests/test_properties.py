@@ -537,3 +537,68 @@ def test_scrub_passages_matches_python_oracle(spark, docs_words, window):
         ).collect()
     }
     assert got == _py_scrub(corpus, window, stride)
+
+
+def _py_lm_scores(corpus: dict[int, str]):
+    """Pure-Python reference for self-trained lm_score (add-1/2
+    smoothing, micro-bit quantization)."""
+    import math
+    from collections import Counter
+
+    from vcfdbr_spark.operators.lm import LM_QUANT
+
+    bigrams = {
+        did: list(zip(t.lower().split(" "), t.lower().split(" ")[1:]))
+        for did, t in corpus.items()
+    }
+    counts = Counter(b for bs in bigrams.values() for b in bs)
+    ctx = Counter()
+    for (p, _), c in counts.items():
+        ctx[p] += c
+    vocab = len({c for _, c in counts})
+    q = {
+        b: round(math.log2((2 * c + 1) / (2 * ctx[b[0]] + vocab)) * LM_QUANT)
+        for b, c in counts.items()
+    }
+    out = {}
+    for did, bs in bigrams.items():
+        if not bs:
+            continue
+        total = sum(q[b] for b in bs)
+        # Spark's round(double, 6) is BigDecimal HALF_UP on the
+        # shortest decimal repr — NOT Python's round-half-even
+        from decimal import ROUND_HALF_UP, Decimal
+
+        bits = float(
+            Decimal(repr(-total / LM_QUANT / len(bs))).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
+        out[did] = (len(bs), bits)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "Dd"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_lm_score_matches_python_oracle(spark, docs_words):
+    from vcfdbr_spark.operators.lm import lm_score
+
+    corpus = {i: " ".join(ws) for i, ws in enumerate(docs_words)}
+    docs = spark.createDataFrame(
+        list(corpus.items()), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
+        for r in lm_score(docs).collect()
+    }
+    assert got == _py_lm_scores(corpus)
