@@ -2618,11 +2618,17 @@ SQL_EMBEDDING_IVF_TRAINED_TOPK = _sql_ivf_trained()
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-LSH buckets."""
+    """Embedding-cosine near-dup pairs via sign-LSH buckets.
+
+    materialize=False: the registry contract is zero net cache per
+    invocation (bench/correctness call each query repeatedly and a
+    leaked persist per call accumulates); the consumer is a single
+    action, so Spark's exchange reuse covers the banded self-join's
+    shared (id, band, bucket) subtree without an explicit persist."""
     from vcfdbr_spark.operators.similarity import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.2
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, materialize=False
     )
 
 
@@ -2656,13 +2662,89 @@ def q_semantic_dedup(spark, sf_dir):
     from vcfdbr_spark.operators.similarity import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_dup_pairs(emb, threshold=0.2).select("a", "b")
+    # materialize=False: zero-net-cache-per-invocation contract (same
+    # as dedup_components below) — one action consumes the frame, so
+    # exchange reuse covers the self-join's shared band subtree
+    pairs = embedding_dup_pairs(
+        emb, threshold=0.2, materialize=False
+    ).select("a", "b")
     drops = (
         dedup_components(pairs, materialize=False)
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select(F.col("doc_id").alias("vec_id"))
     )
     return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def q_semantic_dedup_capped(spark, sf_dir):
+    """``semantic_dedup`` on the PRODUCTION path: the banded
+    candidate self-join runs with the hot-bucket cap
+    (``dedup.DEFAULT_MAX_BUCKET_SIZE``) that every at-scale pipeline
+    would pass.  The uncapped registered key (``semantic_dedup``) is
+    the registry's only super-linear sf1 scaler — its banded
+    self-join has a ~|C|²/2^bits quadratic term that grows 100× for
+    10× data; the cap bounds every bucket's pair contribution to
+    cap², pulling the curve back to ~linear.  This key exists so the
+    capped path has its own value oracle (cap constant interpolated
+    into the SQL, same policy mirror as ``simhash_dup_pairs``) and
+    its own bench row at sf0.1/sf1 — scale evidence, not just a
+    documented flag."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+    from vcfdbr_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(
+        emb,
+        threshold=0.2,
+        materialize=False,
+        max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
+    ).select("a", "b")
+    drops = (
+        dedup_components(pairs, materialize=False)
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# capped-path oracle: identical to SQL_SEMANTIC_DEDUP except the
+# (vec_id, band, bucket) frame is count-window capped BEFORE the
+# candidate self-join — the same survivor-bucket policy mirror the
+# simhash_dup_pairs oracle uses, with the engine constant interpolated
+SQL_SEMANTIC_DEDUP_CAPPED = f"""
+WITH RECURSIVE bands0 AS ({_EMB_BANDS}),
+bands AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT vec_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM bands0)
+  WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
+base AS (
+  SELECT vec_id, {_EMB_QUANT} AS v,
+         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
+  FROM embeddings),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+scored AS (
+  SELECT a, b FROM pairs
+  JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
+  WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2),
+edges AS (
+  SELECT a AS src, b AS dst FROM scored
+  UNION ALL SELECT b AS src, a AS dst FROM scored),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS vid, least(src, min(dst)) AS keep_id
+  FROM reach GROUP BY src)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vid FROM comp WHERE vid <> keep_id)
+"""
 
 
 SQL_SEMANTIC_DEDUP = f"""
@@ -2708,9 +2790,11 @@ def q_corpus_filter(spark, sf_dir):
     operator that is independently oracle-checked.
 
     Ordering is load-bearing: dedup runs AMONG THE QUALITY SURVIVORS
-    (candidate pairs are restricted to passing docs before the
-    component step) — see ``operators/pipeline.py::corpus_filter``
-    for the rationale and the planted-cluster test pinning it."""
+    — only passing docs are shingled/signed/banded, so the dominant
+    dedup stage costs pass-rate × corpus, not corpus — see
+    ``operators/pipeline.py::corpus_filter`` for the rationale, the
+    cap semantics (survivor buckets), and the planted-cluster test
+    pinning the ordering."""
     from vcfdbr_spark.operators.pipeline import corpus_filter
 
     return corpus_filter(
@@ -2736,12 +2820,23 @@ passing AS (
   WHERE q.n_tokens >= {_CF_MIN_TOKENS}
     AND q.ttr >= {_CF_MIN_TTR}
     AND lm.bits_per_bigram <= {_CF_MAX_BITS}),
--- dedup AMONG SURVIVORS: candidate pairs restricted to passing docs
--- before the component step (mirrors q_corpus_filter exactly)
+-- dedup AMONG SURVIVORS: only passing docs are signed/banded, and the
+-- hot-bucket cap counts SURVIVOR bucket membership — at scale the
+-- expensive shingle/sign/band stage is proportional to the pass rate,
+-- not the corpus (mirrors operators/pipeline.py::corpus_filter)
+surv_bands AS (
+  SELECT doc_id, band, bucket FROM ({_BANDS_SQL})
+  WHERE doc_id IN (SELECT doc_id FROM passing)),
+surv_capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM surv_bands)
+  WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
 pairs AS (
-  SELECT a, b FROM ({_PAIRS_SQL})
-  WHERE a IN (SELECT doc_id FROM passing)
-    AND b IN (SELECT doc_id FROM passing)),
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM surv_capped x JOIN surv_capped y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
 edges AS (
   SELECT a AS src, b AS dst FROM pairs
   UNION ALL SELECT b AS src, a AS dst FROM pairs),
@@ -2851,94 +2946,26 @@ def q_vcf_ingest_rejects(spark, sf_dir):
 # --------------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
-    # --- rotation block (r9) ---------------------------------------
+    # --- rotation block (r10) --------------------------------------
     # The grading driver's artifact caps at the FIRST 50 registry
     # entries; the policy (see git history of this comment) is that no
-    # registered query sits past the cap for 2+ rounds.  This round
-    # the 20 r8-tail queries (weighted_sample .. embedding_dup_pairs,
-    # last driver rows: CORRECTNESS_r07.json) rotate back to the
-    # front, joined by SIX queries needing their first driver row:
-    # multimodal_codec (mixed real-codec decode) and the five new r9
-    # operators (chunk_documents, lm_score, semantic_dedup,
-    # corpus_filter, scrub_passages — slots ceded by events_hourly,
-    # events_sliding, anti_join_orders, left_join_fill, in_list_pull,
-    # all r8-green with unchanged code; see the per-key comments).
-    # Everything displaced is green in CORRECTNESS_r08.json, so every
-    # registered query keeps a driver-artifact green row within the
-    # 2-round window (enforced by tests/test_registry_contract.py).
-    # Rotate again whenever a query would otherwise sit past the cap
-    # for 2+ rounds.
-    "weighted_sample": q_weighted_sample,
-    "events_rollup": q_events_rollup,
-    "events_pivot": q_events_pivot,
-    "doc_len_quantiles": q_doc_len_quantiles,
-    "corpus_balance": q_corpus_balance,
-    "lsh_recall": q_lsh_recall,
-    "user_event_history": q_user_event_history,
-    "simhash": q_simhash,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
-    "pack_sequences": q_pack_sequences,
-    "text_normalize_dedup": q_text_normalize_dedup,
-    "top_ngrams": q_top_ngrams,
-    "tfidf_keywords": q_tfidf_keywords,
-    "benchmark_contamination": q_benchmark_contamination,
-    "multimodal_frames": q_multimodal_frames,
-    "embedding_topk": q_embedding_topk,
-    "embedding_lsh_topk": q_embedding_lsh_topk,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "multimodal_codec": q_multimodal_codec,
-    # --- end rotation block ----------------------------------------
-    "vcfsim_info_rare": q_vcfsim_info_rare,
-    "vcfsim_impact_flags": q_vcfsim_impact_flags,
-    "vcfsim_gt_recode": q_vcfsim_gt_recode,
-    "vcfsim_filter_test": q_vcfsim_filter_test,
-    "vcfsim_geno_pull": q_vcfsim_geno_pull,
-    "vcfsim_gene_map": q_vcfsim_gene_map,
-    "vcfsim_interval": q_vcfsim_interval,
-    "vcfsim_interval_join": q_vcfsim_interval_join,
-    "vcf_ingest_info": q_vcf_ingest_info,
-    "vcf_ingest_impact": q_vcf_ingest_impact,
-    "vcf_ingest_geno": q_vcf_ingest_geno,
-    "vcf_ingest_rejects": q_vcf_ingest_rejects,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q18": q_tpch_q18,
-    "filter_distinct_join_count": q_filter_distinct_join_count,
-    "dim_scan_distinct": q_dim_scan_distinct,
-    "per_key_count_binned": q_per_key_count_binned,
-    # chunk_documents + lm_score are NEW this round (token-window
-    # chunking; bigram-LM perplexity-filter scoring) — they need
-    # their first driver rows, so they take window slots from
-    # events_hourly + events_sliding (both r8-green, code unchanged,
-    # moved to the tail).
-    "chunk_documents": q_chunk_documents,
-    "lm_score": q_lm_score,
-    # semantic_dedup is NEW this round too (embedding-space corpus
-    # dedup) — first driver row needed; anti_join_orders (r8-green,
-    # code unchanged) cedes its slot to the tail.
-    "semantic_dedup": q_semantic_dedup,
-    # corpus_filter (NEW): the quality+LM+dedup capstone — first
-    # driver row needed; left_join_fill (r8-green, code unchanged)
-    # cedes its slot to the tail.
-    "corpus_filter": q_corpus_filter,
-    # scrub_passages (NEW): the repeated-passage REMOVAL apply step —
-    # first driver row needed; in_list_pull (r8-green, code
-    # unchanged) cedes its slot to the tail.
-    "scrub_passages": q_scrub_passages,
-    "events_asof": q_events_asof,
-    "events_asof_fwd": q_events_asof_fwd,
-    "events_asof_nearest": q_events_asof_nearest,
-    # repeated_passages holds a window slot despite its green r8 row:
-    # its semantics changed this round (tail-window coverage fix), so
-    # the r8 driver row no longer pins the current code — it needs a
-    # fresh one.  events_cube (r8-green, code unchanged) cedes the
-    # slot and moves to the tail.
-    "repeated_passages": q_repeated_passages,
-    # --- tail (driver-green in CORRECTNESS_r08.json) ---------------
+    # registered query sits past the cap for 2+ rounds (enforced by
+    # tests/test_registry_contract.py).  This round the 26 r9-tail
+    # queries (events_hourly .. dedup_incremental, last driver rows:
+    # CORRECTNESS_r08.json — exactly at the 2-round staleness trigger)
+    # rotate back to the front.  They are joined by the four keys
+    # whose code changed this round and therefore need fresh driver
+    # rows: corpus_filter (survivors-only signing — SEMANTICS of the
+    # hot-bucket cap changed to survivor buckets), semantic_dedup +
+    # embedding_dup_pairs (materialize=False cache-leak fix; values
+    # unchanged but the executed code is new), and the NEW
+    # semantic_dedup_capped (production capped path, first driver row
+    # needed).  The remaining 20 window slots keep r9-window keys
+    # (weighted_sample .. multimodal_codec).  Everything displaced to
+    # the tail is green in CORRECTNESS_r09.json, so every registered
+    # query keeps a driver-artifact green row within the 2-round
+    # window.  Rotate again whenever a query would otherwise sit past
+    # the cap for 2+ rounds.
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "anti_join_orders": q_anti_join_orders,
@@ -2965,6 +2992,61 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_dedup": q_corpus_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_incremental": q_dedup_incremental,
+    # code changed this round (see rotation comment above):
+    "corpus_filter": q_corpus_filter,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_capped": q_semantic_dedup_capped,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    # r9-window keys holding their slots:
+    "weighted_sample": q_weighted_sample,
+    "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
+    "doc_len_quantiles": q_doc_len_quantiles,
+    "corpus_balance": q_corpus_balance,
+    "lsh_recall": q_lsh_recall,
+    "user_event_history": q_user_event_history,
+    "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "pack_sequences": q_pack_sequences,
+    "text_normalize_dedup": q_text_normalize_dedup,
+    "top_ngrams": q_top_ngrams,
+    "tfidf_keywords": q_tfidf_keywords,
+    "benchmark_contamination": q_benchmark_contamination,
+    "multimodal_frames": q_multimodal_frames,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
+    "multimodal_codec": q_multimodal_codec,
+    # --- end rotation block / tail (driver-green in
+    # CORRECTNESS_r09.json; code unchanged this round) ---------------
+    "vcfsim_info_rare": q_vcfsim_info_rare,
+    "vcfsim_impact_flags": q_vcfsim_impact_flags,
+    "vcfsim_gt_recode": q_vcfsim_gt_recode,
+    "vcfsim_filter_test": q_vcfsim_filter_test,
+    "vcfsim_geno_pull": q_vcfsim_geno_pull,
+    "vcfsim_gene_map": q_vcfsim_gene_map,
+    "vcfsim_interval": q_vcfsim_interval,
+    "vcfsim_interval_join": q_vcfsim_interval_join,
+    "vcf_ingest_info": q_vcf_ingest_info,
+    "vcf_ingest_impact": q_vcf_ingest_impact,
+    "vcf_ingest_geno": q_vcf_ingest_geno,
+    "vcf_ingest_rejects": q_vcf_ingest_rejects,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
+    "filter_distinct_join_count": q_filter_distinct_join_count,
+    "dim_scan_distinct": q_dim_scan_distinct,
+    "per_key_count_binned": q_per_key_count_binned,
+    "chunk_documents": q_chunk_documents,
+    "lm_score": q_lm_score,
+    "scrub_passages": q_scrub_passages,
+    "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
+    "events_asof_nearest": q_events_asof_nearest,
+    "repeated_passages": q_repeated_passages,
 }
 
 ORACLE: dict[str, str] = {
@@ -2994,6 +3076,7 @@ ORACLE: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "lm_score": SQL_LM_SCORE,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semantic_dedup_capped": SQL_SEMANTIC_DEDUP_CAPPED,
     "corpus_filter": SQL_CORPUS_FILTER,
     "scrub_passages": SQL_SCRUB_PASSAGES,
     "events_hourly": SQL_EVENTS_HOURLY,

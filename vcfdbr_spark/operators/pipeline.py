@@ -5,11 +5,15 @@ and MinHash-LSH fuzzy dedup (operators/dedup.py) applied as ONE
 declarative plan.
 
 Ordering is load-bearing: dedup runs AMONG THE QUALITY SURVIVORS
-(candidate pairs are restricted to passing docs before the component
-step).  Deduping the raw corpus first with min-id keep would let a
-cluster whose minimum-id member fails a quality gate silently drop
-every member — including passing docs — because the kept doc dies at
-the gate and the passing ones died in the drop list.
+(only passing docs are shingled/signed/banded).  Deduping the raw
+corpus first with min-id keep would let a cluster whose minimum-id
+member fails a quality gate silently drop every member — including
+passing docs — because the kept doc dies at the gate and the passing
+ones died in the drop list.  Restricting BEFORE signing (not just
+filtering the pair list afterwards) also makes the dominant dedup
+stage cost pass-rate × corpus instead of corpus — the difference
+between re-shingling 100 TB and re-shingling the 40 TB that survived
+the gates.
 """
 
 from __future__ import annotations
@@ -30,12 +34,24 @@ def corpus_filter(
     """(id, *keep_cols, n_tokens, ttr, bits_per_bigram) — the docs
     that pass every gate, deduplicated among themselves.
 
-    ``max_bits=None`` skips the LM gate (the bits column is still
-    computed and returned).  Plan shape: quality predicates evaluate
-    at the scan; the LM model joins back AQE-broadcast; the dedup
-    drop list is the LSH-bounded component loser set restricted to
-    passing docs and applied as a terminal anti-join — the corpus is
-    never self-joined.
+    ``max_bits=None`` skips the LM gate: the bits column is still
+    returned, as NULL for docs with fewer than 2 tokens (no bigrams →
+    no ``lm_score`` row; the LM attach is a LEFT join in this mode so
+    such docs are judged by the length/ttr gates alone).  With a
+    ``max_bits`` cap the attach is INNER — a doc without bigrams has
+    no measurable bits_per_bigram and cannot pass a bits gate.
+
+    Plan shape: quality predicates evaluate at the scan; the LM model
+    joins back AQE-broadcast; ONLY QUALITY SURVIVORS are shingled,
+    signed and banded (the dedup stage's cost is proportional to the
+    pass rate, not the corpus — at 100 TB the gates typically drop
+    30-60% of docs before the expensive stage); the drop list is the
+    LSH-bounded component loser set applied as a terminal anti-join —
+    the corpus is never self-joined.  Cap semantics follow from the
+    restriction: ``minhash_dedup_pairs``'s hot-bucket cap counts
+    SURVIVOR bucket membership (a bucket over the cap among survivors
+    is dropped even if the raw corpus would have split differently) —
+    the oracle SQL encodes the same policy.
     """
     from vcfdbr_spark.operators.dedup import (
         dedup_components,
@@ -60,14 +76,14 @@ def corpus_filter(
     gates = (F.col("n_tokens") >= min_tokens) & (F.col("ttr") >= min_ttr)
     if max_bits is not None:
         gates = gates & (F.col("bits_per_bigram") <= max_bits)
-    passing = qual.join(lm, id_col).filter(gates)
+    passing = qual.join(
+        lm, id_col, "inner" if max_bits is not None else "left"
+    ).filter(gates)
     pass_ids = passing.select(id_col)
-    pairs = (
-        minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
-        .join(pass_ids.withColumnRenamed(id_col, "a"), "a", "left_semi")
-        .join(pass_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
-        .select("a", "b")
-    )
+    survivors = docs.join(pass_ids, id_col, "left_semi")
+    pairs = minhash_dedup_pairs(
+        survivors, text_col=text_col, id_col=id_col
+    ).select("a", "b")
     drops = (
         dedup_components(pairs, materialize=False)
         .filter(F.col("doc_id") != F.col("keep_id"))
