@@ -1,4 +1,6 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints the full per-query JSON line, then a
+COMPACT summary line LAST (the grading driver parses the final stdout
+line through a ~2,000-char tail window; see ``compact_line``).
 
 Mirrors the reference's benchmark structure (BASELINE.md): a VCFdb is
 BUILT ONCE (reported as ingest_build_store), then the canonical read
@@ -75,6 +77,7 @@ DATA_QUERIES = [
     "embedding_ivf_topk",
     "embedding_dup_pairs",
     "semantic_dedup",
+    "semantic_dedup_capped",
     "corpus_filter",
     "multimodal_decode",
     "multimodal_codec",
@@ -459,22 +462,58 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                # inter-quartile range of the timed runs per repeated
-                # key (build/ingest keys are single-shot by policy and
-                # have no entry) — lets the report flag only
-                # out-of-band round-to-round moves
-                "iqr": iqrs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        # inter-quartile range of the timed runs per repeated
+        # key (build/ingest keys are single-shot by policy and
+        # have no entry) — lets the report flag only
+        # out-of-band round-to-round moves
+        "iqr": iqrs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full detail first (BENCH_LOCAL_r*.json is captured from this
+    # line), then a COMPACT line LAST: the grading driver parses the
+    # final stdout line through a 2,000-char tail window, and the full
+    # dict outgrew it in round 9 (3.1 kB -> "parsed": null).  The
+    # compact line keeps the headline total and the most expensive
+    # per-query timings that fit a conservative byte budget, and says
+    # how many keys it dropped — never silently.
+    print(json.dumps(full))
+    print(json.dumps(compact_line(full)))
+
+
+COMPACT_BUDGET = 1500  # bytes; driver tail window is 2,000 chars
+
+
+def compact_line(full: dict) -> dict:
+    """Driver-facing summary: same metric/value/unit/sf, with
+    ``queries`` greedily filled most-expensive-first until the
+    serialized line would exceed :data:`COMPACT_BUDGET` bytes.
+    ``n_queries``/``omitted`` make the truncation explicit."""
+    timings = full["queries"]
+    base = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "n_queries": len(timings),
+        "omitted": 0,
+        "queries": {},
+    }
+    order = sorted(timings, key=lambda k: (-timings[k], k))
+    kept: dict[str, float] = {}
+    for k in order:
+        trial = dict(base, queries=dict(kept, **{k: timings[k]}))
+        trial["omitted"] = len(timings) - len(trial["queries"])
+        if len(json.dumps(trial)) > COMPACT_BUDGET:
+            break
+        kept[k] = timings[k]
+    base["queries"] = kept
+    base["omitted"] = len(timings) - len(kept)
+    return base
 
 
 if __name__ == "__main__":

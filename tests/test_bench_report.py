@@ -88,3 +88,42 @@ def test_curve_svg_handles_gaps_and_missing_rounds():
         {1: {"queries": {"unrelated": 1.0}, "value": 1.0}}, "/tmp"
     )
     assert written == []
+
+
+def test_bench_compact_line_fits_driver_tail_window():
+    """The driver parses bench.py's LAST stdout line through a
+    ~2,000-char tail window; round 9's full line (3.1 kB) overflowed
+    it and the round's bench evidence was unparseable.  The compact
+    summary must stay inside the budget for any realistic key count,
+    keep the most expensive keys, and declare what it omitted."""
+    import json
+
+    import bench
+
+    full = {
+        "metric": "headline_queries_total",
+        "value": 60.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {
+            f"a_realistically_long_key_name_{i:03d}": round(0.01 * i, 3)
+            for i in range(120)
+        },
+        "iqr": {},
+    }
+    compact = bench.compact_line(full)
+    line = json.dumps(compact)
+    assert len(line) <= bench.COMPACT_BUDGET <= 1600
+    # most expensive kept, cheapest dropped, truncation declared
+    assert "a_realistically_long_key_name_119" in compact["queries"]
+    assert "a_realistically_long_key_name_000" not in compact["queries"]
+    assert compact["n_queries"] == 120
+    assert compact["omitted"] == 120 - len(compact["queries"])
+    assert compact["value"] == full["value"]
+    assert "iqr" not in compact
+
+    # small run: nothing omitted, line still tiny
+    small = dict(full, queries={"q1": 1.0, "q2": 2.0})
+    csmall = bench.compact_line(small)
+    assert csmall["omitted"] == 0
+    assert csmall["queries"] == small["queries"]

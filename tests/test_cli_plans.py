@@ -442,3 +442,27 @@ def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
             "--max-files-per-trigger", "1"]
     assert cli_main(args) == 0
     assert "0 candidate pairs" in capsys.readouterr().out
+
+
+def test_lm_selftrained_plan_scans_corpus_once():
+    """Round-9 verdict asked for a ReusedExchange assert on
+    lm_score's self-trained path (the docstring then claimed exchange
+    reuse deduplicated the repeated bigram-count subtree).  Measuring
+    instead of asserting the claim showed reuse NEVER fired — the
+    three counts consumers (model join / context totals / vocabulary)
+    prune different columns, so their canonicalized exchanges differ
+    and the corpus was scanned FOUR times.  The fix materializes the
+    counts table once (localCheckpoint, ContextCleaner-released);
+    this test pins the resulting stronger property: the registered
+    query's physical plan reads the documents parquet exactly once
+    (the per-doc bigram branch), with every model branch reading the
+    stored counts RDD."""
+    from vcfdbr_spark import get_spark
+    from vcfdbr_spark.entry_queries import q_lm_score
+
+    spark = get_spark(extra_conf={"spark.ui.enabled": "false"})
+    df = q_lm_score(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    # the three training consumers read the checkpointed counts
+    assert plan.count("ExistingRDD") >= 2, plan

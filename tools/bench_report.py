@@ -214,14 +214,24 @@ def _bar(value: float, vmax: float, width: int = 24) -> str:
 
 
 def load_rounds() -> dict[int, dict]:
+    """Per-round bench payloads, PREFERRING the full local snapshot.
+
+    Since round 10 the driver-facing BENCH_r*.json carries only a
+    compact summary (top keys, no ``iqr`` — its final stdout line must
+    fit the driver's ~2,000-char tail window; see bench.compact_line),
+    while BENCH_LOCAL_r*.json keeps every key plus per-key IQR.  The
+    per-query table and the drift band need the full detail, so a
+    round's local snapshot wins when both exist; the driver artifact
+    remains the fallback (and the only source for early rounds)."""
     rounds: dict[int, dict] = {}
-    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        doc = _payload(path)
-        if doc:
-            rounds[int(m.group(1))] = doc
+    for pattern in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
+        for path in sorted(glob.glob(os.path.join(ROOT, pattern))):
+            m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", path)
+            if not m:
+                continue
+            doc = _payload(path)
+            if doc:
+                rounds[int(m.group(1))] = doc
     return rounds
 
 

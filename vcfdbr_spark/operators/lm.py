@@ -30,11 +30,13 @@ Caching contract (mirrors ``dedup_components``): with ``materialize``
 materialized — it is the reusable index a production pipeline scores
 many batches against — and every training intermediate is released
 before return, so the model itself is the only net cache and the
-CALLER releases it.  ``materialize=False`` persists nothing (the
-registered query / bench path, which must leave zero net cache per
-invocation); the bigram aggregation then appears in several plan
-subtrees, where Spark's exchange reuse deduplicates the physical
-scan within a single action.
+CALLER releases it.  ``materialize=False`` takes no explicit
+persist (the registered query / bench path, which must leave zero
+net EXPLICIT cache per invocation); the bigram-count table is
+instead ``localCheckpoint``ed once — exchange reuse cannot
+deduplicate the three differently-pruned consumer subtrees, so
+without the checkpoint the corpus would be scanned three times for
+training (see ``train_bigram_model``).
 
 Float determinism (oracle parity): the per-bigram log-probability is
 quantized to integer micro-bits (``round(log2(p) * 1e6)`` as BIGINT)
@@ -93,11 +95,26 @@ def train_bigram_model(
     ``materialize`` persists + eagerly materializes the returned
     model (the reusable scoring index) and releases the training
     intermediates before returning — the model is then the ONLY net
-    cache and the caller unpersists it when done.  ``False`` persists
-    nothing."""
+    cache and the caller unpersists it when done.  ``False`` takes no
+    explicit persist: the bigram-count table is ``localCheckpoint``ed
+    (eager, ContextCleaner-released when the model frame is dropped —
+    the same contract as ``dedup_components``) so the three consumers
+    (model join, context totals, vocabulary) read the stored
+    counts instead of re-running the corpus aggregation.  This is NOT
+    an optional micro-optimization: the three consumer subtrees prune
+    different columns, so their canonicalized exchanges differ and
+    Spark's exchange reuse provably never fires here — without the
+    checkpoint the corpus is scanned and bigram-aggregated three
+    times (verified in the executed plan; pinned by the single-scan
+    plan assert in tests/test_cli_plans.py).  The counts table is the
+    distinct-bigram frame (≪ corpus — observed-vocabulary², not
+    corpus-sized), so storing it once to drop two full corpus passes
+    is the right trade at any scale."""
     counts = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
     if materialize:
         counts = counts.persist()
+    else:
+        counts = counts.localCheckpoint(eager=True)
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("ctx_c"))
     vocab = counts.agg(
         F.count_distinct("cur").cast("long").alias("vocab")
@@ -135,13 +152,14 @@ def lm_score(
 
     With ``model=None`` the model is trained on ``docs`` itself (the
     self-scored corpus shape: every doc bigram is in the model, so
-    the join is inner).  The self-trained path persists NOTHING —
-    scoring is one action, and Spark's exchange reuse deduplicates
-    the repeated bigram-count subtree inside that action's physical
-    plan — so repeated invocations (driver correctness runs, bench
-    loops) leave zero net cache.  Production pipelines that score
-    many batches should ``train_bigram_model(..., materialize=True)``
-    once and pass the model in.
+    the join is inner).  The self-trained path takes no explicit
+    persist; training ``localCheckpoint``s the bigram-count table
+    once (ContextCleaner-released), so the whole score costs TWO
+    corpus passes — one for training counts, one for per-doc bigrams
+    — and the plan scans the documents source exactly once (plan
+    assert in tests/test_cli_plans.py).  Production pipelines that
+    score many batches should ``train_bigram_model(...,
+    materialize=True)`` once and pass the model in.
 
     With a pre-trained ``model``, an unseen bigram takes its add-1/2
     smoothed miss probability ``1/(2*ctx + V)`` for the bigram's
