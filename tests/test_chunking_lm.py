@@ -176,15 +176,31 @@ def test_lm_score_pretrained_model_context_aware_miss(spark):
 def test_lm_train_materialize_releases_intermediates(spark):
     """materialize=True leaves exactly ONE net cache — the returned
     model (the reusable index; caller releases) — not the counts
-    intermediate."""
+    intermediate.  Measured as a DELTA: earlier tests in the session
+    may leave ContextCleaner-managed localCheckpoint RDDs (released
+    asynchronously on GC), so the absolute persistent-RDD count is
+    not ours to assert."""
+    import gc
+
+    import time
+
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    # settle: GC + wait until the persistent-RDD count stops moving
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(10):
+        gc.collect()
+        time.sleep(0.2)
+        now = jsc.getPersistentRDDs().size()
+        if now == before:
+            break
+        before = now
     docs = _docs(spark, [(1, "a b a c"), (2, "b a b c")])
     model = train_bigram_model(doc_bigrams(docs), materialize=True)
-    jsc = spark.sparkContext._jsc.sc()
-    cached = jsc.getPersistentRDDs().size()
-    assert cached == 1, f"expected only the model cached, got {cached}"
+    cached = jsc.getPersistentRDDs().size() - before
+    assert cached == 1, f"expected only the model net-cached, got +{cached}"
     model.unpersist(True)
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() - before <= 0
 
 
 def test_lm_model_probabilities_sum_below_one(spark):

@@ -79,6 +79,14 @@ def corpus_filter(
     passing = qual.join(
         lm, id_col, "inner" if max_bits is not None else "left"
     ).filter(gates)
+    # Materialize the survivor frame ONCE (localCheckpoint, eager,
+    # ContextCleaner-released — the dedup_components contract): it is
+    # consumed by the semi-join below (which sits under BOTH sides of
+    # the banded candidate self-join) and by the terminal anti-join.
+    # Without this each consumer re-evaluates the full gates+LM
+    # subtree — measured 2-3 extra corpus passes per run.  The frame
+    # is O(survivors) rows of scalar columns, far below corpus size.
+    passing = passing.localCheckpoint(eager=True)
     pass_ids = passing.select(id_col)
     survivors = docs.join(pass_ids, id_col, "left_semi")
     pairs = minhash_dedup_pairs(
