@@ -2680,15 +2680,22 @@ def q_semantic_dedup_capped(spark, sf_dir):
     """``semantic_dedup`` on the PRODUCTION path: the banded
     candidate self-join runs with the hot-bucket cap
     (``dedup.DEFAULT_MAX_BUCKET_SIZE``) that every at-scale pipeline
-    would pass.  The uncapped registered key (``semantic_dedup``) is
-    the registry's only super-linear sf1 scaler — its banded
-    self-join has a ~|C|²/2^bits quadratic term that grows 100× for
-    10× data; the cap bounds every bucket's pair contribution to
-    cap², pulling the curve back to ~linear.  This key exists so the
-    capped path has its own value oracle (cap constant interpolated
-    into the SQL, same policy mirror as ``simhash_dup_pairs``) and
-    its own bench row at sf0.1/sf1 — scale evidence, not just a
-    documented flag."""
+    would pass, giving the capped path its own value oracle (cap
+    constant interpolated into the SQL, same policy mirror as
+    ``simhash_dup_pairs``) and its own bench rows at sf0.1/sf1.
+
+    Scale anatomy (measured r10, SCALE.md): r9's 14.4×-for-10×-data
+    curve on the uncapped key had two causes, neither bucket skew —
+    (1) the CC loop needed 28 rounds on sf1's 558-member chain-like
+    component and silently hit max_iter (fixed round 10: contracting
+    components, 8 rounds, exact); (2) candidate probe pairs grow
+    ~n_bands·|C|²/2^bits even under UNIFORM bucket load (124 →
+    25,241 pairs for 10× vectors; sf1's max bucket is 9, so the cap
+    never fires there).  The uniform term is controlled by the
+    band-bits knob (2^bits must scale with |C|); the cap is the guard
+    for the failure mode the knob can't fix — degenerate identical-
+    embedding clusters (encoder failures) that put millions of
+    vectors in ONE bucket."""
     from vcfdbr_spark.operators.dedup import dedup_components
     from vcfdbr_spark.operators.similarity import embedding_dup_pairs
 
