@@ -705,3 +705,23 @@ def test_scrub_repeated_passages_keep_first(spark):
     assert out[2]["text"] == "" and out[2]["n_removed"] == 12
     # unique doc untouched
     assert out[3]["text"] == unique and out[3]["n_removed"] == 0
+
+
+def test_dedup_components_raises_instead_of_truncating(spark):
+    """A max_iter too small for the graph must RAISE, never return a
+    partially-propagated labeling — truncated components are wrong
+    dedup data (docs kept that should collapse), and round 9 shipped
+    exactly that failure silently at sf1 (488 wrong keep_ids on a
+    558-member component at the 20-round cap)."""
+    import pytest
+
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="uncontracted"):
+        dedup_components(chain, max_iter=2)
+    # and the same graph converges fine with the default budget
+    out = dedup_components(chain, materialize=False)
+    assert {r["keep_id"] for r in out.collect()} == {100}

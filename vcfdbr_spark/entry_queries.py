@@ -2651,8 +2651,8 @@ WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2
 def q_semantic_dedup(spark, sf_dir):
     """Semantic (embedding-space) near-dup removal — the terminal
     APPLY step of embedding-cosine dedup, composing three existing
-    operators: sign-LSH candidate pairs (similarity.py) → pointer-
-    doubling connected components (dedup.py) → keep-list anti-join.
+    operators: sign-LSH candidate pairs (similarity.py) → contracting
+    connected components (dedup.py) → keep-list anti-join.
     The corpus is never self-joined beyond the banded candidate join;
     the drop list is component members that lose to their component's
     min id, and AQE picks broadcast-anti when it is small.  Same
