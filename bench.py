@@ -64,6 +64,7 @@ DATA_QUERIES = [
     "lm_score",
     "doc_repetition",
     "weighted_sample",
+    "split_corpus",
     "text_normalize_dedup",
     "pii_scrub",
     "repeated_passages",

@@ -725,3 +725,39 @@ def test_dedup_components_raises_instead_of_truncating(spark):
     # and the same graph converges fine with the default budget
     out = dedup_components(chain, materialize=False)
     assert {r["keep_id"] for r in out.collect()} == {100}
+
+
+def test_split_corpus_deterministic_and_stable_under_growth(spark):
+    """Dataset split invariants: total coverage (every doc gets
+    exactly one split), deterministic across re-runs and
+    repartitioning, proportions near the requested fractions, and —
+    the leakage-safety property — growing the corpus never moves an
+    existing doc's assignment."""
+    from vcfdbr_spark.operators.sampling import split_corpus, split_thresholds
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r["split"] for r in split_corpus(docs).collect()}
+    assert len(got) == 2000
+    frac = {s: sum(1 for v in got.values() if v == s) / 2000 for s in set(got.values())}
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+    # repartitioning must not change assignments
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs.repartition(7)).collect()
+    }
+    assert again == got
+    # growth stability: doubling the corpus leaves old docs in place
+    grown = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            spark.range(4000).select(F.col("id").alias("doc_id"))
+        ).collect()
+    }
+    assert all(grown[k] == v for k, v in got.items())
+    # bad fractions rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_thresholds((("train", 0.9), ("val", 0.2)))

@@ -896,11 +896,18 @@ def q_weighted_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
-_DOC_HEX8 = "(" + "+".join(
-    "(strpos('0123456789abcdef', "
-    f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8)
-) + ")"
+def _hex8_sql(key_expr: str) -> str:
+    """First 8 md5 hex chars of ``key_expr`` as a BIGINT in [0, 2³²)
+    — the DuckDB mirror of Spark's ``conv(substring(md5(k),1,8),16,10)``
+    used by every md5-keyed deterministic decision."""
+    return "(" + "+".join(
+        "(strpos('0123456789abcdef', "
+        f"substr(md5({key_expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+
+
+_DOC_HEX8 = _hex8_sql("CAST(doc_id AS VARCHAR)")
 
 SQL_WEIGHTED_SAMPLE = f"""
 SELECT doc_id, lang, n_chars
@@ -908,6 +915,41 @@ FROM documents
 WHERE {_DOC_HEX8}
       < CAST(floor({float(2**32) * 0.5} * least(n_chars, 400) / 400) AS BIGINT)
 """
+
+
+def q_split_corpus(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split — per-row md5
+    threshold assignment (operators/sampling.py::split_corpus): zero
+    shuffle, split is a pure function of the doc key so re-ingest /
+    corpus growth never moves an existing doc across splits.
+    Thresholds are computed once in Python and interpolated into BOTH
+    the Spark plan and this oracle as exact BIGINT literals."""
+    from vcfdbr_spark.operators.sampling import split_corpus
+
+    return split_corpus(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "split"
+    )
+
+
+_SPLIT_FRACTIONS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+def _sql_split_corpus() -> str:
+    from vcfdbr_spark.operators.sampling import split_thresholds
+
+    u = _hex8_sql("CAST(doc_id AS VARCHAR) || ':split'")
+    whens = " ".join(
+        f"WHEN {u} < {thr} THEN '{name}'"
+        for thr, name in split_thresholds(_SPLIT_FRACTIONS)
+    )
+    return f"""
+SELECT doc_id, lang,
+       CASE {whens} ELSE '{_SPLIT_FRACTIONS[-1][0]}' END AS split
+FROM documents
+"""
+
+
+SQL_SPLIT_CORPUS = _sql_split_corpus()
 
 
 def q_events_rollup(spark, sf_dir):
@@ -3004,8 +3046,11 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_capped": q_semantic_dedup_capped,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    # split_corpus is NEW this round (deterministic train/val/test
+    # assignment) — first driver row needed; weighted_sample
+    # (r9-green, code unchanged) cedes its slot to the tail.
+    "split_corpus": q_split_corpus,
     # r9-window keys holding their slots:
-    "weighted_sample": q_weighted_sample,
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
     "doc_len_quantiles": q_doc_len_quantiles,
@@ -3054,6 +3099,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_fwd": q_events_asof_fwd,
     "events_asof_nearest": q_events_asof_nearest,
     "repeated_passages": q_repeated_passages,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -3084,6 +3130,7 @@ ORACLE: dict[str, str] = {
     "lm_score": SQL_LM_SCORE,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_dedup_capped": SQL_SEMANTIC_DEDUP_CAPPED,
+    "split_corpus": SQL_SPLIT_CORPUS,
     "corpus_filter": SQL_CORPUS_FILTER,
     "scrub_passages": SQL_SCRUB_PASSAGES,
     "events_hourly": SQL_EVENTS_HOURLY,

@@ -121,3 +121,71 @@ def weighted_sample(
         F.lit(scale) * F.least(F.col(weight_col), F.lit(weight_cap)) / weight_cap
     ).cast("long")
     return df.filter(u < thr)
+
+
+def split_thresholds(
+    fractions: tuple[tuple[str, float], ...],
+) -> list[tuple[int, str]]:
+    """Cumulative integer thresholds over [0, 2³²) for
+    :func:`split_corpus` — computed once in Python so the Spark plan
+    and the SQL oracle interpolate the SAME exact BIGINT literals.
+    The last split takes the remainder (no threshold)."""
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if len(fractions) < 2:
+        raise ValueError("need at least 2 splits")
+    out: list[tuple[int, str]] = []
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        if frac <= 0:
+            raise ValueError(f"split {name!r} has non-positive fraction")
+        cum += frac
+        out.append((int(float(2**32) * cum), name))
+    return out
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = ":split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the leakage-safe
+    dataset-split step of a training pipeline, as pure per-row column
+    algebra (zero shuffle, runs at the scan at any corpus size).
+
+    ``u`` = first 8 md5 hex chars of ``key || salt`` ∈ [0, 2³²); the
+    row's split is the first cumulative integer threshold above ``u``
+    (exact BIGINT comparisons — no float RNG, no rounding drift, same
+    answer on any engine / partitioning / re-run).  The ``salt``
+    decorrelates the split from every other md5-keyed decision on the
+    same key (sampling, bench probes): without it, ``val`` would be a
+    deterministic subset of every md5 sample's complement.
+
+    Properties that matter at 100 TB: a document's split is a pure
+    function of its key — re-ingesting, repartitioning, or GROWING the
+    corpus never moves an existing doc across splits (eval-set
+    stability / no train-test leakage on incremental builds).
+    Per-stratum proportions hold in expectation (``u`` is independent
+    of every column); pipelines needing EXACT per-stratum counts
+    should rank per stratum instead (one shuffle — ``cap_per_group``'s
+    two-phase shape).
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    col = None
+    for thr, name in split_thresholds(fractions):
+        cond = u < F.lit(thr)
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    return df.withColumn(split_col, col.otherwise(fractions[-1][0]))
