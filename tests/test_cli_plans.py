@@ -444,25 +444,36 @@ def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
     assert "0 candidate pairs" in capsys.readouterr().out
 
 
-def test_lm_selftrained_plan_scans_corpus_once():
+def test_lm_selftrained_plan_scans_corpus_once_when_gated_on():
     """Round-9 verdict asked for a ReusedExchange assert on
     lm_score's self-trained path (the docstring then claimed exchange
     reuse deduplicated the repeated bigram-count subtree).  Measuring
     instead of asserting the claim showed reuse NEVER fired — the
     three counts consumers (model join / context totals / vocabulary)
     prune different columns, so their canonicalized exchanges differ
-    and the corpus was scanned FOUR times.  The fix materializes the
-    counts table once (localCheckpoint, ContextCleaner-released);
-    this test pins the resulting stronger property: the registered
-    query's physical plan reads the documents parquet exactly once
-    (the per-doc bigram branch), with every model branch reading the
-    stored counts RDD."""
+    and the corpus was scanned FOUR times.  Round 10 materialized the
+    counts table unconditionally; round 11 SIZE-GATED it
+    (materialize_counts="auto": the blocking write measured +22% at
+    sf1 on an idle local[32] where scans overlap for free, and wins
+    only when the corpus scan dominates — LM_COUNTS_GATE_BYTES).
+    This test pins BOTH gate outcomes on the sf0.001 corpus: gated ON
+    → the physical plan reads the documents parquet exactly once and
+    every model branch reads the stored counts RDD; gated OFF (what
+    "auto" picks below the byte gate) → no checkpoint RDD in the
+    plan, scans stay lazy/overlapping."""
     from vcfdbr_spark import get_spark
-    from vcfdbr_spark.entry_queries import q_lm_score
+    from vcfdbr_spark.operators.lm import lm_score
 
     spark = get_spark(extra_conf={"spark.ui.enabled": "false"})
-    df = q_lm_score(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = lm_score(docs, materialize_counts=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1, plan
     # the three training consumers read the checkpointed counts
     assert plan.count("ExistingRDD") >= 2, plan
+
+    # auto on a tiny local corpus = gated OFF: fully lazy plan
+    df_off = lm_score(docs)  # materialize_counts="auto"
+    plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan_off, plan_off
+    assert plan_off.count("FileScan parquet") >= 3, plan_off

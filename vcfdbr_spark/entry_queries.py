@@ -2425,11 +2425,48 @@ def _emb_bands(n_bands: int, bits: int) -> str:
     )
 
 
-# dup-pairs (corpus self-join): wide 16-bit buckets bound the
-# quadratic term; topk (query side broadcast): 8-bit buckets trade
-# selectivity for recall — per-query candidate volume stays linear.
-_EMB_BANDS = _emb_bands(4, 16)
+# topk (query side broadcast): 8-bit buckets trade selectivity for
+# recall — per-query candidate volume stays linear.  The dup-pairs
+# self-join family uses the ADAPTIVE width below instead (static
+# 16-bit bands were r10's last super-linear term).
 _EMB_BANDS_TOPK = _emb_bands(8, 8)
+
+
+def _emb_bands_auto(table: str = "embeddings") -> str:
+    """Adaptive-width band rows — the DuckDB twin of
+    ``similarity.sign_band_buckets_wrapped`` at
+    ``adaptive_band_bits(count(table))`` bits: the full 0/1 sign
+    string is doubled and band b reads ``bits`` chars from offset
+    ``(b·16) mod d``; ``bits = GREATEST(floor, CEIL(LOG2(n)) +
+    slack)`` computed from the SAME table the Spark side counts, so
+    both engines pick the same width at every sf without
+    interpolating a per-sf constant.  CEIL(LOG2(n)) equals Python's
+    ``(n-1).bit_length()`` for every n ≥ 2 (parity-tested)."""
+    from vcfdbr_spark.operators.similarity import (
+        ADAPTIVE_BITS_FLOOR,
+        ADAPTIVE_BITS_SLACK,
+        BAND_STRIDE,
+    )
+
+    sign = (
+        "list_aggregate(list_transform(embedding, "
+        "x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1' ELSE '0' END), "
+        "'string_agg', '')"
+    )
+    return f"""
+  SELECT vec_id, band,
+         CASE WHEN d > 0
+              THEN substr(ss || ss, ((band * {BAND_STRIDE}) % d) + 1, bits)
+         END AS bucket
+  FROM (SELECT vec_id, {sign} AS ss, len(embedding) AS d FROM {table}) v
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+  CROSS JOIN (SELECT GREATEST({ADAPTIVE_BITS_FLOOR},
+                              CAST(ceil(log2(count(*))) AS INT)
+                              + {ADAPTIVE_BITS_SLACK}) AS bits
+              FROM {table}) k"""
+
+
+_EMB_BANDS_AUTO = _emb_bands_auto()
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
@@ -2662,6 +2699,12 @@ SQL_EMBEDDING_IVF_TRAINED_TOPK = _sql_ivf_trained()
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs via sign-LSH buckets.
 
+    bits_per_band="auto": the band width tracks log2(corpus count)
+    (similarity.adaptive_band_bits) so the uniform-load candidate
+    term ~n_bands·|C|²/2^bits stays linear in |C| — the oracle
+    derives the SAME width from COUNT(*) inline (_emb_bands_auto),
+    no per-sf constant to interpolate.
+
     materialize=False: the registry contract is zero net cache per
     invocation (bench/correctness call each query repeatedly and a
     leaked persist per call accumulates); the consumer is a single
@@ -2670,12 +2713,15 @@ def q_embedding_dup_pairs(spark, sf_dir):
     from vcfdbr_spark.operators.similarity import embedding_dup_pairs
 
     return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.2, materialize=False
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.2,
+        materialize=False,
+        bits_per_band="auto",
     )
 
 
 SQL_EMBEDDING_DUP_PAIRS = f"""
-WITH bands AS ({_EMB_BANDS}),
+WITH bands AS ({_EMB_BANDS_AUTO}),
 base AS (
   SELECT vec_id, {_EMB_QUANT} AS v,
          list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
@@ -2687,6 +2733,125 @@ cand AS (
 SELECT a, b, {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} AS score
 FROM cand JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
 WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2
+"""
+
+
+# planted degenerate cluster: DEFAULT_MAX_BUCKET_SIZE + 20 + the donor
+# itself occupy ONE sign bucket per band — over the cap at every sf
+_SKEW_EXTRA = DEFAULT_MAX_BUCKET_SIZE + 20
+_SKEW_ID_BASE = 10_000_000
+
+
+def _skewed_embeddings(spark, sf_dir):
+    """The embeddings table plus ``_SKEW_EXTRA`` exact copies of its
+    min-id row under fresh ids — the degenerate identical-embedding
+    cluster (failed encoder runs / default-initialized rows) that the
+    hot-bucket cap exists for.  Derived deterministically from the
+    read-only sf table; the oracle builds the identical union in
+    SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    donor = emb.orderBy("vec_id").limit(1)
+    planted = donor.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_SKEW_EXTRA))).alias("_k"),
+        "embedding",
+        "label",
+    ).select(
+        (F.lit(_SKEW_ID_BASE) + F.col("_k")).cast("long").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    return emb.unionByName(planted.select(*emb.columns))
+
+
+def q_embedding_cap_skew(spark, sf_dir):
+    """Cap-EFFECT evidence for the hot-bucket guard (the sf tables'
+    natural buckets never exceed the cap — sf1's max is 9 members —
+    so the plain capped queries prove cap-PARITY only): a planted
+    521-member identical-embedding cluster makes one bucket per band
+    hot, and this query's single summary row value-checks all three
+    facts at once — ``n_hot_buckets > 0`` (the cap FIRED),
+    ``n_pairs_capped < n_pairs_uncapped`` (firing changed the
+    answer), and both pair counts hash-match the oracle running the
+    same two paths.  Scale shape: each pair-count subplan is the
+    standard banded self-join (the capped one never touches the hot
+    buckets' C(521,2) pair mass); the three 1-row aggregates attach
+    as broadcast scalar crossJoins (documented 1×1 exemption)."""
+    from vcfdbr_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE as CAP
+    from vcfdbr_spark.operators.similarity import (
+        adaptive_band_bits,
+        embedding_dup_pairs,
+        sign_band_buckets_wrapped,
+    )
+
+    skewed = _skewed_embeddings(spark, sf_dir)
+    bits = adaptive_band_bits(skewed.count())
+    bands = skewed.select(
+        F.posexplode(
+            sign_band_buckets_wrapped(F.col("embedding"), 4, bits)
+        ).alias("band", "bucket")
+    )
+    hot = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > CAP)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hot_buckets"))
+    )
+    capped = embedding_dup_pairs(
+        skewed,
+        threshold=0.2,
+        materialize=False,
+        bits_per_band=bits,
+        wrapped=True,
+        max_bucket_size=CAP,
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs_capped"))
+    uncapped = embedding_dup_pairs(
+        skewed,
+        threshold=0.2,
+        materialize=False,
+        bits_per_band=bits,
+        wrapped=True,
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs_uncapped"))
+    return capped.crossJoin(F.broadcast(uncapped)).crossJoin(F.broadcast(hot))
+
+
+_SKEWED_SQL = f"""
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT {_SKEW_ID_BASE} + k AS vec_id, d.embedding, d.label
+  FROM (SELECT embedding, label FROM embeddings ORDER BY vec_id LIMIT 1) d
+  CROSS JOIN (SELECT unnest(generate_series(1, {_SKEW_EXTRA})) AS k) g"""
+
+SQL_EMBEDDING_CAP_SKEW = f"""
+WITH skewed AS ({_SKEWED_SQL}),
+bands AS ({_emb_bands_auto('skewed')}),
+bcounts AS (SELECT band, bucket, COUNT(*) AS c FROM bands GROUP BY band, bucket),
+capped_bands AS (
+  SELECT b.vec_id, b.band, b.bucket
+  FROM bands b JOIN bcounts c USING (band, bucket)
+  WHERE c.c <= {DEFAULT_MAX_BUCKET_SIZE}),
+base AS (
+  SELECT vec_id, {_EMB_QUANT} AS v,
+         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
+  FROM skewed),
+cap_pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM capped_bands x JOIN capped_bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+unc_pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+cap_n AS (
+  SELECT COUNT(*) AS n_pairs_capped FROM cap_pairs
+  JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
+  WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2),
+unc_n AS (
+  SELECT COUNT(*) AS n_pairs_uncapped FROM unc_pairs
+  JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
+  WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2)
+SELECT cap_n.n_pairs_capped, unc_n.n_pairs_uncapped,
+       (SELECT COUNT(*) FROM bcounts WHERE c > {DEFAULT_MAX_BUCKET_SIZE}) AS n_hot_buckets
+FROM cap_n, unc_n
 """
 
 
@@ -2708,7 +2873,7 @@ def q_semantic_dedup(spark, sf_dir):
     # as dedup_components below) — one action consumes the frame, so
     # exchange reuse covers the self-join's shared band subtree
     pairs = embedding_dup_pairs(
-        emb, threshold=0.2, materialize=False
+        emb, threshold=0.2, materialize=False, bits_per_band="auto"
     ).select("a", "b")
     drops = (
         dedup_components(pairs, materialize=False)
@@ -2746,6 +2911,7 @@ def q_semantic_dedup_capped(spark, sf_dir):
         emb,
         threshold=0.2,
         materialize=False,
+        bits_per_band="auto",
         max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
     ).select("a", "b")
     drops = (
@@ -2761,7 +2927,7 @@ def q_semantic_dedup_capped(spark, sf_dir):
 # candidate self-join — the same survivor-bucket policy mirror the
 # simhash_dup_pairs oracle uses, with the engine constant interpolated
 SQL_SEMANTIC_DEDUP_CAPPED = f"""
-WITH RECURSIVE bands0 AS ({_EMB_BANDS}),
+WITH RECURSIVE bands0 AS ({_EMB_BANDS_AUTO}),
 bands AS (
   SELECT vec_id, band, bucket FROM (
     SELECT vec_id, band, bucket,
@@ -2995,83 +3161,25 @@ def q_vcf_ingest_rejects(spark, sf_dir):
 # --------------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
-    # --- rotation block (r10) --------------------------------------
+    # --- rotation block (r11) --------------------------------------
     # The grading driver's artifact caps at the FIRST 50 registry
     # entries; the policy (see git history of this comment) is that no
     # registered query sits past the cap for 2+ rounds (enforced by
-    # tests/test_registry_contract.py).  This round the 26 r9-tail
-    # queries (events_hourly .. dedup_incremental, last driver rows:
-    # CORRECTNESS_r08.json — exactly at the 2-round staleness trigger)
-    # rotate back to the front.  They are joined by the four keys
-    # whose code changed this round and therefore need fresh driver
-    # rows: corpus_filter (survivors-only signing — SEMANTICS of the
-    # hot-bucket cap changed to survivor buckets), semantic_dedup +
-    # embedding_dup_pairs (materialize=False cache-leak fix; values
-    # unchanged but the executed code is new), and the NEW
-    # semantic_dedup_capped (production capped path, first driver row
-    # needed).  The remaining 20 window slots keep r9-window keys
-    # (weighted_sample .. multimodal_codec).  Everything displaced to
-    # the tail is green in CORRECTNESS_r09.json, so every registered
-    # query keeps a driver-artifact green row within the 2-round
-    # window.  Rotate again whenever a query would otherwise sit past
-    # the cap for 2+ rounds.
-    "events_hourly": q_events_hourly,
-    "events_sliding": q_events_sliding,
-    "anti_join_orders": q_anti_join_orders,
-    "left_join_fill": q_left_join_fill,
-    "in_list_pull": q_in_list_pull,
-    "events_cube": q_events_cube,
-    "events_asof_null": q_events_asof_null,
-    "pii_scrub": q_pii_scrub,
-    "distinct_sketch": q_distinct_sketch,
-    "events_json": q_events_json,
-    "events_sessions": q_events_sessions,
-    "multimodal_decode": q_multimodal_decode,
-    "dedup_exact": q_dedup_exact,
-    "text_stats": q_text_stats,
-    "lang_guess": q_lang_guess,
-    "doc_fingerprint": q_doc_fingerprint,
-    "deterministic_sample": q_deterministic_sample,
-    "text_quality_score": q_text_quality_score,
-    "doc_repetition": q_doc_repetition,
-    "minhash_sig": q_minhash_sig,
-    "minhash_pairs": q_minhash_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "corpus_dedup": q_corpus_dedup,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_incremental": q_dedup_incremental,
-    # code changed this round (see rotation comment above):
-    "corpus_filter": q_corpus_filter,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_capped": q_semantic_dedup_capped,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    # split_corpus is NEW this round (deterministic train/val/test
-    # assignment) — first driver row needed; weighted_sample
-    # (r9-green, code unchanged) cedes its slot to the tail.
-    "split_corpus": q_split_corpus,
-    # r9-window keys holding their slots:
-    "events_rollup": q_events_rollup,
-    "events_pivot": q_events_pivot,
-    "doc_len_quantiles": q_doc_len_quantiles,
-    "corpus_balance": q_corpus_balance,
-    "lsh_recall": q_lsh_recall,
-    "user_event_history": q_user_event_history,
-    "simhash": q_simhash,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
-    "pack_sequences": q_pack_sequences,
-    "text_normalize_dedup": q_text_normalize_dedup,
-    "top_ngrams": q_top_ngrams,
-    "tfidf_keywords": q_tfidf_keywords,
-    "benchmark_contamination": q_benchmark_contamination,
-    "multimodal_frames": q_multimodal_frames,
-    "embedding_topk": q_embedding_topk,
-    "embedding_lsh_topk": q_embedding_lsh_topk,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
-    "multimodal_codec": q_multimodal_codec,
-    # --- end rotation block / tail (driver-green in
-    # CORRECTNESS_r09.json; code unchanged this round) ---------------
+    # tests/test_registry_contract.py).  This round the 28 r9-tail
+    # keys (vcfsim_*/vcf_ingest_*/tpch_*/… — last driver rows:
+    # CORRECTNESS_r09.json, exactly at the staleness trigger) rotate
+    # back to the front.  They are joined by the keys whose code
+    # changed this round and therefore need fresh driver rows:
+    # embedding_dup_pairs + semantic_dedup + semantic_dedup_capped
+    # (adaptive band-bits — candidate sets change at every sf),
+    # corpus_filter (lm auto-gate + eager_checkpoint; values
+    # unchanged, executed code is new), split_corpus (full fraction
+    # validation; values unchanged), and the NEW embedding_cap_skew
+    # (planted-cluster cap-EFFECT evidence, first driver row).  The
+    # remaining 16 slots keep r10-green keys from the dedup/ANN
+    # family.  Every key displaced to the tail is green in
+    # CORRECTNESS_r10.json, so all 79 registered queries hold a
+    # driver-artifact green row within the 2-round window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
@@ -3100,6 +3208,61 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_nearest": q_events_asof_nearest,
     "repeated_passages": q_repeated_passages,
     "weighted_sample": q_weighted_sample,
+    # code changed this round / new (see rotation comment above):
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_capped": q_semantic_dedup_capped,
+    "embedding_cap_skew": q_embedding_cap_skew,
+    "corpus_filter": q_corpus_filter,
+    "split_corpus": q_split_corpus,
+    # r10-green keys holding window slots (dedup/ANN family):
+    "dedup_exact": q_dedup_exact,
+    "minhash_sig": q_minhash_sig,
+    "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_dedup": q_corpus_dedup,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_incremental": q_dedup_incremental,
+    "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "doc_repetition": q_doc_repetition,
+    "deterministic_sample": q_deterministic_sample,
+    "lsh_recall": q_lsh_recall,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "multimodal_codec": q_multimodal_codec,
+    # --- end rotation block / tail (driver-green in
+    # CORRECTNESS_r10.json; code unchanged this round) ---------------
+    "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
+    "anti_join_orders": q_anti_join_orders,
+    "left_join_fill": q_left_join_fill,
+    "in_list_pull": q_in_list_pull,
+    "events_cube": q_events_cube,
+    "events_asof_null": q_events_asof_null,
+    "pii_scrub": q_pii_scrub,
+    "distinct_sketch": q_distinct_sketch,
+    "events_json": q_events_json,
+    "events_sessions": q_events_sessions,
+    "multimodal_decode": q_multimodal_decode,
+    "text_stats": q_text_stats,
+    "lang_guess": q_lang_guess,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality_score": q_text_quality_score,
+    "corpus_balance": q_corpus_balance,
+    "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
+    "doc_len_quantiles": q_doc_len_quantiles,
+    "user_event_history": q_user_event_history,
+    "pack_sequences": q_pack_sequences,
+    "text_normalize_dedup": q_text_normalize_dedup,
+    "top_ngrams": q_top_ngrams,
+    "tfidf_keywords": q_tfidf_keywords,
+    "benchmark_contamination": q_benchmark_contamination,
+    "multimodal_frames": q_multimodal_frames,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
 }
 
 ORACLE: dict[str, str] = {
@@ -3179,6 +3342,7 @@ ORACLE: dict[str, str] = {
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "embedding_cap_skew": SQL_EMBEDDING_CAP_SKEW,
     "pii_scrub": SQL_PII_SCRUB,
     "repeated_passages": SQL_REPEATED_PASSAGES,
 }

@@ -350,8 +350,12 @@ def dedup_components(
     """Connected components over near-dup candidate ``(a, b)`` pairs —
     the APPLY step of fuzzy dedup: pairs chain (A~B, B~C ⇒ keep one of
     {A,B,C}), so the keep-list needs components, not pairs.  Returns
-    one row per doc appearing in any pair: ``(doc_id, keep_id)`` with
-    ``keep_id`` = the component's minimum id (deterministic).
+    one row per doc appearing in any NON-degenerate pair:
+    ``(doc_id, keep_id)`` with ``keep_id`` = the component's minimum
+    id (deterministic).  Self-pairs (a == b) are ignored — a doc
+    paired only with itself is not a duplicate of anything, gets no
+    output row, and is therefore kept by every downstream consumer
+    (they drop only ``doc_id != keep_id`` rows).
 
     Edge-CONTRACTING min-label propagation on the DataFrame API.
     Per round, every vertex takes the min of (its label, its label's

@@ -33,10 +33,13 @@ before return, so the model itself is the only net cache and the
 CALLER releases it.  ``materialize=False`` takes no explicit
 persist (the registered query / bench path, which must leave zero
 net EXPLICIT cache per invocation); the bigram-count table is
-instead ``localCheckpoint``ed once — exchange reuse cannot
-deduplicate the three differently-pruned consumer subtrees, so
-without the checkpoint the corpus would be scanned three times for
-training (see ``train_bigram_model``).
+instead checkpointed once when ``checkpoint_counts`` is on —
+exchange reuse cannot deduplicate the three differently-pruned
+consumer subtrees, so without the checkpoint the corpus is scanned
+three times for training.  Whether that blocking write WINS is
+size-dependent (it cost +22% at sf1 on an idle local[32] where the
+scans overlap for free); ``lm_score``'s ``materialize_counts="auto"``
+gate picks by corpus input size (``LM_COUNTS_GATE_BYTES``).
 
 Float determinism (oracle parity): the per-bigram log-probability is
 quantized to integer micro-bits (``round(log2(p) * 1e6)`` as BIGINT)
@@ -59,6 +62,40 @@ from vcfdbr_spark.functions.text import ws_tokens
 #: quantization grid for per-bigram log2 p (micro-bits).
 LM_QUANT = 1_000_000
 
+#: input-size gate for the self-trained counts materialization
+#: (``lm_score(materialize_counts="auto")``): below this many corpus
+#: input bytes the three training scans overlap on an idle box and
+#: the blocking counts write COSTS time (measured +22% at sf1 on
+#: local[32], BENCH_NOTES r11); above it — or whenever the input size
+#: is unknowable (non-local URIs) — one stored counts table beats two
+#: extra corpus passes.
+LM_COUNTS_GATE_BYTES = 256 << 20
+
+
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Total size of ``df``'s file-backed inputs, or None when any
+    input is not a readable local file (object stores, streaming,
+    in-memory frames) — callers treat None as 'assume big'."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+    return total
+
 
 def doc_bigrams(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -79,7 +116,9 @@ def doc_bigrams(
 
 
 def train_bigram_model(
-    bigrams: DataFrame, materialize: bool = True
+    bigrams: DataFrame,
+    materialize: bool = True,
+    checkpoint_counts: bool = True,
 ) -> DataFrame:
     """(prev, cur, q, ctx_c, vocab) — the smoothed model: ``q`` is
     the per-bigram log2-probability in integer micro-bits,
@@ -96,25 +135,30 @@ def train_bigram_model(
     model (the reusable scoring index) and releases the training
     intermediates before returning — the model is then the ONLY net
     cache and the caller unpersists it when done.  ``False`` takes no
-    explicit persist: the bigram-count table is ``localCheckpoint``ed
-    (eager, ContextCleaner-released when the model frame is dropped —
-    the same contract as ``dedup_components``) so the three consumers
-    (model join, context totals, vocabulary) read the stored
-    counts instead of re-running the corpus aggregation.  This is NOT
-    an optional micro-optimization: the three consumer subtrees prune
-    different columns, so their canonicalized exchanges differ and
-    Spark's exchange reuse provably never fires here — without the
-    checkpoint the corpus is scanned and bigram-aggregated three
-    times (verified in the executed plan; pinned by the single-scan
-    plan assert in tests/test_cli_plans.py).  The counts table is the
-    distinct-bigram frame (≪ corpus — observed-vocabulary², not
-    corpus-sized), so storing it once to drop two full corpus passes
-    is the right trade at any scale."""
+    explicit persist: with ``checkpoint_counts`` the bigram-count
+    table is checkpointed once (``plans/checkpoints.py`` — reliable
+    when a checkpoint dir is set, else local; released when the
+    model frame is dropped) so the three consumers (model join,
+    context totals, vocabulary) read the stored counts instead of
+    re-running the corpus aggregation — exchange reuse provably
+    never fires here (the consumer subtrees prune different columns,
+    so their canonicalized exchanges differ; measured r10: the
+    corpus was scanned FOUR times without the checkpoint).  Whether
+    the stored table WINS is a size trade, not a law: the counts
+    frame is ≪ corpus (observed-vocabulary²), so dropping two full
+    corpus passes wins whenever the corpus scan dominates — but on a
+    small corpus with idle cores the overlapping scans are free and
+    the BLOCKING materialization costs wall-clock (measured +22% at
+    sf1 on local[32]).  ``checkpoint_counts=False`` keeps the plan
+    fully lazy (three overlapping scans); ``lm_score``'s ``"auto"``
+    gate picks by corpus input size (``LM_COUNTS_GATE_BYTES``)."""
     counts = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
     if materialize:
         counts = counts.persist()
-    else:
-        counts = counts.localCheckpoint(eager=True)
+    elif checkpoint_counts:
+        from vcfdbr_spark.plans.checkpoints import eager_checkpoint
+
+        counts = eager_checkpoint(counts)
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("ctx_c"))
     vocab = counts.agg(
         F.count_distinct("cur").cast("long").alias("vocab")
@@ -145,6 +189,7 @@ def lm_score(
     model: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_counts: bool | str = "auto",
 ) -> DataFrame:
     """(id, n_bigrams, bits_per_bigram) — per-document cross-entropy
     under the bigram model (lower = more predictable text; extreme
@@ -152,14 +197,20 @@ def lm_score(
 
     With ``model=None`` the model is trained on ``docs`` itself (the
     self-scored corpus shape: every doc bigram is in the model, so
-    the join is inner).  The self-trained path takes no explicit
-    persist; training ``localCheckpoint``s the bigram-count table
-    once (ContextCleaner-released), so the whole score costs TWO
-    corpus passes — one for training counts, one for per-doc bigrams
-    — and the plan scans the documents source exactly once (plan
-    assert in tests/test_cli_plans.py).  Production pipelines that
-    score many batches should ``train_bigram_model(...,
-    materialize=True)`` once and pass the model in.
+    the join is inner).  ``materialize_counts`` gates the one
+    blocking materialization on that path — the bigram-count table
+    that training's three consumers would otherwise each recompute
+    from the corpus: ``True`` checkpoints it (the plan then scans
+    the documents source exactly once — pinned by the gated-on plan
+    assert in tests/test_cli_plans.py) at the cost of a blocking
+    write; ``False`` stays fully lazy (three overlapping corpus
+    scans — cheaper on small corpora with idle executors, measured
+    −22% at sf1 on local[32]); ``"auto"`` (default) checkpoints when
+    the corpus input size reaches ``LM_COUNTS_GATE_BYTES`` or is
+    unknowable — at 100 TB one stored vocab²-sized table always
+    beats two extra corpus passes.  Production pipelines that score
+    many batches should ``train_bigram_model(..., materialize=True)``
+    once and pass the model in.
 
     With a pre-trained ``model``, an unseen bigram takes its add-1/2
     smoothed miss probability ``1/(2*ctx + V)`` for the bigram's
@@ -171,7 +222,14 @@ def lm_score(
     big = doc_bigrams(docs, text_col=text_col, id_col=id_col)
     trained_here = model is None
     if trained_here:
-        model = train_bigram_model(big, materialize=False)
+        if materialize_counts == "auto":
+            nbytes = _local_input_bytes(docs)
+            materialize_counts = (
+                nbytes is None or nbytes >= LM_COUNTS_GATE_BYTES
+            )
+        model = train_bigram_model(
+            big, materialize=False, checkpoint_counts=bool(materialize_counts)
+        )
     per_doc = big.groupBy(id_col, "prev", "cur").agg(
         F.count(F.lit(1)).alias("k")
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vcfdbr_spark.plans.checkpoints import eager_checkpoint
+
 
 def corpus_filter(
     docs: DataFrame,
@@ -79,14 +81,19 @@ def corpus_filter(
     passing = qual.join(
         lm, id_col, "inner" if max_bits is not None else "left"
     ).filter(gates)
-    # Materialize the survivor frame ONCE (localCheckpoint, eager,
-    # ContextCleaner-released — the dedup_components contract): it is
-    # consumed by the semi-join below (which sits under BOTH sides of
-    # the banded candidate self-join) and by the terminal anti-join.
-    # Without this each consumer re-evaluates the full gates+LM
-    # subtree — measured 2-3 extra corpus passes per run.  The frame
-    # is O(survivors) rows of scalar columns, far below corpus size.
-    passing = passing.localCheckpoint(eager=True)
+    # Materialize the survivor frame ONCE: it is consumed by the
+    # semi-join below (which sits under BOTH sides of the banded
+    # candidate self-join) and by the terminal anti-join.  Without
+    # this each consumer re-evaluates the full gates+LM subtree —
+    # measured 2-3 extra corpus passes per run.  The frame is
+    # O(survivors) rows of scalar columns, far below corpus size.
+    # eager_checkpoint: reliable checkpoint (executor-loss-survivable,
+    # files cleaned by ContextCleaner) when the session configures a
+    # checkpoint dir — the production deployment at 100 TB — else
+    # localCheckpoint, whose blocks are released when the returned
+    # frame is GC'd (long-lived drivers looping this operator should
+    # set a checkpoint dir; see plans/checkpoints.py).
+    passing = eager_checkpoint(passing)
     pass_ids = passing.select(id_col)
     survivors = docs.join(pass_ids, id_col, "left_semi")
     pairs = minhash_dedup_pairs(

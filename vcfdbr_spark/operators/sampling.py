@@ -135,11 +135,15 @@ def split_thresholds(
         raise ValueError(f"split fractions must sum to 1, got {total}")
     if len(fractions) < 2:
         raise ValueError("need at least 2 splits")
+    # validate EVERY fraction, including the remainder split: e.g.
+    # (.5, .5, 0.0) sums to 1 but would silently produce an empty
+    # final split (its predecessor's threshold reaches 2³²)
+    for name, frac in fractions:
+        if frac <= 0:
+            raise ValueError(f"split {name!r} has non-positive fraction")
     out: list[tuple[int, str]] = []
     cum = 0.0
     for name, frac in fractions[:-1]:
-        if frac <= 0:
-            raise ValueError(f"split {name!r} has non-positive fraction")
         cum += frac
         out.append((int(float(2**32) * cum), name))
     return out

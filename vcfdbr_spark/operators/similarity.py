@@ -121,6 +121,64 @@ def sign_band_buckets(vec_col, n_bands: int = 4, bits_per_band: int = 16):
     return F.array(*bands)
 
 
+# adaptive band-bits policy (shared with the DuckDB oracle, which
+# computes GREATEST(floor, CEIL(LOG2(COUNT(*))) + slack) inline):
+# 2^bits must scale with |C| or the same-bucket pair count grows
+# ~n_bands·|C|²/2^bits even under UNIFORM bucket load — measured
+# 124 → 25,241 candidate pairs for 10× vectors at a STATIC 16 bits
+# (BENCH_NOTES r10).  bits = log2|C| + slack makes expected pairs
+# ~n_bands·|C|/2^(slack+1): linear in the corpus by construction.
+ADAPTIVE_BITS_FLOOR = 8
+ADAPTIVE_BITS_SLACK = 4
+BAND_STRIDE = 16
+
+
+def adaptive_band_bits(
+    n: int, floor: int = ADAPTIVE_BITS_FLOOR, slack: int = ADAPTIVE_BITS_SLACK
+) -> int:
+    """Corpus-size-derived bits per sign band: ``max(floor,
+    ceil(log2 n) + slack)``.  ``(n-1).bit_length()`` IS ceil(log2 n)
+    for every integer n ≥ 2 (exact — no float log), and matches the
+    oracle's ``CEIL(LOG2(n))`` bit-for-bit including exact powers of
+    two (see test_data_ops adaptive-bits parity test)."""
+    if n < 2:
+        return floor
+    return max(floor, (n - 1).bit_length() + slack)
+
+
+def sign_band_buckets_wrapped(
+    vec_col, n_bands: int = 4, bits: int = 16, stride: int = BAND_STRIDE
+):
+    """Per-band sign buckets with WRAPPED reads: the full sign string
+    (one char per component) is doubled and band b reads ``bits``
+    chars starting at ``(b·stride) mod d`` — so ``bits`` can exceed
+    the per-band share of the dimensionality (adaptive bits need
+    e.g. 19 bits/band over a 64-dim vector; disjoint 16-dim slices
+    cap out at 16).  With ``bits == stride`` and ``n_bands·stride ≤
+    d`` this is bucket-identical to :func:`sign_band_buckets`'s
+    disjoint slices (pinned by test).  Overlapping bands carry
+    correlated bits — fine for LSH: selectivity comes from bucket
+    width, recall from band count; neither needs independence."""
+    signs = F.concat_ws(
+        "",
+        F.transform(
+            vec_col,
+            lambda x: F.when(x.cast("double") >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+        ),
+    )
+    d = F.size(vec_col)
+    doubled = F.concat(signs, signs)
+    bands = []
+    for b in range(n_bands):
+        start = (F.lit(b * stride) % d) + F.lit(1)
+        # empty vectors would bucket to "" — NULL instead, equality
+        # joins drop NULL buckets (same contract as the disjoint path)
+        bands.append(F.when(d > 0, doubled.substr(start, F.lit(bits))))
+    return F.array(*bands)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -381,10 +439,11 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bands: int = 4,
-    bits_per_band: int = 16,
+    bits_per_band: int | str = 16,
     materialize: bool = True,
     max_bucket_size: int | None = None,
     stats: dict | None = None,
+    wrapped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share ANY
     sign band (multi-band LSH, see ``sign_band_buckets``), then exact
@@ -400,21 +459,49 @@ def embedding_dup_pairs(
     bytes each, so caching beats re-scanning the fat embedding
     column twice.
 
+    ``bits_per_band="auto"`` (THE scale path) derives the band width
+    from the corpus count via :func:`adaptive_band_bits` — 2^bits
+    tracks |C| so the uniform-load candidate-pair term
+    ~n_bands·|C|²/2^bits stays LINEAR in the corpus instead of
+    quadratic (a static 16 bits measured 124 → 25,241 pairs for 10×
+    vectors; the adaptive width is the fix for the growth a
+    hot-bucket cap can't address).  Costs one count() job up front
+    (count-only scan — no columns are read) and uses wrapped bands
+    (:func:`sign_band_buckets_wrapped`) so bits may exceed the
+    per-band share of the dimensionality.  The chosen width is
+    reported in ``stats['band_bits']``.
+
     ``max_bucket_size``: same degenerate-bucket guard as the text
     LSH paths (``dedup.DEFAULT_MAX_BUCKET_SIZE`` semantics) — a
     corpus with millions of identical/zero embeddings (failed encoder
     runs, default-initialized rows: common in real pipelines) puts
     them all in one sign bucket and the self-join goes quadratic.
-    Defaults to ``None`` (exact parity with the oracle at any
-    threshold); pass ``dedup.DEFAULT_MAX_BUCKET_SIZE`` in production
-    pipelines.  Dropped-bucket counters land in ``stats``."""
+    The adaptive width does NOT subsume the cap: identical vectors
+    share a bucket at ANY width.  Defaults to ``None`` (exact parity
+    with the oracle at any threshold); pass
+    ``dedup.DEFAULT_MAX_BUCKET_SIZE`` in production pipelines.
+    Dropped-bucket counters land in ``stats``."""
     from vcfdbr_spark.operators.dedup import cap_buckets_window
 
+    # ``wrapped`` forces the wrapped band layout for an explicit int
+    # width (callers that computed adaptive_band_bits themselves —
+    # e.g. to share one count() across several invocations); plain
+    # int + wrapped=False keeps the original disjoint slices
+    # bit-for-bit (existing fixtures/tests).
+    if bits_per_band == "auto":
+        bits = adaptive_band_bits(corpus.count())
+        if stats is not None:
+            stats["band_bits"] = bits
+        buckets = sign_band_buckets_wrapped(F.col(vec_col), n_bands, bits)
+    elif wrapped:
+        buckets = sign_band_buckets_wrapped(
+            F.col(vec_col), n_bands, int(bits_per_band)
+        )
+    else:
+        buckets = sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
     bb = corpus.select(
         F.col(id_col).alias("_vid"),
-        F.posexplode(
-            sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
-        ).alias("band", "bucket"),
+        F.posexplode(buckets).alias("band", "bucket"),
     )
     bb = cap_buckets_window(bb, ("band", "bucket"), max_bucket_size, stats)
     if materialize:
