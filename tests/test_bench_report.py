@@ -127,3 +127,38 @@ def test_bench_compact_line_fits_driver_tail_window():
     csmall = bench.compact_line(small)
     assert csmall["omitted"] == 0
     assert csmall["queries"] == small["queries"]
+
+
+def test_compact_line_stays_under_budget_as_keys_grow():
+    """r10 verdict item 8: the driver tails ~2,000 chars of output;
+    compact_line promises the serialized line fits COMPACT_BUDGET no
+    matter how many (or how long-named) bench keys exist, while
+    n_queries/omitted keep the truncation explicit.  200 keys with
+    adversarially long names must not crowd the envelope fields."""
+    import json
+
+    from bench import COMPACT_BUDGET, compact_line
+
+    timings = {
+        f"extremely_long_query_name_with_suffix_{i:04d}_and_padding": float(
+            i
+        )
+        / 7.0
+        for i in range(200)
+    }
+    full = {
+        "metric": "suite_seconds",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": timings,
+    }
+    line = compact_line(full)
+    assert len(json.dumps(line)) <= COMPACT_BUDGET
+    assert line["n_queries"] == 200
+    assert line["omitted"] == 200 - len(line["queries"])
+    assert line["omitted"] > 0  # 200 long keys cannot all fit
+    # most-expensive-first: every kept timing >= every omitted one
+    kept = set(line["queries"])
+    m = min(line["queries"].values())
+    assert all(timings[k] <= m for k in timings if k not in kept)

@@ -761,3 +761,8 @@ def test_split_corpus_deterministic_and_stable_under_growth(spark):
 
     with pytest.raises(ValueError):
         split_thresholds((("train", 0.9), ("val", 0.2)))
+    # EVERY fraction must be positive, including the remainder split:
+    # (.5, .5, 0.0) sums to 1 but would silently yield an empty
+    # 'test' split (ADVICE r10)
+    with pytest.raises(ValueError):
+        split_thresholds((("train", 0.5), ("val", 0.5), ("test", 0.0)))

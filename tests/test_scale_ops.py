@@ -652,3 +652,190 @@ def test_weighted_sample_rate_and_determinism(spark):
     light = s.filter(F.col("w") < 200).count() / df.filter(F.col("w") < 200).count()
     heavy = s.filter(F.col("w") >= 300).count() / df.filter(F.col("w") >= 300).count()
     assert light < heavy
+
+
+def test_adaptive_band_bits_matches_duckdb_formula():
+    """The Spark side computes the adaptive band width in Python
+    ((n-1).bit_length() + slack) while the oracle computes
+    GREATEST(floor, CEIL(LOG2(n)) + slack) in DuckDB SQL — the two
+    must agree for EVERY corpus size, including exact powers of two
+    and their neighbors (where float log2 could plausibly flip a
+    ceil)."""
+    import duckdb
+
+    from vcfdbr_spark.operators.similarity import (
+        ADAPTIVE_BITS_FLOOR,
+        ADAPTIVE_BITS_SLACK,
+        adaptive_band_bits,
+    )
+
+    ns = [1, 2, 3]
+    for k in range(2, 31):
+        ns += [2**k - 1, 2**k, 2**k + 1]
+    con = duckdb.connect()
+    for n in ns:
+        sql = (
+            f"SELECT GREATEST({ADAPTIVE_BITS_FLOOR}, "
+            f"CAST(ceil(log2({n})) AS INT) + {ADAPTIVE_BITS_SLACK})"
+        )
+        assert adaptive_band_bits(n) == con.execute(sql).fetchone()[0], n
+
+
+def test_wrapped_bands_match_disjoint_at_stride_width(spark):
+    """sign_band_buckets_wrapped(bits=stride) over a 64-dim vector
+    must produce bucket-identical output to the original disjoint
+    slices — the adaptive path is a strict generalization, not a
+    silent re-bucketing of existing fixtures."""
+    from vcfdbr_spark.operators.similarity import (
+        sign_band_buckets,
+        sign_band_buckets_wrapped,
+    )
+
+    vecs = spark.range(200).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda p: (F.xxhash64(F.col("id"), p) % 2001).cast("double")
+            / 1000.0,
+        ).alias("v"),
+    )
+    both = vecs.select(
+        "id",
+        sign_band_buckets(F.col("v"), 4, 16).alias("old"),
+        sign_band_buckets_wrapped(F.col("v"), 4, 16).alias("new"),
+    )
+    assert both.filter(F.col("old") != F.col("new")).count() == 0
+    # and wider-than-share widths wrap instead of truncating
+    wide = vecs.select(
+        sign_band_buckets_wrapped(F.col("v"), 4, 19).alias("w")
+    ).first()["w"]
+    assert all(len(b) == 19 for b in wide)
+
+
+def test_adaptive_bits_linear_candidates_on_isotropic_corpus(spark):
+    """THE scale property the adaptive width buys (r10 verdict item):
+    on an isotropic corpus (hash-generated components, no planted
+    structure) the banded self-join's candidate-pair count grows
+    ~LINEARLY with the corpus — 10x vectors => ~10x pairs, not the
+    ~100x a static width yields.  The sf-table curve cannot pin this
+    (the sf1 derivation plants sign-correlated jittered copies, i.e.
+    genuine near-dup mass); isotropic vectors isolate the uniform-
+    load collision term the formula controls."""
+    from vcfdbr_spark.operators.similarity import (
+        adaptive_band_bits,
+        sign_band_buckets_wrapped,
+    )
+
+    def cand_count(n: int) -> int:
+        vecs = spark.range(n).select(
+            F.col("id").alias("vid"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda p: (F.xxhash64(F.col("id"), p) % 2001).cast(
+                    "double"
+                )
+                / 1000.0,
+            ).alias("v"),
+        )
+        bits = adaptive_band_bits(n)
+        bb = vecs.select(
+            "vid",
+            F.posexplode(
+                sign_band_buckets_wrapped(F.col("v"), 4, bits)
+            ).alias("band", "bucket"),
+        )
+        return (
+            bb.selectExpr("band", "bucket", "vid AS a")
+            .join(
+                bb.selectExpr("band", "bucket", "vid AS b"),
+                ["band", "bucket"],
+            )
+            .filter("a < b")
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+
+    small, big = cand_count(1_500), cand_count(15_000)
+    assert small > 0  # non-degenerate: the small corpus does collide
+    # linear +/- noise; a static width would give ~100x here
+    assert big <= 30 * small, (small, big)
+
+
+def test_dedup_components_10k_chain_converges_in_log_rounds(spark):
+    """r10 verdict item 7: the operator docstring's '10,000-link
+    chain: 14+1 rounds' claim was empirical but untested.  A 10k
+    chain is the worst realistic diameter (every doc transitively
+    near-dups its neighbor — boilerplate ladders); edge contraction
+    must close it in O(log L) rounds, far under max_iter=20, and
+    label every vertex with the chain head."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    links = 10_000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(links)], "a long, b long"
+    )
+    stats: dict = {}
+    out = dedup_components(chain, stats=stats, materialize=False)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("keep_id") != 0).cast("long")).alias("bad"),
+    ).first()
+    assert agg["n"] == links + 1 and agg["bad"] == 0, agg
+    # 2*log2(10k) + slack = ~30; empirical is 14+1 — fail loudly if
+    # a refactor regresses the contraction to per-hop propagation
+    import math
+
+    budget = 2 * math.ceil(math.log2(links)) + 4
+    assert stats["rounds"] <= budget, stats
+
+
+def test_loop_checkpoint_bounds_the_size_estimate_across_rounds(spark):
+    """Pins the property that makes the 10k-chain test finish in
+    seconds instead of hours: Spark's ``checkpoint`` copies the
+    origin plan's estimated sizeInBytes into the checkpointed leaf,
+    and Catalyst's join estimator MULTIPLIES children — so an
+    iterated self-join loop's estimate compounds doubly-
+    exponentially (measured bit-length 40 → 117 → 349 → 1045 → 3133
+    → 9398 over six rounds; ~15 rounds = million-bit BigInts and
+    25+ min of driver CPU inside join selection).  loop_checkpoint
+    re-wraps the checkpointed RDD in a fresh LogicalRDD, resetting
+    the leaf to defaultSizeInBytes: the estimate must stay a
+    CONSTANT few hundred bits however many rounds run."""
+    from vcfdbr_spark.plans.checkpoints import loop_checkpoint
+
+    def bitlen(df) -> int:
+        s = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(s).bit_length()
+
+    labels, ck = loop_checkpoint(
+        spark.range(100).select("id", F.col("id").alias("comp"))
+    )
+    for _ in range(8):
+        labels, ck = loop_checkpoint(
+            labels.join(
+                labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("_d")
+                ),
+                "comp",
+                "left",
+            )
+            .join(
+                labels.select("id", F.col("comp").alias("_n")), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    "comp",
+                    F.coalesce("_d", "comp"),
+                    F.coalesce("_n", "comp"),
+                ).alias("comp"),
+            )
+        )
+        # fresh wrapper: exactly the 63-bit default leaf
+        assert bitlen(labels) <= 64
+        # ckpt handle: ONE round's bounded join product, never the
+        # compounded history (pre-fix this crosses 512 at round 4)
+        assert bitlen(ck) <= 512
+    # both frames read the same checkpointed rows
+    assert labels.count() == 100 and ck.count() == 100

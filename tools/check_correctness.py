@@ -5,16 +5,30 @@ an order-insensitive value comparison.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
        python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+       python tools/check_correctness.py --sf1 [--json OUT.json] [query ...]
 
 ``--json`` also writes a driver-style artifact: one record per query
 with rows_match / schema_match / hash_match / spark_rows /
 oracle_rows / err, so a full-surface local run can be committed
 alongside the driver's (possibly row-capped) CORRECTNESS_r*.json.
+
+``--sf1`` is the SCALE-TIER gate (r10 verdict item 1): round 9
+shipped a connected-components bug that returned 488 wrong keep_ids
+at sf1 while passing every sf0.01/sf0.1 oracle — iterative/component
+algorithms have scale-DEPENDENT correctness (round counts, caps,
+convergence) that small fixtures cannot exercise.  This mode derives
+the deterministic sf1 dataset via tools/make_sf1.py if absent
+(default /tmp/sf1, override $SPARK_GRAFT_SF1_DIR) and value-verifies
+the queries whose answers depend on iteration/convergence behavior
+(:data:`SF1_QUERIES`) against the same DuckDB oracles at 10x the
+largest shipped sf.  The resulting CORRECTNESS_SF1_r*.json is a
+committed per-round artifact alongside BENCH_sf1.
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 import time
 
@@ -27,6 +41,40 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+#: the scale-dependent family: connected components (round count /
+#: convergence), its three consumers, the incremental probe, and the
+#: capped paths (cap + adaptive band width are corpus-size-driven)
+SF1_QUERIES = [
+    "dedup_clusters",
+    "corpus_dedup",
+    "semantic_dedup",
+    "semantic_dedup_capped",
+    "embedding_dup_pairs",
+    "embedding_cap_skew",
+    "corpus_filter",
+    "dedup_incremental",
+]
+
+SF1_DEFAULT_DIR = "/tmp/sf1"
+
+
+def ensure_sf1_dir() -> str:
+    """Deterministic sf1 derivation (make_sf1.py is pure in its
+    inputs, so a rebuild reproduces the dataset bit-for-bit)."""
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", SF1_DEFAULT_DIR)
+    if not os.path.exists(os.path.join(sf1, "documents.parquet")):
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "make_sf1.py")
+        subprocess.run([sys.executable, tool, "--out", sf1], check=True)
+    return sf1
+
+
+def table_scan(sf_dir: str, table: str) -> str:
+    """parquet_scan pattern for one table: the shipped sf dirs are
+    single files, derived dirs (make_sf1.py, Spark writers) are
+    directories of part files."""
+    path = f"{sf_dir}/{table}.parquet"
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -46,11 +94,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    sf1_mode = False
+    while argv and argv[0] in ("--json", "--sf1"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+            argv = argv[2:]
+        else:
+            sf1_mode = True
+            argv = argv[1:]
+    if sf1_mode:
+        sf_dir = ensure_sf1_dir()
+        only = set(argv) or set(SF1_QUERIES)
+    else:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        only = set(argv[1:])
     import __spark_entry__ as e
     from vcfdbr_spark import get_spark
 
@@ -58,7 +115,7 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan({table_scan(sf_dir, t)})"
         )
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []

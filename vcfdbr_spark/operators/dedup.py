@@ -381,6 +381,18 @@ def dedup_components(
     contraction formulation, same round complexity as
     large-star/small-star).
 
+    Driver-cost shape (r11): every round checkpoints through
+    :func:`~vcfdbr_spark.plans.checkpoints.loop_checkpoint`, which
+    RESETS the checkpointed leaf's size estimate — Spark's
+    ``checkpoint`` otherwise copies the origin plan's estimated
+    ``sizeInBytes`` forward, and Catalyst's join estimator multiplies
+    children, so the estimate compounds doubly-exponentially with the
+    round count: at ~15 rounds the driver spent 25+ minutes
+    multiplying million-bit BigInts in join selection (a pure
+    PLANNING cost, invisible to any ≤8-round fixture — caught by the
+    10k-chain test).  With the reset, planning cost is O(1) per
+    round at any round count.
+
     Caching contract: loop intermediates are persisted per round and
     released before return.  With ``materialize`` (default) the
     RETURNED frame is persisted and eagerly materialized — callers
@@ -397,17 +409,18 @@ def dedup_components(
     a truncated component labeling is WRONG data (docs silently kept
     that should dedup away), never an acceptable fallback.
     """
+    from ..plans.checkpoints import loop_checkpoint
+
     # Canonical undirected edge list — ONE evaluation of the
     # (typically expensive, LSH+verify) upstream plan: checkpointed
     # up front, and each round's contracted version replaces it.
-    edges = (
+    edges, edges_ck = loop_checkpoint(
         pairs.select(
             F.least(F.col("a"), F.col("b")).alias("x"),
             F.greatest(F.col("a"), F.col("b")).alias("y"),
         )
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        .localCheckpoint()
     )
 
     # Iterative DataFrame algorithms MUST truncate lineage each round:
@@ -417,7 +430,12 @@ def dedup_components(
     # plan-description string blow up long before max_iter (observed:
     # driver OOM building explainString at ~8 rounds on a 40-chain).
     # localCheckpoint materializes the round eagerly and replaces the
-    # plan with a LogicalRDD scan: O(1) plan size every round.  The
+    # plan with a LogicalRDD scan: O(1) plan size every round — and
+    # loop_checkpoint additionally RESETS the checkpointed leaf's
+    # size ESTIMATE, which Spark otherwise copies from the origin
+    # plan and which compounds doubly-exponentially across rounds
+    # (25+ min of driver CPU multiplying million-bit BigInts at round
+    # ~15 — see plans/checkpoints.py::loop_checkpoint).  The
     # documented trade (same as GraphFrames' CC): checkpoint blocks
     # are not fault-tolerant — an executor loss mid-loop fails the
     # job and the caller re-runs (irrelevant on local mode, a retry
@@ -425,21 +443,21 @@ def dedup_components(
     def _release(df) -> None:
         # free a localCheckpoint's storage NOW (df.unpersist() only
         # talks to the CacheManager, which doesn't track checkpoint
-        # RDDs; without this they linger until JVM GC)
+        # RDDs; without this they linger until JVM GC).  Must be the
+        # CKPT handle from loop_checkpoint — the fresh wrapper's
+        # analyzed().rdd() is the converter view, not the blocks.
         try:
             df._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             pass  # best-effort: GC + ContextCleaner reclaim later
 
-    cached = (
+    labels, cached_ck = loop_checkpoint(
         edges.select(F.explode(F.array("x", "y")).alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
-    labels = cached
     rounds = 0
-    n_edges = edges.count()  # on the checkpointed blocks — no recompute
+    n_edges = edges_ck.count()  # on the checkpointed blocks — no recompute
 
     # --- contraction phase: loop while any edge still bridges two
     # label classes.  Invariants: comp(v) <= v (labels start as self
@@ -475,7 +493,7 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("_nc").alias("_nbr"))
         )
-        new_labels = (
+        new_labels, new_labels_ck = loop_checkpoint(
             labels.join(
                 # pointer doubling: v also reads comp(comp(v))
                 labels.select(
@@ -493,13 +511,12 @@ def dedup_components(
                     F.coalesce(F.col("_nbr"), F.col("comp")),
                 ).alias("comp"),
             )
-            .localCheckpoint()  # eager: materializes + truncates plan
         )
         # contract: rewrite edges onto the new labels, drop the ones
         # whose endpoints just merged, merge parallel edges — the live
         # graph shrinks geometrically, which is what makes the round
         # count O(log), not O(diameter)
-        new_edges = (
+        new_edges, new_edges_ck = loop_checkpoint(
             edges.join(
                 new_labels.select(F.col("id").alias("x"), F.col("comp").alias("_cx")),
                 "x",
@@ -514,13 +531,12 @@ def dedup_components(
                 F.greatest("_cx", "_cy").alias("y"),
             )
             .distinct()
-            .localCheckpoint()
         )
-        n_edges = new_edges.count()
-        _release(edges)
-        edges = new_edges
-        _release(cached)
-        cached = new_labels
+        n_edges = new_edges_ck.count()
+        _release(edges_ck)
+        edges, edges_ck = new_edges, new_edges_ck
+        _release(cached_ck)
+        cached_ck = new_labels_ck
         labels = new_labels
 
     # --- compression phase: edges are gone; labels form pointer
@@ -534,7 +550,7 @@ def dedup_components(
                 f"fixpoint within {2 * max_iter} total rounds"
             )
         rounds += 1
-        new_labels = (
+        new_labels, new_labels_ck = loop_checkpoint(
             labels.join(
                 labels.select(
                     F.col("id").alias("comp"), F.col("comp").alias("_dbl")
@@ -549,16 +565,15 @@ def dedup_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint()
         )
-        changed = new_labels.filter("_changed").count()
-        _release(cached)
-        cached = new_labels
+        changed = new_labels_ck.filter("_changed").count()
+        _release(cached_ck)
+        cached_ck = new_labels_ck
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
 
-    _release(edges)
+    _release(edges_ck)
     if stats is not None:
         stats["rounds"] = rounds
     out = labels.select(
@@ -567,9 +582,9 @@ def dedup_components(
     if materialize:
         out = out.persist()
         out.count()  # eager: downstream reads hit THIS cache only
-        _release(cached)  # final round's blocks no longer needed
-    # materialize=False: cached's checkpoint blocks stay — `out` reads
-    # through them; ContextCleaner reclaims on GC of the frame
+        _release(cached_ck)  # final round's blocks no longer needed
+    # materialize=False: cached_ck's checkpoint blocks stay — `out`
+    # reads through them; ContextCleaner reclaims on GC of the frame
     return out
 
 

@@ -42,3 +42,49 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     if has_checkpoint_dir(df):
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def loop_checkpoint(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Eager ``localCheckpoint`` for ITERATED algorithms: checkpoints
+    ``df`` and RESETS the checkpointed leaf's size estimate.
+
+    ``Dataset.checkpoint`` copies the origin plan's *estimated*
+    ``Statistics`` into the new ``LogicalRDD`` — harmless for a
+    one-shot checkpoint, a driver bomb in a loop.  Catalyst's
+    size-only estimator computes a join's ``sizeInBytes`` as the
+    PRODUCT of its children's, so when round N's plan joins round
+    N−1's checkpoint three times, ``log2(sizeInBytes)`` roughly
+    TRIPLES per round (measured: bit-length 40 → 117 → 349 → 1045 →
+    3133 → 9398 over six rounds).  The estimate is a ``BigInt``;
+    around round 13 it has millions of bits, and join selection
+    (``canBroadcastBySize`` → stats → BigInteger.multiply) pins the
+    driver for MINUTES per round — observed 25+ min of driver CPU
+    inside Karatsuba/ToomCook3 multiplication planning round ~15 of
+    :func:`~vcfdbr_spark.operators.dedup.dedup_components` on a
+    10,000-link chain.  The blowup is pure planning cost: it depends
+    only on the ROUND COUNT, not the data size, so small-fixture
+    tests (≤8 rounds) never see it.
+
+    Re-wrapping the checkpointed RDD in a fresh ``LogicalRDD`` (via
+    the JVM ``createDataFrame(RDD[Row], schema)``) drops the origin
+    stats: the leaf reverts to ``spark.sql.defaultSizeInBytes``
+    (Long.MaxValue), whose join products stay a constant few hundred
+    bits however many rounds run.  The plan-time cost of the huge
+    default is that loop-state joins are never AUTO-broadcast — the
+    right call anyway: AQE re-plans them from actual runtime shuffle
+    sizes, which a loop's shrinking state defeats estimate-wise.
+
+    Returns ``(fresh, ckpt)``: compose the next round's plan (and
+    count) on ``fresh``; hold ``ckpt`` ONLY to free the checkpoint
+    blocks afterwards (its ``analyzed().rdd()`` is the block-backed
+    RDD — see ``dedup_components``'s ``_release``).  Note ``fresh``
+    re-reads blocks through a Row→InternalRow converter (linear,
+    per-consumption); both frames return identical rows.
+    """
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    fresh = DataFrame(
+        ck.sparkSession._jsparkSession.createDataFrame(jdf.rdd(), jdf.schema()),
+        ck.sparkSession,
+    )
+    return fresh, ck
