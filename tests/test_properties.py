@@ -564,17 +564,14 @@ def _py_lm_scores(corpus: dict[int, str]):
     for did, bs in bigrams.items():
         if not bs:
             continue
-        total = sum(q[b] for b in bs)
-        # Spark's round(double, 6) is BigDecimal HALF_UP on the
-        # shortest decimal repr — NOT Python's round-half-even
-        from decimal import ROUND_HALF_UP, Decimal
-
-        bits = float(
-            Decimal(repr(-total / LM_QUANT / len(bs))).quantize(
-                Decimal("1e-6"), rounding=ROUND_HALF_UP
-            )
-        )
-        out[did] = (len(bs), bits)
+        # integer round-half-up of S/N micro-bits, then one exact
+        # integer-by-1e6 division — the engine-portable boundary rule
+        # lm_score and its DuckDB oracle both compute (r11: the
+        # float-path round(S/N/1e6, 6) was engine-dependent on exact
+        # half-micro-bit boundaries)
+        s, n = -sum(q[b] for b in bs), len(bs)
+        bits = ((2 * s + n) // (2 * n)) / LM_QUANT
+        out[did] = (n, bits)
     return out
 
 

@@ -2351,13 +2351,22 @@ model AS (
   FROM counts JOIN ctx USING (prev) CROSS JOIN v),
 db AS (
   SELECT doc_id, prev, cur, COUNT(*) AS k
-  FROM big GROUP BY doc_id, prev, cur)
-SELECT db.doc_id,
-       CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
-       round(-CAST(SUM(db.k * model.q) AS DOUBLE) / {_LM_QUANT}.0
-             / CAST(SUM(db.k) AS DOUBLE), 6) AS bits_per_bigram
-FROM db JOIN model USING (prev, cur)
-GROUP BY db.doc_id
+  FROM big GROUP BY doc_id, prev, cur),
+-- integer round-half-up of S/N micro-bits, then ONE exact
+-- integer-by-1e6 IEEE division: round(S/N/1e6, 6) is engine-
+-- dependent when S/N lands exactly on a half-micro-bit boundary
+-- (caught by the r11 sf1 gate: 3/34,050 docs) — operators/lm.py
+-- computes the identical integer expression
+sums AS (
+  SELECT db.doc_id,
+         CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(db.k * model.q) AS BIGINT) AS s
+  FROM db JOIN model USING (prev, cur)
+  GROUP BY db.doc_id)
+SELECT doc_id, n_bigrams,
+       CAST((2 * s + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+         / {_LM_QUANT}.0 AS bits_per_bigram
+FROM sums
 """
 
 

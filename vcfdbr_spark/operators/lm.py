@@ -50,6 +50,18 @@ is a ratio of exact integers, and IEEE requires correctly-rounded
 division, so both engines feed bit-identical doubles to ``log2``;
 only a last-ulp libm difference could flip a quantized value, and
 the 1e6 grid makes that a ~1e-8 event per distinct bigram.
+
+The FINAL per-doc average is rounded in exact integer arithmetic
+too: ``bits_per_bigram = ((2·S + N) div (2·N)) / 1e6`` where ``S`` =
+summed micro-bits and ``N`` = bigram count — integer round-half-up
+of the rational S/N, then one exact-integer-by-1e6 IEEE division.
+The naive ``round(S/N/1e6, 6)`` failed the r11 sf1 gate on 3 of
+34,050 docs: when S/N lands EXACTLY on a half-micro-bit boundary
+(S ≡ N/2 mod N), Spark rounds the decimal expansion of the nearest
+double (BigDecimal HALF_UP → may see ...49999 and round down) while
+DuckDB rounds ``x*1e6`` recomputed in double arithmetic (may see
+.5 exactly and round up) — engine-dependent answers on boundary
+docs, invisible at sf0.01/sf0.1 where no doc hits a boundary.
 """
 
 from __future__ import annotations
@@ -262,13 +274,24 @@ def lm_score(
                 ),
             )
         )
-    out = joined.groupBy(id_col).agg(
-        F.sum("k").cast("long").alias("n_bigrams"),
-        F.round(
-            -F.sum(F.col("k") * F.col("q")).cast("double")
-            / F.lit(float(LM_QUANT))
-            / F.sum("k").cast("double"),
-            6,
-        ).alias("bits_per_bigram"),
+    # integer round-half-up of S/N micro-bits, THEN one exact
+    # integer-by-1e6 division — boundary-deterministic across engines
+    # (see module docstring, "Float determinism")
+    out = (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("k") * F.col("q"))).cast("long").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.expr("(2 * _s + n_bigrams) div (2 * n_bigrams)").cast(
+                    "double"
+                )
+                / F.lit(float(LM_QUANT))
+            ).alias("bits_per_bigram"),
+        )
     )
     return out
