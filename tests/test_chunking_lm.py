@@ -176,31 +176,28 @@ def test_lm_score_pretrained_model_context_aware_miss(spark):
 def test_lm_train_materialize_releases_intermediates(spark):
     """materialize=True leaves exactly ONE net cache — the returned
     model (the reusable index; caller releases) — not the counts
-    intermediate.  Measured as a DELTA: earlier tests in the session
-    may leave ContextCleaner-managed localCheckpoint RDDs (released
-    asynchronously on GC), so the absolute persistent-RDD count is
-    not ours to assert."""
-    import gc
+    intermediate.  Compared as ID SETS, not counts: earlier tests in
+    the session leave ContextCleaner-managed localCheckpoint RDDs
+    that are released asynchronously on GC, so old ids may VANISH
+    mid-test (a count delta once read −2 from exactly that race);
+    only the NEW ids are ours to assert."""
 
-    import time
+    def rdd_ids() -> set[int]:
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
     spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    # settle: GC + wait until the persistent-RDD count stops moving
-    before = jsc.getPersistentRDDs().size()
-    for _ in range(10):
-        gc.collect()
-        time.sleep(0.2)
-        now = jsc.getPersistentRDDs().size()
-        if now == before:
-            break
-        before = now
+    before = rdd_ids()
     docs = _docs(spark, [(1, "a b a c"), (2, "b a b c")])
     model = train_bigram_model(doc_bigrams(docs), materialize=True)
-    cached = jsc.getPersistentRDDs().size() - before
-    assert cached == 1, f"expected only the model net-cached, got +{cached}"
+    new = rdd_ids() - before
+    assert len(new) == 1, f"expected only the model net-cached, got {new}"
     model.unpersist(True)
-    assert jsc.getPersistentRDDs().size() - before <= 0
+    assert not (rdd_ids() - before)
 
 
 def test_lm_model_probabilities_sum_below_one(spark):
