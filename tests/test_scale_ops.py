@@ -762,6 +762,123 @@ def test_adaptive_bits_linear_candidates_on_isotropic_corpus(spark):
     assert big <= 30 * small, (small, big)
 
 
+def test_adaptive_band_count_formula_and_case_parity():
+    """The recall-targeted band count (similarity.adaptive_band_count)
+    is derived with float math in Python ONLY; the oracle consumes a
+    generated integer CASE lookup (entry_queries._band_count_case).
+    Pin (a) hand-computed values at the production threshold, (b)
+    floor/cap clamps and monotonicity, and (c) bit-for-bit parity of
+    the SQL lookup with the Python function across every width the
+    bits formula can produce for corpora up to 2^44."""
+    import duckdb
+
+    from vcfdbr_spark.entry_queries import _band_count_case
+    from vcfdbr_spark.operators.similarity import (
+        ADAPTIVE_BANDS_CAP,
+        ADAPTIVE_BANDS_FLOOR,
+        adaptive_band_count,
+    )
+
+    # hand-checked: p(0.95)=0.8989, n = ceil(ln0.1/ln(1-p^bits))
+    assert adaptive_band_count(16, 0.95) == 12
+    assert adaptive_band_count(19, 0.95) == 17
+    assert adaptive_band_count(28, 0.95) == 45
+    assert adaptive_band_count(8, 0.99) == ADAPTIVE_BANDS_FLOOR
+    assert adaptive_band_count(48, 0.95) == ADAPTIVE_BANDS_CAP
+    # sign-LSH cannot cheaply recall barely-correlated pairs: loose
+    # thresholds saturate the cap instead of going quadratic
+    assert adaptive_band_count(8, 0.2) == ADAPTIVE_BANDS_CAP
+    prev = 0
+    for bits in range(8, 49):
+        n = adaptive_band_count(bits, 0.95)
+        assert ADAPTIVE_BANDS_FLOOR <= n <= ADAPTIVE_BANDS_CAP
+        assert n >= prev  # monotone in bits (q shrinks, need grows)
+        prev = n
+    con = duckdb.connect()
+    case = _band_count_case(0.95)
+    for bits in range(8, 49):
+        got = con.execute(
+            f"SELECT {case} FROM (SELECT {bits} AS bits)"
+        ).fetchone()[0]
+        assert got == adaptive_band_count(bits, 0.95), bits
+
+
+def test_auto_band_count_restores_recall_at_wide_bits(spark):
+    """THE property the auto band count buys (the recall half of the
+    adaptive-width policy): at the band width a ~16M-vector corpus
+    would get (28 bits), a FIXED 4-band count finds well under half
+    of the true >=0.95-cosine pairs, while n_bands="auto" (45 bands
+    at this width/threshold) holds recall at the 0.9 target.
+
+    Fixture: 60 planted near-dup pairs in 256 dims with noise sized
+    so pair cosines straddle ~0.95 and sign agreement is ~0.93/bit —
+    pairs AT the detection threshold, the regime the target is
+    defined for (the existing planted-cluster fixture's siblings
+    share EVERY sign, which any band count finds).  Ground truth is
+    exhaustive quantized cosine in numpy — same x1000-integer dot
+    and 6dp rounding as the engine, so the threshold cut is
+    identical."""
+    import math
+    import random
+
+    from vcfdbr_spark.operators.similarity import (
+        adaptive_band_count,
+        embedding_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    dim, n_pairs, n_distract, delta = 256, 60, 60, 0.3
+    rows, vid = [], 0
+    for _ in range(n_pairs):
+        base = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        rows.append((vid, base))
+        rows.append(
+            (vid + 1, [x + rng.uniform(-delta, delta) for x in base])
+        )
+        vid += 2
+    for _ in range(n_distract):
+        rows.append((vid, [rng.uniform(-1.0, 1.0) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # exhaustive ground truth with the engine's integer quantization
+    qv = {i: [round(x * 1000) for x in v] for i, v in rows}
+    truth = set()
+    ids = sorted(qv)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            va, vb = qv[a], qv[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            if round(dot / (na * nb), 6) >= 0.95:
+                truth.add((a, b))
+    assert len(truth) >= 20  # enough mass for a meaningful recall
+
+    def recall(nb) -> float:
+        got = {
+            (r["a"], r["b"])
+            for r in embedding_dup_pairs(
+                emb,
+                threshold=0.95,
+                n_bands=nb,
+                bits_per_band=28,
+                wrapped=True,
+                materialize=False,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert adaptive_band_count(28, 0.95) == 45
+    fixed, auto = recall(4), recall("auto")
+    assert auto >= 0.9, f"auto-band recall below target: {auto:.3f}"
+    assert fixed <= auto - 0.2, (
+        f"fixed-4 recall {fixed:.3f} vs auto {auto:.3f}: the gap the "
+        "auto count exists to close has disappeared — fixture drift?"
+    )
+
+
 def test_dedup_components_10k_chain_converges_in_log_rounds(spark):
     """r10 verdict item 7: the operator docstring's '10,000-link
     chain: 14+1 rounds' claim was empirical but untested.  A 10k

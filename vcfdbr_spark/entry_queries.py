@@ -2745,6 +2745,154 @@ WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.2
 """
 
 
+def _band_count_case(threshold: float) -> str:
+    """bits → recall-targeted band count as a generated integer
+    lookup (the DuckDB twin of ``similarity.adaptive_band_count``):
+    the float derivation (acos/log1p/ceil) runs ONLY in Python, at
+    SQL-string-build time — both engines consume its integer RESULT,
+    so no cross-engine libm rounding boundary exists by construction
+    (same policy that kept adaptive bits exact via bit_length /
+    CEIL(LOG2) parity).  The count is monotone in bits, so the CASE
+    enumerates widths up to where it saturates and ELSEs the cap."""
+    from vcfdbr_spark.operators.similarity import (
+        ADAPTIVE_BANDS_CAP,
+        ADAPTIVE_BITS_FLOOR,
+        adaptive_band_count,
+    )
+
+    whens, b = [], ADAPTIVE_BITS_FLOOR
+    while b < 64:
+        n = adaptive_band_count(b, threshold)
+        whens.append(f"WHEN {b} THEN {n}")
+        if n >= ADAPTIVE_BANDS_CAP:
+            break
+        b += 1
+    return "CASE bits " + " ".join(whens) + f" ELSE {ADAPTIVE_BANDS_CAP} END"
+
+
+def _emb_bands_recall(table: str, threshold: float) -> str:
+    """Band rows for the FULLY adaptive dup-pairs path: width from
+    COUNT(*) (``_emb_bands_auto``'s bits formula) AND band count
+    from the recall target at ``threshold`` (``_band_count_case``),
+    band b reading ``bits`` chars of the doubled sign string at
+    offset ``(b·ADAPTIVE_BAND_STRIDE) mod d`` — the coprime stride
+    keeps every band's window distinct (stride 16 on d=64 would
+    alias bands ≥ 4 onto the first four windows, adding cost but
+    zero recall)."""
+    from vcfdbr_spark.operators.similarity import (
+        ADAPTIVE_BAND_STRIDE,
+        ADAPTIVE_BITS_FLOOR,
+        ADAPTIVE_BITS_SLACK,
+    )
+
+    sign = (
+        "list_aggregate(list_transform(embedding, "
+        "x -> CASE WHEN CAST(x AS DOUBLE) >= 0 THEN '1' ELSE '0' END), "
+        "'string_agg', '')"
+    )
+    return f"""
+  SELECT vec_id, band,
+         CASE WHEN d > 0
+              THEN substr(ss || ss, ((band * {ADAPTIVE_BAND_STRIDE}) % d) + 1, bits)
+         END AS bucket
+  FROM (SELECT vec_id, {sign} AS ss, len(embedding) AS d FROM {table}) v
+  CROSS JOIN (
+    SELECT bits,
+           unnest(generate_series(0, ({_band_count_case(threshold)}) - 1)) AS band
+    FROM (SELECT GREATEST({ADAPTIVE_BITS_FLOOR},
+                          CAST(ceil(log2(count(*))) AS INT)
+                          + {ADAPTIVE_BITS_SLACK}) AS bits
+          FROM {table})) k"""
+
+
+# planted one-sign-flip near-dups: a copy of row v negating
+# component (v mod d) has cosine 1 − 2x_k²/‖x‖² ≈ 0.97 for isotropic
+# 64-dim data — STRADDLING the 0.95 threshold, so the exact-verify
+# stage does real discriminating work — and sign distance exactly
+# one bit, so banding finds every pair whose windows don't all cover
+# the flipped position.  Pure integer construction (no RNG): the
+# oracle builds the identical union in SQL.
+_NEARDUP_ID_BASE = 20_000_000
+_NEARDUP_MOD = 5
+
+
+def _neardup_embeddings(spark, sf_dir):
+    """The embeddings table plus a one-component-sign-flip copy of
+    every ``_NEARDUP_MOD``-th row under fresh ids (see module
+    comment above) — the deterministic high-cosine planted pairs
+    that give the recall-targeted banding path a NONZERO,
+    value-checkable answer (the synthetic embeddings are isotropic:
+    no natural pair reaches 0.95 cosine at any shipped sf)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.size(F.col("embedding"))
+    k0 = (F.col("vec_id") % d).cast("int")
+    planted = emb.filter(F.col("vec_id") % _NEARDUP_MOD == 0).select(
+        (F.lit(_NEARDUP_ID_BASE) + F.col("vec_id")).cast("long").alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == k0, -x).otherwise(x)
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    return emb.unionByName(planted.select(*emb.columns))
+
+
+def q_embedding_dup_pairs_recall(spark, sf_dir):
+    """Near-dup pairs on the FULLY adaptive sign-LSH path — width
+    AND band count derived from the corpus (``bits_per_band="auto",
+    n_bands="auto"``) at a TRUE near-dup threshold (0.95), over the
+    planted one-flip pairs (``_neardup_embeddings``).
+
+    This is the driver-evidence query for the recall-targeted band
+    count (similarity.adaptive_band_count): the adaptive width keeps
+    candidate growth linear but shrinks per-band collision odds
+    p^bits, so a fixed 4-band count loses recall as the corpus grows
+    (sf1 measured: pairs 16,717 → 7,511 when bands widened 16 → 19
+    bits).  The auto count restores P(found) ≥ 0.9 at the threshold
+    — the textbook |C|^(1+ρ) LSH trade — and the oracle derives the
+    SAME (bits, n_bands, offsets) from COUNT(*) + a generated
+    integer lookup, no per-sf constants.
+
+    materialize=False: zero-net-cache-per-invocation registry
+    contract (one consuming action; exchange reuse covers the
+    banded self-join's shared subtree)."""
+    from vcfdbr_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _neardup_embeddings(spark, sf_dir),
+        threshold=0.95,
+        materialize=False,
+        bits_per_band="auto",
+        n_bands="auto",
+    )
+
+
+_NEARDUP_SQL = f"""
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT {_NEARDUP_ID_BASE} + vec_id AS vec_id,
+         list_transform(embedding,
+           (x, i) -> CASE WHEN i = (vec_id % len(embedding)) + 1
+                          THEN -x ELSE x END) AS embedding,
+         label
+  FROM embeddings WHERE vec_id % {_NEARDUP_MOD} = 0"""
+
+SQL_EMBEDDING_DUP_PAIRS_RECALL = f"""
+WITH nd AS ({_NEARDUP_SQL}),
+bands AS ({_emb_bands_recall('nd', 0.95)}),
+base AS (
+  SELECT vec_id, {_EMB_QUANT} AS v,
+         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
+  FROM nd),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT a, b, {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} AS score
+FROM cand JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
+WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.95
+"""
+
+
 # planted degenerate cluster: DEFAULT_MAX_BUCKET_SIZE + 20 + the donor
 # itself occupy ONE sign bucket per band — over the cap at every sf
 _SKEW_EXTRA = DEFAULT_MAX_BUCKET_SIZE + 20
@@ -3219,6 +3367,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     # code changed this round / new (see rotation comment above):
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_recall": q_embedding_dup_pairs_recall,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_capped": q_semantic_dedup_capped,
     "embedding_cap_skew": q_embedding_cap_skew,
@@ -3352,6 +3501,7 @@ ORACLE: dict[str, str] = {
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_cap_skew": SQL_EMBEDDING_CAP_SKEW,
+    "embedding_dup_pairs_recall": SQL_EMBEDDING_DUP_PAIRS_RECALL,
     "pii_scrub": SQL_PII_SCRUB,
     "repeated_passages": SQL_REPEATED_PASSAGES,
 }

@@ -18,6 +18,8 @@ stable ranking everywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -144,6 +146,60 @@ def adaptive_band_bits(
     if n < 2:
         return floor
     return max(floor, (n - 1).bit_length() + slack)
+
+
+# recall-targeted band count (the other half of the adaptive-width
+# policy): widening the bands to hold candidate growth linear
+# (adaptive_band_bits) LOWERS the per-band collision probability
+# p^bits of a true near-dup pair at the detection threshold, so a
+# FIXED band count silently loses recall as the corpus grows —
+# measured at sf1: final pairs 16,717 → 7,511 when 16-bit bands
+# became 19-bit (BENCH_NOTES r11).  Classic LSH tuning closes it:
+# pick the smallest n_bands with 1−(1−p^bits)^n_bands ≥ recall, so
+# bands grow ~(1/p)^bits ≈ |C|^(log2(1/p)) and total candidate work
+# is |C|^(1+ρ) — sub-quadratic, the textbook LSH exponent — instead
+# of either quadratic (static width) or recall-decaying (static
+# count).  ADAPTIVE_BANDS_CAP bounds the multiplier; past it (bits ≳
+# 32 at threshold 0.95, a ~10⁹-vector corpus) recall decays again
+# and raising the cap — linear cost — is the intended lever.
+ADAPTIVE_BANDS_FLOOR = 4
+ADAPTIVE_BANDS_CAP = 64
+ADAPTIVE_RECALL_TARGET = 0.9
+# auto-band offsets step by 17, not BAND_STRIDE=16: offsets
+# (b·stride) mod d must be DISTINCT or extra bands re-read the same
+# sign window and add zero recall — stride 16 on d=64 yields only 4
+# distinct windows, while gcd(17, d)=1 for every power-of-two /
+# common embedding dim, giving d distinct windows.
+ADAPTIVE_BAND_STRIDE = 17
+
+
+def collision_prob(threshold: float) -> float:
+    """Per-sign-bit collision probability of a pair at exactly
+    ``threshold`` cosine under hyperplane LSH: 1 − θ/π (Goemans–
+    Williamson / Charikar's SimHash bound, public textbook result)."""
+    return 1.0 - math.acos(threshold) / math.pi
+
+
+def adaptive_band_count(
+    bits: int,
+    threshold: float,
+    recall_target: float = ADAPTIVE_RECALL_TARGET,
+    floor: int = ADAPTIVE_BANDS_FLOOR,
+    cap: int = ADAPTIVE_BANDS_CAP,
+) -> int:
+    """Smallest band count holding ``P(≥1 band collides) ≥
+    recall_target`` for a pair at ``threshold`` cosine given
+    ``bits``-wide bands: ``ceil(log(1−recall)/log(1−p^bits))``,
+    clamped to [floor, cap].  Python-only float math — the oracle
+    side embeds the RESULT as a generated integer lookup over bits
+    (entry_queries._band_count_case), never re-deriving it in SQL,
+    so there is no cross-engine libm boundary to disagree on."""
+    p = collision_prob(threshold)
+    q = p**bits
+    if q >= 1.0:
+        return floor
+    need = math.log1p(-recall_target) / math.log1p(-q)
+    return max(floor, min(cap, math.ceil(need)))
 
 
 def sign_band_buckets_wrapped(
@@ -438,7 +494,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 4,
+    n_bands: int | str = 4,
     bits_per_band: int | str = 16,
     materialize: bool = True,
     max_bucket_size: int | None = None,
@@ -471,6 +527,22 @@ def embedding_dup_pairs(
     per-band share of the dimensionality.  The chosen width is
     reported in ``stats['band_bits']``.
 
+    ``n_bands="auto"`` closes the adaptive width's recall side:
+    wider bands shrink the per-band collision probability p^bits of
+    a TRUE pair at ``threshold``, so a fixed 4-band count loses
+    recall as the corpus (hence bits) grows.  The auto count is the
+    smallest n with 1−(1−p^bits)^n ≥ :data:`ADAPTIVE_RECALL_TARGET`
+    (:func:`adaptive_band_count`), giving the textbook |C|^(1+ρ)
+    LSH cost instead of recall decay; the chosen count lands in
+    ``stats['band_count']`` and band offsets step by the coprime
+    :data:`ADAPTIVE_BAND_STRIDE` so every band reads a distinct
+    sign window.  Meaningful for near-dup thresholds (≥ ~0.8); at
+    loose thresholds the required count hits
+    :data:`ADAPTIVE_BANDS_CAP` (sign-LSH cannot cheaply recall
+    barely-correlated pairs — use the capped count knowingly or a
+    banded-candidates-as-definition query like the 0.2-threshold
+    bench entries).
+
     ``max_bucket_size``: same degenerate-bucket guard as the text
     LSH paths (``dedup.DEFAULT_MAX_BUCKET_SIZE`` semantics) — a
     corpus with millions of identical/zero embeddings (failed encoder
@@ -492,13 +564,25 @@ def embedding_dup_pairs(
         bits = adaptive_band_bits(corpus.count())
         if stats is not None:
             stats["band_bits"] = bits
+    else:
+        bits = int(bits_per_band)
+    if n_bands == "auto":
+        # recall-targeted count at THIS query's threshold (see
+        # adaptive_band_count): bands step by the coprime
+        # ADAPTIVE_BAND_STRIDE so every band reads a distinct sign
+        # window even when n_bands·stride exceeds the dimensionality.
+        bands_n = adaptive_band_count(bits, threshold)
+        if stats is not None:
+            stats["band_count"] = bands_n
+        buckets = sign_band_buckets_wrapped(
+            F.col(vec_col), bands_n, bits, stride=ADAPTIVE_BAND_STRIDE
+        )
+    elif bits_per_band == "auto":
         buckets = sign_band_buckets_wrapped(F.col(vec_col), n_bands, bits)
     elif wrapped:
-        buckets = sign_band_buckets_wrapped(
-            F.col(vec_col), n_bands, int(bits_per_band)
-        )
+        buckets = sign_band_buckets_wrapped(F.col(vec_col), n_bands, bits)
     else:
-        buckets = sign_band_buckets(F.col(vec_col), n_bands, bits_per_band)
+        buckets = sign_band_buckets(F.col(vec_col), n_bands, bits)
     bb = corpus.select(
         F.col(id_col).alias("_vid"),
         F.posexplode(buckets).alias("band", "bucket"),
