@@ -77,6 +77,7 @@ DATA_QUERIES = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_recall",
     "semantic_dedup",
     "semantic_dedup_capped",
     "corpus_filter",

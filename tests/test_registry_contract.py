@@ -82,3 +82,32 @@ def test_committed_artifacts_only_name_registered_queries():
     latest = rounds[max(rounds)]
     unknown = sorted(latest - set(QUERIES))
     assert not unknown, f"latest driver artifact names unregistered keys: {unknown}"
+
+
+def test_sf1_gate_keys_are_registered_and_cover_iterative_family():
+    """The scale-tier gate (tools/check_correctness.py --sf1) only
+    catches r9-CC-style silent-wrong-at-scale bugs if its key list
+    stays wired to the registry: every SF1 key must exist in
+    QUERIES/ORACLES, and the iteration/convergence-dependent core —
+    connected components and every registered consumer of it, plus
+    the corpus-size-adaptive banding paths — must be in the gate.
+    A future round that renames a key or adds a CC consumer without
+    gating it fails here, not at the next sf1 incident."""
+    from tools.check_correctness import SF1_QUERIES
+
+    unknown = [k for k in SF1_QUERIES if k not in QUERIES or k not in ORACLE]
+    assert not unknown, f"sf1 gate names unregistered keys: {unknown}"
+    required = {
+        "dedup_clusters",      # connected components itself
+        "corpus_dedup",        # CC consumer (MinHash)
+        "semantic_dedup",      # CC consumer (embedding)
+        "semantic_dedup_capped",
+        "dedup_keep_best",     # CC consumer (quality keep)
+        "corpus_filter",       # CC consumer (capstone)
+        "dedup_incremental",   # incremental probe vs stored index
+        "embedding_dup_pairs",         # corpus-size-adaptive width
+        "embedding_dup_pairs_recall",  # + corpus-size-adaptive count
+        "embedding_cap_skew",  # cap-effect at scale
+    }
+    missing = required - set(SF1_QUERIES)
+    assert not missing, f"iterative/adaptive family missing from sf1 gate: {missing}"

@@ -51,9 +51,11 @@ SF1_QUERIES = [
     "semantic_dedup",
     "semantic_dedup_capped",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_recall",
     "embedding_cap_skew",
     "corpus_filter",
     "dedup_incremental",
+    "dedup_keep_best",
 ]
 
 SF1_DEFAULT_DIR = "/tmp/sf1"

@@ -3331,12 +3331,14 @@ QUERIES: dict[str, QueryFn] = {
     # (adaptive band-bits — candidate sets change at every sf),
     # corpus_filter (lm auto-gate + eager_checkpoint; values
     # unchanged, executed code is new), split_corpus (full fraction
-    # validation; values unchanged), and the NEW embedding_cap_skew
-    # (planted-cluster cap-EFFECT evidence, first driver row).  The
-    # remaining 16 slots keep r10-green keys from the dedup/ANN
-    # family.  Every key displaced to the tail is green in
-    # CORRECTNESS_r10.json, so all 79 registered queries hold a
-    # driver-artifact green row within the 2-round window.
+    # validation; values unchanged), the NEW embedding_cap_skew
+    # (planted-cluster cap-EFFECT evidence, first driver row), and
+    # the NEW embedding_dup_pairs_recall (recall-targeted band
+    # count, first driver row).  The remaining slots keep r10-green
+    # keys from the dedup/ANN family.  Every key displaced to the
+    # tail is green in CORRECTNESS_r10.json, so all 80 registered
+    # queries hold a driver-artifact green row within the 2-round
+    # window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
