@@ -803,6 +803,30 @@ def test_adaptive_band_count_formula_and_case_parity():
         assert got == adaptive_band_count(bits, 0.95), bits
 
 
+def test_band_count_cap_saturation_is_observable():
+    """Past the cap the recall target is NOT met (bits ≳ 32 at 0.95
+    ⇒ ~10⁹ vectors) — est_recall/band_count_capped in the stats dict
+    must say so loudly rather than leaving it to a downstream
+    quality audit (the silent-degradation-at-scale failure class the
+    r9 CC bug taught)."""
+    from vcfdbr_spark.operators.similarity import (
+        ADAPTIVE_BANDS_CAP,
+        ADAPTIVE_RECALL_TARGET,
+        adaptive_band_count,
+        estimated_band_recall,
+    )
+
+    # below saturation the chosen count meets the target by design
+    for bits in (16, 19, 28):
+        n = adaptive_band_count(bits, 0.95)
+        assert n < ADAPTIVE_BANDS_CAP
+        assert estimated_band_recall(bits, n, 0.95) >= ADAPTIVE_RECALL_TARGET
+    # at saturation it visibly does not
+    n = adaptive_band_count(40, 0.95)
+    assert n == ADAPTIVE_BANDS_CAP
+    assert estimated_band_recall(40, n, 0.95) < ADAPTIVE_RECALL_TARGET
+
+
 def test_auto_band_count_restores_recall_at_wide_bits(spark):
     """THE property the auto band count buys (the recall half of the
     adaptive-width policy): at the band width a ~16M-vector corpus

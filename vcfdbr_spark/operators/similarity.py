@@ -202,6 +202,16 @@ def adaptive_band_count(
     return max(floor, min(cap, math.ceil(need)))
 
 
+def estimated_band_recall(bits: int, n_bands: int, threshold: float) -> float:
+    """Model recall 1−(1−p^bits)^n_bands for a pair at exactly
+    ``threshold`` cosine — the number :func:`adaptive_band_count`
+    targets.  Exposed so callers (and ``embedding_dup_pairs`` stats)
+    can SEE when the cap has been hit and the target is no longer
+    met, instead of discovering it in a downstream quality audit."""
+    q = collision_prob(threshold) ** bits
+    return 1.0 - (1.0 - q) ** n_bands
+
+
 def sign_band_buckets_wrapped(
     vec_col, n_bands: int = 4, bits: int = 16, stride: int = BAND_STRIDE
 ):
@@ -574,6 +584,14 @@ def embedding_dup_pairs(
         bands_n = adaptive_band_count(bits, threshold)
         if stats is not None:
             stats["band_count"] = bands_n
+            # est_recall < target ⟺ the count saturated at the cap
+            # (bits ≳ 32 at threshold 0.95 ⇒ ~10⁹ vectors): the
+            # loud signal that raising ADAPTIVE_BANDS_CAP — linear
+            # cost — is now the correct knob
+            stats["est_recall"] = round(
+                estimated_band_recall(bits, bands_n, threshold), 4
+            )
+            stats["band_count_capped"] = bands_n >= ADAPTIVE_BANDS_CAP
         buckets = sign_band_buckets_wrapped(
             F.col(vec_col), bands_n, bits, stride=ADAPTIVE_BAND_STRIDE
         )
