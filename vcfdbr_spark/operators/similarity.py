@@ -198,6 +198,8 @@ def adaptive_band_count(
     q = p**bits
     if q >= 1.0:
         return floor
+    if q <= 0.0:  # p == 0 (threshold −1): no count can reach the target
+        return cap
     need = math.log1p(-recall_target) / math.log1p(-q)
     return max(floor, min(cap, math.ceil(need)))
 
