@@ -78,6 +78,7 @@ DATA_QUERIES = [
     "embedding_ivf_topk",
     "embedding_dup_pairs",
     "embedding_dup_pairs_recall",
+    "embedding_dedup_incremental",
     "semantic_dedup",
     "semantic_dedup_capped",
     "corpus_filter",

@@ -480,3 +480,96 @@ def test_lm_selftrained_plan_scans_corpus_once_when_gated_on():
     plan_off = df_off._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" not in plan_off, plan_off
     assert plan_off.count("FileScan parquet") >= 3, plan_off
+
+
+def test_cli_emb_index_probe_append_and_guards(spark, tmp_path):
+    """emb-index → emb-probe --append-index → emb-probe again: the
+    second probe sees the first batch through the index at the
+    PINNED (bits, n_bands); pairs equal a from-scratch batch run at
+    the same parameters restricted to pairs touching the probed
+    batch.  Guards: appending bands built at different parameters is
+    refused, and a probe whose --corpus is missing an appended id
+    RAISES instead of silently dropping the pair."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vcfdbr_spark.operators.similarity import (
+        embedding_band_index,
+        embedding_dup_pairs,
+        incremental_embedding_dup_pairs,
+        read_embedding_band_index,
+        write_embedding_band_index,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def flipped(mod_val: int, id_base: int):
+        d = F.size(F.col("embedding"))
+        k0 = (F.col("vec_id") % d).cast("int")
+        return base.filter(F.col("vec_id") % 10 == mod_val).select(
+            (F.lit(id_base) + F.col("vec_id")).cast("long").alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x, i: F.when(i == k0, -x).otherwise(x)
+            ).alias("embedding"),
+            F.col("label"),
+        )
+
+    b1, b2 = flipped(0, 20_000_000), flipped(5, 30_000_000)
+    base.write.parquet(str(tmp_path / "base.parquet"))
+    b1.select(*base.columns).write.parquet(str(tmp_path / "b1.parquet"))
+    b2.select(*base.columns).write.parquet(str(tmp_path / "b2.parquet"))
+    base.unionByName(b1.select(*base.columns)).write.parquet(
+        str(tmp_path / "base_b1.parquet")
+    )
+    idx = str(tmp_path / "eidx")
+
+    assert cli_main(
+        ["emb-index", "--vecs", str(tmp_path / "base.parquet"), "--out", idx]
+    ) == 0
+    assert cli_main(
+        ["emb-probe", "--vecs", str(tmp_path / "b1.parquet"),
+         "--index", idx, "--corpus", str(tmp_path / "base.parquet"),
+         "--out", str(tmp_path / "p1"), "--append-index",
+         "--max-bucket-size", "0"]
+    ) == 0
+    assert cli_main(
+        ["emb-probe", "--vecs", str(tmp_path / "b2.parquet"),
+         "--index", idx, "--corpus", str(tmp_path / "base_b1.parquet"),
+         "--out", str(tmp_path / "p2"), "--max-bucket-size", "0"]
+    ) == 0
+
+    _, bits, n_bands = read_embedding_band_index(spark, idx)
+    full = base.unionByName(b1.select(*base.columns)).unionByName(
+        b2.select(*base.columns)
+    )
+    allp = {
+        (r["a"], r["b"])
+        for r in embedding_dup_pairs(
+            full, threshold=0.95, n_bands=n_bands, bits_per_band=bits,
+            wrapped=True, materialize=False,
+        ).collect()
+    }
+    got1 = {(r["a"], r["b"]) for r in spark.read.parquet(str(tmp_path / "p1")).collect()}
+    got2 = {(r["a"], r["b"]) for r in spark.read.parquet(str(tmp_path / "p2")).collect()}
+    in1 = lambda i: 20_000_000 <= i < 30_000_000
+    in2 = lambda i: i >= 30_000_000
+    want1 = {p for p in allp if (in1(p[0]) or in1(p[1]))
+             and not in2(p[0]) and not in2(p[1])}
+    want2 = {p for p in allp if in2(p[0]) or in2(p[1])}
+    assert got1 == want1 and len(got1) > 0
+    assert got2 == want2 and len(got2) > 0
+
+    # appending bands pinned at DIFFERENT parameters is refused
+    with _pytest.raises(ValueError, match="pinned at"):
+        write_embedding_band_index(
+            embedding_band_index(b2, 0.95, bits=bits + 1, n_bands=n_bands),
+            idx, bits + 1, n_bands, mode="append",
+        )
+
+    # a verify corpus missing the appended b1 ids must raise, not
+    # silently drop the b1-touching pairs
+    index, bits, n_bands = read_embedding_band_index(spark, idx)
+    with _pytest.raises(Exception, match="accumulated corpus"):
+        incremental_embedding_dup_pairs(
+            b2, index, base, bits, n_bands, materialize=False,
+        ).count()

@@ -183,6 +183,89 @@ def test_incremental_equals_full_batch_restricted(spark):
     assert inc == full
 
 
+def test_incremental_embedding_equals_batch_restricted(spark):
+    """The embedding analog of the invariant above: incremental
+    semantic-dedup pairs (new batch probing the corpus's sign-band
+    index, plus new-new) == the batch ``embedding_dup_pairs`` run
+    over the union at the SAME pinned (bits, n_bands), restricted to
+    pairs touching at least one new vector.  Pins both that the
+    probe loses nothing and that parameter pinning (bits from the
+    CORPUS count, not the union or the batch) is the compatible
+    contract."""
+    from vcfdbr_spark.entry_queries import _NEARDUP_ID_BASE, _neardup_embeddings
+    from vcfdbr_spark.operators.similarity import (
+        embedding_band_index,
+        embedding_dup_pairs,
+        incremental_embedding_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = spark.read.parquet(f"{sf}/embeddings.parquet")
+    new = _neardup_embeddings(spark, sf).filter(
+        F.col("vec_id") >= _NEARDUP_ID_BASE
+    )
+    stats: dict = {}
+    idx = embedding_band_index(corpus, 0.95, stats=stats)
+    inc = {
+        (r["a"], r["b"])
+        for r in incremental_embedding_dup_pairs(
+            new, idx, corpus, stats["band_bits"], stats["band_count"],
+            materialize=False,
+        ).collect()
+    }
+    union = corpus.unionByName(new.select(*corpus.columns))
+    batch = {
+        (r["a"], r["b"])
+        for r in embedding_dup_pairs(
+            union,
+            threshold=0.95,
+            n_bands=stats["band_count"],
+            bits_per_band=stats["band_bits"],
+            wrapped=True,
+            materialize=False,
+        ).collect()
+        if r["a"] >= _NEARDUP_ID_BASE or r["b"] >= _NEARDUP_ID_BASE
+    }
+    assert inc == batch and len(inc) > 0
+
+
+def test_embedding_band_index_sidecar_roundtrip_and_guards(spark, tmp_path):
+    """write/read_embedding_band_index must round-trip the pinned
+    band parameters and REFUSE a layout of unknown vintage — probing
+    with re-derived parameters against an old index silently returns
+    no pairs, the failure mode the sidecar exists to prevent."""
+    import pytest as _pytest
+
+    from vcfdbr_spark.operators.dedup import read_band_index
+    from vcfdbr_spark.operators.similarity import (
+        embedding_band_index,
+        read_embedding_band_index,
+        write_embedding_band_index,
+    )
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    stats: dict = {}
+    idx = embedding_band_index(corpus, 0.95, stats=stats)
+    path = str(tmp_path / "emb_idx")
+    write_embedding_band_index(
+        idx, path, stats["band_bits"], stats["band_count"]
+    )
+    frame, bits, n_bands = read_embedding_band_index(spark, path)
+    assert (bits, n_bands) == (stats["band_bits"], stats["band_count"])
+    assert "pfx" in frame.columns  # prunable layout preserved
+    assert frame.count() == idx.count()
+    # a plain write_band_index layout (no _band_params) is refused
+    bare = str(tmp_path / "bare_idx")
+    from vcfdbr_spark.operators.dedup import write_band_index
+
+    write_band_index(idx, bare)
+    read_band_index(spark, bare)  # the raw reader accepts it...
+    with _pytest.raises(ValueError, match="_band_params"):
+        read_embedding_band_index(spark, bare)  # ...the typed one doesn't
+
+
 def test_cap_per_group_partition_invariant(spark):
     """The two-phase cap returns the same rows as the naive global
     window on any input partitioning (the local pre-cap may discard

@@ -52,6 +52,7 @@ SF1_QUERIES = [
     "semantic_dedup_capped",
     "embedding_dup_pairs",
     "embedding_dup_pairs_recall",
+    "embedding_dedup_incremental",
     "embedding_cap_skew",
     "corpus_filter",
     "dedup_incremental",

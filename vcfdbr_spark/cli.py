@@ -242,6 +242,43 @@ def main(argv: list[str] | None = None) -> int:
         "dedup.DEFAULT_MAX_BUCKET_SIZE; 0 disables)",
     )
 
+    ei = sub.add_parser(
+        "emb-index",
+        help="sign-band an embeddings parquet into the bucket-prunable "
+        "index layout with adaptive (bits, n_bands) pinned in a "
+        "_band_params sidecar — build once, probe batches with "
+        "emb-probe (incremental semantic dedup)",
+    )
+    ei.add_argument("--vecs", required=True,
+                    help="parquet with (vec_id, embedding)")
+    ei.add_argument("--out", required=True, help="index directory")
+    ei.add_argument("--threshold", type=float, default=0.95,
+                    help="cosine threshold the band count targets")
+    ei.add_argument("--n-pfx", type=int, default=64)
+
+    ep = sub.add_parser(
+        "emb-probe",
+        help="exact-cosine near-dup pairs of a NEW embeddings parquet "
+        "against a stored emb-index (plus new-vs-new) without "
+        "re-banding the corpus; batch bands with the index's PINNED "
+        "parameters (sidecar-validated)",
+    )
+    ep.add_argument("--vecs", required=True, help="the new batch")
+    ep.add_argument("--index", required=True, help="emb-index directory")
+    ep.add_argument("--corpus", required=True,
+                    help="FULL accumulated corpus parquet — every id "
+                    "ever appended to the index (vectors for the "
+                    "candidates-only verify join; a candidate whose "
+                    "vector is missing raises, never silently drops)")
+    ep.add_argument("--out", required=True, help="pairs output directory")
+    ep.add_argument("--threshold", type=float, default=0.95)
+    ep.add_argument("--append-index", action="store_true",
+                    help="also append the batch's bands so the next "
+                    "probe sees it")
+    ep.add_argument("--max-bucket-size", type=int, default=None,
+                    help="per-side bucket cap (default "
+                    "dedup.DEFAULT_MAX_BUCKET_SIZE; 0 disables)")
+
     sd = sub.add_parser(
         "stream-dedup",
         help="streaming incremental fuzzy dedup: each parquet file "
@@ -543,6 +580,71 @@ def main(argv: list[str] | None = None) -> int:
         pairs.unpersist()
         bands.unpersist()
         print(f"probed {args.docs} vs {args.index}: {n} pairs → {args.out}")
+        return 0
+    if args.cmd == "emb-index":
+        from vcfdbr_spark.operators.similarity import (
+            embedding_band_index,
+            write_embedding_band_index,
+        )
+
+        vecs = spark.read.parquet(args.vecs)
+        stats: dict = {}
+        idx = embedding_band_index(vecs, args.threshold, stats=stats)
+        write_embedding_band_index(
+            idx, args.out, stats["band_bits"], stats["band_count"],
+            n_pfx=args.n_pfx,
+        )
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"indexed {args.vecs}: {n} band rows "
+            f"(bits={stats['band_bits']}, n_bands={stats['band_count']}) "
+            f"→ {args.out}"
+        )
+        return 0
+    if args.cmd == "emb-probe":
+        from vcfdbr_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+        from vcfdbr_spark.operators.similarity import (
+            incremental_embedding_dup_pairs,
+            read_embedding_band_index,
+            write_embedding_band_index,
+        )
+
+        cap = (
+            DEFAULT_MAX_BUCKET_SIZE
+            if args.max_bucket_size is None
+            else (args.max_bucket_size or None)
+        )
+        new_vecs = spark.read.parquet(args.vecs)
+        corpus = spark.read.parquet(args.corpus)
+        index, bits, n_bands = read_embedding_band_index(spark, args.index)
+        pairs = incremental_embedding_dup_pairs(
+            new_vecs, index, corpus, bits, n_bands,
+            threshold=args.threshold, max_bucket_size=cap,
+        ).persist()
+        pairs.write.mode("overwrite").parquet(args.out)
+        n = pairs.count()
+        if args.append_index:
+            from vcfdbr_spark.operators.dedup import (
+                DEFAULT_N_PFX,
+                index_n_pfx,
+            )
+            from vcfdbr_spark.operators.similarity import (
+                embedding_band_index,
+            )
+
+            write_embedding_band_index(
+                embedding_band_index(
+                    new_vecs, args.threshold, bits=bits, n_bands=n_bands
+                ),
+                args.index, bits, n_bands,
+                n_pfx=index_n_pfx(spark, args.index) or DEFAULT_N_PFX,
+                mode="append",
+            )
+        pairs.unpersist()
+        print(
+            f"probed {args.vecs} vs {args.index}: {n} pairs "
+            f"≥ {args.threshold} → {args.out}"
+        )
         return 0
     if args.cmd == "scrub":
         from vcfdbr_spark.functions.text import pii_counts, scrub_pii

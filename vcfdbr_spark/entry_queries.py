@@ -2770,7 +2770,9 @@ def _band_count_case(threshold: float) -> str:
     return "CASE bits " + " ".join(whens) + f" ELSE {ADAPTIVE_BANDS_CAP} END"
 
 
-def _emb_bands_recall(table: str, threshold: float) -> str:
+def _emb_bands_recall(
+    table: str, threshold: float, count_table: str | None = None
+) -> str:
     """Band rows for the FULLY adaptive dup-pairs path: width from
     COUNT(*) (``_emb_bands_auto``'s bits formula) AND band count
     from the recall target at ``threshold`` (``_band_count_case``),
@@ -2778,7 +2780,15 @@ def _emb_bands_recall(table: str, threshold: float) -> str:
     offset ``(b·ADAPTIVE_BAND_STRIDE) mod d`` — the coprime stride
     keeps every band's window distinct (stride 16 on d=64 would
     alias bands ≥ 4 onto the first four windows, adding cost but
-    zero recall)."""
+    zero recall).
+
+    ``count_table`` pins the (bits, n_bands) derivation to a
+    DIFFERENT table than the one being banded — the incremental
+    probe's contract: a new batch must band with the parameters the
+    CORPUS index was built at, not parameters re-derived from its
+    own (much smaller) size."""
+    if count_table is None:
+        count_table = table
     from vcfdbr_spark.operators.similarity import (
         ADAPTIVE_BAND_STRIDE,
         ADAPTIVE_BITS_FLOOR,
@@ -2802,7 +2812,7 @@ def _emb_bands_recall(table: str, threshold: float) -> str:
     FROM (SELECT GREATEST({ADAPTIVE_BITS_FLOOR},
                           CAST(ceil(log2(count(*))) AS INT)
                           + {ADAPTIVE_BITS_SLACK}) AS bits
-          FROM {table})) k"""
+          FROM {count_table})) k"""
 
 
 # planted one-sign-flip near-dups: a copy of row v negating
@@ -2887,6 +2897,78 @@ cand AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
   FROM bands x JOIN bands y
     ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT a, b, {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} AS score
+FROM cand JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
+WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.95
+"""
+
+
+def q_embedding_dedup_incremental(spark, sf_dir):
+    """Incremental SEMANTIC dedup — the embedding analog of
+    ``dedup_incremental``, completing the batch/incremental ×
+    text/embedding matrix: the corpus is banded ONCE
+    (``similarity.embedding_band_index``, adaptive width+count
+    pinned at the corpus's size) and the planted one-flip batch only
+    bands itself and probes the index (``band_probe_pairs`` — AQE
+    broadcasts the batch frame, per-side hot-bucket caps, pfx
+    pruning when the index came from ``write_embedding_band_index``),
+    then exact-cosine verifies candidates only.  At 100 TB the
+    corpus is never re-banded per ingest batch — probe cost is
+    O(batch spread), the same scale contract as the MinHash
+    incremental path.
+
+    The oracle pins (bits, n_bands) to COUNT(embeddings) — NOT the
+    batch's own count — mirroring the engine's parameter-pinning
+    contract (a batch banded at its own width shares no buckets
+    with the index).
+
+    materialize=False: zero-net-cache registry contract."""
+    from vcfdbr_spark.operators.similarity import (
+        embedding_band_index,
+        incremental_embedding_dup_pairs,
+    )
+
+    corpus = _t(spark, sf_dir, "embeddings")
+    new = _neardup_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") >= _NEARDUP_ID_BASE
+    )
+    stats: dict = {}
+    idx = embedding_band_index(corpus, 0.95, stats=stats)
+    return incremental_embedding_dup_pairs(
+        new,
+        idx,
+        corpus,
+        stats["band_bits"],
+        stats["band_count"],
+        threshold=0.95,
+        materialize=False,
+    )
+
+
+SQL_EMBEDDING_DEDUP_INCREMENTAL = f"""
+WITH newb AS (
+  SELECT {_NEARDUP_ID_BASE} + vec_id AS vec_id,
+         list_transform(embedding,
+           (x, i) -> CASE WHEN i = (vec_id % len(embedding)) + 1
+                          THEN -x ELSE x END) AS embedding,
+         label
+  FROM embeddings WHERE vec_id % {_NEARDUP_MOD} = 0),
+cb AS ({_emb_bands_recall('embeddings', 0.95)}),
+nb AS ({_emb_bands_recall('newb', 0.95, count_table='embeddings')}),
+cand AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(x.vec_id, y.vec_id) AS a, greatest(x.vec_id, y.vec_id) AS b
+    FROM cb x JOIN nb y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    UNION ALL
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM nb x JOIN nb y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)),
+base AS (
+  SELECT vec_id, {_EMB_QUANT} AS v,
+         list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
+  FROM (SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM newb))
 SELECT a, b, {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} AS score
 FROM cand JOIN base va ON va.vec_id = a JOIN base vb ON vb.vec_id = b
 WHERE {_cos_sql('va.v', 'vb.v', 'va.n', 'vb.n')} >= 0.95
@@ -3370,6 +3452,7 @@ QUERIES: dict[str, QueryFn] = {
     # code changed this round / new (see rotation comment above):
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_recall": q_embedding_dup_pairs_recall,
+    "embedding_dedup_incremental": q_embedding_dedup_incremental,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_capped": q_semantic_dedup_capped,
     "embedding_cap_skew": q_embedding_cap_skew,
@@ -3504,6 +3587,7 @@ ORACLE: dict[str, str] = {
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_cap_skew": SQL_EMBEDDING_CAP_SKEW,
     "embedding_dup_pairs_recall": SQL_EMBEDDING_DUP_PAIRS_RECALL,
+    "embedding_dedup_incremental": SQL_EMBEDDING_DEDUP_INCREMENTAL,
     "pii_scrub": SQL_PII_SCRUB,
     "repeated_passages": SQL_REPEATED_PASSAGES,
 }

@@ -640,6 +640,215 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_band_index(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    n_bands: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """``(vec_id, band, bucket)`` sign-band frame for an embedding
+    corpus with PINNED adaptive parameters — the build-once side of
+    incremental semantic dedup (the embedding analog of
+    ``dedup.minhash_band_buckets`` feeding ``dedup.write_band_index``).
+
+    ``bits``/``n_bands`` default to the adaptive policy evaluated at
+    THIS corpus's size (:func:`adaptive_band_bits` /
+    :func:`adaptive_band_count` at ``threshold``); pass them
+    explicitly to rebuild an index compatible with an existing one.
+    The chosen values land in ``stats`` — persist them next to the
+    index (``write_embedding_band_index`` does) because every later
+    probe batch MUST band with the same parameters or candidate
+    pairs are silently lost.
+
+    As accumulated batches grow the corpus past the width the index
+    was pinned at, the uniform candidate term creeps back toward
+    ~n_bands·|C|²/2^bits — re-derive the width and rebuild at the
+    same cadence as ``compact_band_index`` (the index is one banded
+    scan to rebuild; the re-derivation is the documented cost of
+    pinning)."""
+    if bits is None:
+        bits = adaptive_band_bits(corpus.count())
+    if n_bands is None:
+        n_bands = adaptive_band_count(bits, threshold)
+    if stats is not None:
+        stats["band_bits"] = bits
+        stats["band_count"] = n_bands
+    return corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            sign_band_buckets_wrapped(
+                F.col(vec_col), n_bands, bits, stride=ADAPTIVE_BAND_STRIDE
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def write_embedding_band_index(
+    index: DataFrame,
+    path: str,
+    bits: int,
+    n_bands: int,
+    n_pfx: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an :func:`embedding_band_index` frame in the
+    partition-prunable ``dedup.write_band_index`` layout, recording
+    the band parameters in a ``_band_params`` sidecar so probes
+    cannot silently band a batch with a different width/count (the
+    same guard class as the layout's ``_n_pfx`` modulus check)."""
+    import json as _json
+
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.dedup import DEFAULT_N_PFX, write_band_index
+
+    spark = index.sparkSession
+    if mode == "append":
+        raw = _fs.read_text(spark, f"{path}/_band_params")
+        if raw:
+            stored = _json.loads(raw)
+            if (stored["bits"], stored["n_bands"]) != (bits, n_bands):
+                raise ValueError(
+                    f"embedding band index at {path} is pinned at "
+                    f"bits={stored['bits']}, n_bands={stored['n_bands']}; "
+                    f"appending bands built at ({bits}, {n_bands}) would "
+                    f"mix incompatible bucket spaces and silently lose "
+                    f"pairs at probe time"
+                )
+    n_pfx = DEFAULT_N_PFX if n_pfx is None else n_pfx
+    write_band_index(index, path, n_pfx=n_pfx, mode=mode)
+    _fs.write_text(
+        spark,
+        f"{path}/_band_params",
+        _json.dumps({"bits": bits, "n_bands": n_bands,
+                     "stride": ADAPTIVE_BAND_STRIDE}),
+    )
+
+
+def read_embedding_band_index(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Open a :func:`write_embedding_band_index` layout; returns
+    ``(frame, bits, n_bands)`` with the pinned parameters from the
+    ``_band_params`` sidecar.  Raises on a missing sidecar — probing
+    with re-derived parameters against an index of unknown vintage
+    is exactly the silent-pair-loss this layout exists to prevent."""
+    import json as _json
+
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.dedup import read_band_index
+
+    raw = _fs.read_text(spark, f"{path}/_band_params")
+    if not raw:
+        raise ValueError(
+            f"embedding band index at {path} has no _band_params "
+            f"sidecar; rebuild with write_embedding_band_index (probing "
+            f"with re-derived parameters can silently lose pairs)"
+        )
+    params = _json.loads(raw)
+    return read_band_index(spark, path), params["bits"], params["n_bands"]
+
+
+def incremental_embedding_dup_pairs(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    bits: int,
+    n_bands: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_pfx: int | None = None,
+    max_bucket_size: int | None = None,
+    stats: dict | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental semantic dedup: exact-cosine near-dup pairs of a
+    NEW embedding batch against an existing corpus's persisted sign-
+    band index, plus new-vs-new pairs — WITHOUT re-banding the
+    corpus.  Completes the dedup matrix (batch/incremental × text/
+    embedding): the embedding analog of
+    ``dedup.incremental_dedup_pairs``, sharing its probe
+    (``band_probe_pairs`` — AQE-broadcast batch frame, pfx-pruned
+    index scan, per-side hot-bucket caps).
+
+    ``bits``/``n_bands`` are REQUIRED and must equal the index's
+    pinned parameters (``read_embedding_band_index`` returns them) —
+    a batch banded at a different width shares no buckets with the
+    index and the probe silently returns nothing.  Ids in
+    ``new_vecs`` must be disjoint from the corpus's.
+
+    Verify step: candidates only — both sides' vectors are fetched
+    by joining the (small) candidate id set back to
+    ``corpus ∪ new_vecs``, the same candidates-only re-attach shape
+    as ``ngram_jaccard``'s verify; the corpus is never scanned
+    beyond that join plus the pruned index probe.  ``corpus`` must
+    therefore contain EVERY id ever appended to the index (the full
+    accumulated corpus, not just the original build batch) — a
+    candidate whose vector is missing RAISES at execution time (the
+    verify joins are left joins guarded by an in-plan assert) rather
+    than silently dropping the pair, the same
+    fail-loud-not-wrong-at-scale policy as ``dedup_components``.
+    Returns ``(a, b, score)`` with ``a < b`` and ``score ≥
+    threshold``."""
+    from vcfdbr_spark.operators.dedup import band_probe_pairs
+
+    new_b = embedding_band_index(
+        new_vecs, threshold, id_col, vec_col, bits=bits, n_bands=n_bands
+    )
+    if materialize:
+        new_b = new_b.persist()
+    kwargs = {} if n_pfx is None else {"n_pfx": n_pfx}
+    cand = band_probe_pairs(
+        new_b, index, id_col,
+        max_bucket_size=max_bucket_size, stats=stats, **kwargs,
+    )
+    allv = corpus.select(id_col, vec_col).unionByName(
+        new_vecs.select(id_col, vec_col)
+    )
+    vecs = with_quantized(allv, vec_col).select(
+        F.col(id_col).alias("_vid"),
+        F.col("_qv").alias("v"),
+        F.col("_norm").alias("n"),
+    )
+    present = F.col("va").isNotNull() & F.col("vb").isNotNull()
+    score = F.when(
+        ~present,
+        F.assert_true(
+            present,
+            F.concat(
+                F.lit(
+                    "incremental_embedding_dup_pairs: candidate pair ("
+                ),
+                F.col("a").cast("string"), F.lit(", "),
+                F.col("b").cast("string"),
+                F.lit(
+                    ") has no vector in corpus ∪ new_vecs — pass the "
+                    "FULL accumulated corpus (every id ever appended "
+                    "to the index), or pairs would silently vanish"
+                ),
+            ),
+        ).cast("double"),
+    ).otherwise(
+        cosine_score(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    )
+    return (
+        cand.join(
+            vecs.select(F.col("_vid").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")),
+            "a",
+            "left",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+            "b",
+            "left",
+        )
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
