@@ -3418,7 +3418,7 @@ QUERIES: dict[str, QueryFn] = {
     # the NEW embedding_dup_pairs_recall (recall-targeted band
     # count, first driver row).  The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
-    # tail is green in CORRECTNESS_r10.json, so all 80 registered
+    # tail is green in CORRECTNESS_r10.json, so all 81 registered
     # queries hold a driver-artifact green row within the 2-round
     # window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
