@@ -227,6 +227,52 @@ def test_stream_fuzzy_dedup_pairs_across_batches(spark, tmp_path):
     assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 3
 
 
+def test_stream_semantic_dedup_pairs_across_batches(spark, tmp_path):
+    """The sign-LSH embedding twin over the same streaming core:
+    cross-batch near-dups via the index probe, in-batch via the
+    self-join; band params are pinned in a sidecar and a conflicting
+    restart raises instead of silently mixing bucket spaces."""
+    import pytest
+
+    from vcfdbr_spark.streaming.ingest import stream_semantic_dedup
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    schema = "vec_id long, embedding array<float>, label int"
+    up = [1.0] * 8  # all-positive signs
+    mixed = [1.0, -1.0] * 4
+    other = [-1.0] * 8
+    spark.createDataFrame(
+        [(1, up, 0), (2, mixed, 0)], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(11, [x * 0.9 for x in up], 0), (12, other, 0), (13, other, 0)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    out = tmp_path / "sem_out"
+    stream_semantic_dedup(
+        spark, str(src) + "/*", str(out), max_files_per_trigger=1
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(out / "pairs")).collect()
+    }
+    assert (1, 11) in pairs  # cross-batch, via the index probe
+    assert (12, 13) in pairs  # in-batch
+    assert (1, 2) not in pairs and (2, 12) not in pairs
+    import glob
+
+    assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 2
+
+    # restart with conflicting pinned band width → hard error, never
+    # a mixed bucket space
+    with pytest.raises(ValueError, match="pinned at"):
+        stream_semantic_dedup(
+            spark, str(src) + "/*", str(out), bits=24
+        )
+
+
 def test_stream_dedup_drops_duplicates_across_batches(spark, tmp_path):
     from vcfdbr_spark.streaming.ingest import stream_dedup
 

@@ -88,7 +88,8 @@ def stream_dedup(
 
 
 def _compact_stream_index(
-    spark: SparkSession, idx_dir: str, comp_dir: str, n_pfx: int
+    spark: SparkSession, idx_dir: str, comp_dir: str, n_pfx: int,
+    id_col: str = "doc_id",
 ) -> None:
     """Fold the accumulated ``batch=N`` tail dirs (plus any existing
     compacted layout) into ONE consolidated :func:`write_band_index`
@@ -117,11 +118,11 @@ def _compact_stream_index(
     allb = (
         spark.read.option("basePath", idx_dir)
         .parquet(*tail)
-        .select("doc_id", "band", "bucket")
+        .select(id_col, "band", "bucket")
     )
     if _fs.exists(spark, comp_dir):
         allb = allb.unionByName(
-            spark.read.parquet(comp_dir).select("doc_id", "band", "bucket")
+            spark.read.parquet(comp_dir).select(id_col, "band", "bucket")
         )
     write_band_index(allb.distinct(), comp_tmp, n_pfx=n_pfx)
     if _fs.exists(spark, comp_dir):
@@ -185,6 +186,134 @@ def stream_fuzzy_dedup(
     even though pfx pruning bounds the bytes read.  ``None`` disables
     (the manual ``compact-band-index`` CLI remains).
     """
+    from vcfdbr_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    _stream_banded_dedup(
+        spark,
+        source_dir,
+        out_dir,
+        schema,
+        lambda batch: minhash_band_buckets(minhash_signatures(batch)),
+        id_col="doc_id",
+        max_files_per_trigger=max_files_per_trigger,
+        n_pfx=n_pfx,
+        max_bucket_size=max_bucket_size,
+        compact_every=compact_every,
+    )
+
+
+DEFAULT_STREAM_BAND_BITS = 16
+
+
+def stream_semantic_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    schema: str = "vec_id long, embedding array<float>, label int",
+    threshold: float = 0.95,
+    bits: int | None = None,
+    n_bands: int | None = None,
+    max_files_per_trigger: int | None = None,
+    n_pfx: int | None = None,
+    max_bucket_size: int | None = None,
+    compact_every: int | None = 16,
+) -> None:
+    """Streaming incremental SEMANTIC dedup — the sign-LSH embedding
+    twin of :func:`stream_fuzzy_dedup`: each micro-batch of vectors is
+    sign-banded once (``similarity.sign_band_buckets_wrapped``),
+    probed against the band index accumulated from all prior batches,
+    then appended to it.  Index layout, pfx pruning, hot-bucket caps,
+    exactly-once replay and auto-compaction are the SAME tested core
+    (:func:`_stream_banded_dedup`) — only the banding function and id
+    column differ.
+
+    Band parameters are PINNED for the stream's life and recorded in
+    a ``_band_params`` sidecar validated on every restart (the same
+    guard class as the core's ``_n_pfx`` modulus check): a stream has
+    no final corpus count to derive the adaptive width from, and
+    re-deriving per batch would band new batches into a DIFFERENT
+    bucket space than the accumulated index — silent candidate-pair
+    loss, exactly what ``similarity.write_embedding_band_index``'s
+    sidecar exists to prevent.  Defaults: ``bits=16`` (right-sized up
+    to ~2^12-vector corpora under the batch-side adaptive policy) and
+    the recall-targeted ``n_bands`` at ``threshold``
+    (``similarity.adaptive_band_count``).  When the accumulated
+    stream outgrows the pinned width the uniform pair term creeps
+    toward ~n_bands·|C|²/2^bits — the documented remedy is the same
+    as the batch index: stop, re-pin wider, rebuild from the
+    compacted layout (one banded scan), restart.
+    """
+    import json as _json
+
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.similarity import (
+        adaptive_band_count,
+        embedding_band_index,
+    )
+
+    sidecar = f"{out_dir}/band_index/_band_params"
+    raw = _fs.read_text(spark, sidecar)
+    if raw:
+        stored = _json.loads(raw)
+        if bits is None:
+            bits = stored["bits"]
+        if n_bands is None:
+            n_bands = stored["n_bands"]
+        if (bits, n_bands) != (stored["bits"], stored["n_bands"]):
+            raise ValueError(
+                f"stream index at {out_dir}/band_index is pinned at "
+                f"bits={stored['bits']}, n_bands={stored['n_bands']}; "
+                f"restarting with ({bits}, {n_bands}) would band new "
+                f"batches into a different bucket space and silently "
+                f"lose candidate pairs"
+            )
+    else:
+        if bits is None:
+            bits = DEFAULT_STREAM_BAND_BITS
+        if n_bands is None:
+            n_bands = adaptive_band_count(bits, threshold)
+        _fs.write_text(
+            spark, sidecar, _json.dumps({"bits": bits, "n_bands": n_bands})
+        )
+
+    _stream_banded_dedup(
+        spark,
+        source_dir,
+        out_dir,
+        schema,
+        lambda batch: embedding_band_index(
+            batch, threshold=threshold, bits=bits, n_bands=n_bands
+        ),
+        id_col="vec_id",
+        max_files_per_trigger=max_files_per_trigger,
+        n_pfx=n_pfx,
+        max_bucket_size=max_bucket_size,
+        compact_every=compact_every,
+    )
+
+
+def _stream_banded_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    schema: str,
+    make_bands,
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    n_pfx: int | None = None,
+    max_bucket_size: int | None = None,
+    compact_every: int | None = 16,
+) -> None:
+    """The banding-agnostic streaming dedup core shared by
+    :func:`stream_fuzzy_dedup` (MinHash text bands) and
+    :func:`stream_semantic_dedup` (sign-LSH embedding bands):
+    ``make_bands(batch_df) → (id_col, band, bucket)`` is the only
+    modality-specific step; index layout, pfx pruning, exactly-once
+    replay semantics, hot-bucket caps and auto-compaction are
+    identical and tested once."""
     from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET_SIZE,
@@ -192,8 +321,6 @@ def stream_fuzzy_dedup(
         band_probe_pairs,
         index_n_pfx,
         lsh_candidate_pairs,
-        minhash_band_buckets,
-        minhash_signatures,
         write_band_index,
     )
 
@@ -219,7 +346,7 @@ def stream_fuzzy_dedup(
     comp_dir = f"{out_dir}/band_index_compacted"
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bands = minhash_band_buckets(minhash_signatures(batch_df)).persist()
+        bands = make_bands(batch_df).persist()
         prior = [
             d
             for d in _fs.list_subdirs(spark, idx_dir, "batch=")
@@ -235,7 +362,7 @@ def stream_fuzzy_dedup(
             if _fs.exists(spark, cand):
                 frames.append(
                     spark.read.parquet(cand).select(
-                        "doc_id", "band", "bucket", "pfx"
+                        id_col, "band", "bucket", "pfx"
                     )
                 )
                 break
@@ -248,7 +375,7 @@ def stream_fuzzy_dedup(
             frames.append(
                 spark.read.option("basePath", idx_dir)
                 .parquet(*prior)
-                .select("doc_id", "band", "bucket", "pfx")
+                .select(id_col, "band", "bucket", "pfx")
             )
         if frames:
             index = frames[0]
@@ -257,11 +384,12 @@ def stream_fuzzy_dedup(
                 # into PartitionFilters on BOTH scans
                 index = index.unionByName(f)
             pairs = band_probe_pairs(
-                bands, index, n_pfx=n_pfx, max_bucket_size=max_bucket_size
+                bands, index, id_col=id_col, n_pfx=n_pfx,
+                max_bucket_size=max_bucket_size,
             )
         else:
             pairs = lsh_candidate_pairs(
-                bands, max_bucket_size=max_bucket_size
+                bands, id_col, max_bucket_size=max_bucket_size
             )
         _fs.delete_dir(spark, f"{pairs_dir}/batch={batch_id}")
         _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
@@ -274,7 +402,9 @@ def stream_fuzzy_dedup(
         if compact_every and len(
             _fs.list_subdirs(spark, idx_dir, "batch=")
         ) >= compact_every:
-            _compact_stream_index(spark, idx_dir, comp_dir, n_pfx)
+            _compact_stream_index(
+                spark, idx_dir, comp_dir, n_pfx, id_col=id_col
+            )
 
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
