@@ -434,6 +434,38 @@ def test_cli_stream_dedup(spark, tmp_path, capsys):
     assert got == {(1, 2)}
 
 
+def test_cli_stream_semantic_dedup(spark, tmp_path, capsys):
+    """`vcfdb stream-semantic-dedup` drains new vector files into
+    cross-batch sign-LSH candidate pairs; the re-run picks up only
+    NEW files and probes them against the accumulated index with the
+    PINNED band params from the first run."""
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    schema = "vec_id long, embedding array<float>, label int"
+    up = [1.0] * 8
+    spark.createDataFrame([(1, up, 0)], schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    out = str(tmp_path / "ssd_out")
+    args = ["stream-semantic-dedup", "--vecs-dir", str(src) + "/*",
+            "--out", out, "--max-files-per-trigger", "1"]
+    assert cli_main(args) == 0
+    assert "0 candidate pairs" in capsys.readouterr().out
+    spark.createDataFrame(
+        [(2, [x * 0.5 for x in up], 0)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    assert cli_main(args) == 0
+    assert "1 candidate pairs" in capsys.readouterr().out
+    got = {(r["a"], r["b"])
+           for r in spark.read.parquet(f"{out}/pairs").collect()}
+    assert got == {(1, 2)}
+    # pinned params survive in the sidecar; a conflicting restart dies
+    import pytest
+
+    with pytest.raises(ValueError, match="pinned at"):
+        cli_main(args + ["--bits", "24"])
+
+
 def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
     """ADVICE r7: a fresh/empty source dir fires zero batches, so
     pairs/ is never created — the CLI must report zero pairs, not die

@@ -302,6 +302,44 @@ def main(argv: list[str] | None = None) -> int:
                     help="fold the batch tail into one compacted layout "
                     "every N batches (0 disables)")
 
+    ssd = sub.add_parser(
+        "stream-semantic-dedup",
+        help="streaming incremental semantic dedup: each parquet file "
+        "of (vec_id, embedding) appearing under --vecs-dir is "
+        "sign-banded once, probed against the accumulated band index "
+        "(near-dup candidate pairs across the whole stream history), "
+        "and appended to the index; band width/count are pinned at "
+        "first run (sidecar-validated on restart); re-run to pick up "
+        "new files (checkpointed)",
+    )
+    ssd.add_argument("--vecs-dir", required=True,
+                     help="directory watched for (vec_id, embedding) "
+                     "parquet files")
+    ssd.add_argument("--out", required=True,
+                     help="output root (pairs/, band_index/, _checkpoint)")
+    ssd.add_argument("--schema",
+                     default="vec_id long, embedding array<float>, label int",
+                     help="stream schema (must cover the source files)")
+    ssd.add_argument("--threshold", type=float, default=0.95,
+                     help="target cosine for the recall-targeted band "
+                     "count (only used when --n-bands is not given)")
+    ssd.add_argument("--bits", type=int, default=None,
+                     help="sign-band width (default 16; pinned for the "
+                     "stream's life — restart must match)")
+    ssd.add_argument("--n-bands", type=int, default=None,
+                     help="band count (default: recall-targeted at "
+                     "--threshold; pinned like --bits)")
+    ssd.add_argument("--max-files-per-trigger", type=int, default=None)
+    ssd.add_argument("--n-pfx", type=int, default=None,
+                     help="index partition modulus (default: resume with "
+                     "the recorded value, else 64)")
+    ssd.add_argument("--max-bucket-size", type=int, default=None,
+                     help="probe-time hot-bucket cap (default "
+                     "dedup.DEFAULT_MAX_BUCKET_SIZE; 0 disables)")
+    ssd.add_argument("--compact-every", type=int, default=16,
+                     help="fold the batch tail into one compacted layout "
+                     "every N batches (0 disables)")
+
     sc = sub.add_parser(
         "scrub",
         help="PII-scrub a documents parquet (emails/IPv4/phones → "
@@ -460,6 +498,36 @@ def main(argv: list[str] | None = None) -> int:
             else 0
         )
         print(f"stream-deduped {args.docs_dir}: {n} candidate pairs → {args.out}")
+        return 0
+
+    if args.cmd == "stream-semantic-dedup":
+        from vcfdbr_spark.streaming.ingest import stream_semantic_dedup
+
+        stream_semantic_dedup(
+            spark,
+            args.vecs_dir,
+            args.out,
+            schema=args.schema,
+            threshold=args.threshold,
+            bits=args.bits,
+            n_bands=args.n_bands,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_pfx=args.n_pfx,
+            max_bucket_size=args.max_bucket_size,
+            compact_every=args.compact_every or None,
+        )
+        from vcfdbr_spark import fs as _cli_fs
+
+        pairs_dir = f"{args.out}/pairs"
+        n = (
+            spark.read.parquet(pairs_dir).count()
+            if _cli_fs.exists(spark, pairs_dir)
+            else 0
+        )
+        print(
+            f"stream-semantic-deduped {args.vecs_dir}: "
+            f"{n} candidate pairs → {args.out}"
+        )
         return 0
 
     if args.cmd == "append":
