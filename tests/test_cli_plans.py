@@ -465,6 +465,23 @@ def test_cli_stream_semantic_dedup(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="pinned at"):
         cli_main(args + ["--bits", "24"])
 
+    # manual compaction works on the vec_id flavor too (id column is
+    # inferred, not assumed doc_id) and carries the pinned-params
+    # sidecar so probes against the compacted index keep the guard
+    cidx = str(tmp_path / "ssd_cidx")
+    assert cli_main(
+        ["compact-band-index", "--stream-index", f"{out}/band_index",
+         "--out", cidx]
+    ) == 0
+    from vcfdbr_spark.operators.similarity import (
+        read_embedding_band_index,
+    )
+
+    idx, bits, n_bands = read_embedding_band_index(spark, cidx)
+    assert bits == 16 and n_bands > 0
+    assert "vec_id" in idx.columns
+    assert idx.select("vec_id").distinct().count() == 2
+
 
 def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
     """ADVICE r7: a fresh/empty source dir fires zero batches, so

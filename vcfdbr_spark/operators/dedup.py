@@ -702,32 +702,44 @@ def compact_band_index(
     ``<stream_idx_dir>_compacted`` sibling — it is folded in too (and
     suffices alone when no batch tail remains), so this CLI works on
     any stream state.
+
+    Works on BOTH stream flavors: the id column (``doc_id`` for the
+    MinHash text stream, ``vec_id`` for the sign-LSH embedding
+    stream) is inferred from the layout rather than assumed, and a
+    semantic index's ``_band_params`` sidecar is carried to the
+    output so probes against the compacted index keep the pinned
+    band-width guard.
     """
     from vcfdbr_spark import fs as _fs
+
+    def _id_select(df: DataFrame) -> DataFrame:
+        ids = [c for c in df.columns
+               if c not in ("band", "bucket", "pfx", "batch")]
+        if len(ids) != 1:
+            raise ValueError(
+                f"band index layout has ambiguous id columns {ids}; "
+                f"expected exactly one besides (band, bucket)"
+            )
+        return df.select(ids[0], "band", "bucket")
 
     batch_dirs = _fs.list_subdirs(spark, stream_idx_dir, "batch=")
     sibling = f"{stream_idx_dir.rstrip('/')}_compacted"
     frames = []
     if batch_dirs:
         frames.append(
-            spark.read.option("basePath", stream_idx_dir)
-            .parquet(*batch_dirs)
-            .select("doc_id", "band", "bucket")
+            _id_select(
+                spark.read.option("basePath", stream_idx_dir)
+                .parquet(*batch_dirs)
+            )
         )
     # Crash window: the stream's atomic swap renames current -> .old
     # before promoting .tmp; if it died in between, ONLY `.old` holds
     # the previously folded history.  Mirror the stream's own heal
     # path so a manual compact in that state doesn't drop it.
     if _fs.exists(spark, sibling):
-        frames.append(
-            spark.read.parquet(sibling).select("doc_id", "band", "bucket")
-        )
+        frames.append(_id_select(spark.read.parquet(sibling)))
     elif _fs.exists(spark, f"{sibling}.old"):
-        frames.append(
-            spark.read.parquet(f"{sibling}.old").select(
-                "doc_id", "band", "bucket"
-            )
-        )
+        frames.append(_id_select(spark.read.parquet(f"{sibling}.old")))
     if not frames:
         raise FileNotFoundError(
             f"no batch=* partitions under {stream_idx_dir} and no "
@@ -737,6 +749,9 @@ def compact_band_index(
     for f in frames[1:]:
         bands = bands.unionByName(f)
     write_band_index(bands.distinct(), out_dir, n_pfx=n_pfx)
+    params = _fs.read_text(spark, f"{stream_idx_dir}/_band_params")
+    if params:
+        _fs.write_text(spark, f"{out_dir}/_band_params", params)
     return spark.read.parquet(out_dir).count()
 
 
