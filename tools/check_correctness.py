@@ -59,7 +59,107 @@ SF1_QUERIES = [
     "dedup_keep_best",
 ]
 
+#: streaming ops are outside the registry (no SQL oracle), so the
+#: sf1 gate checks them against a PROPERTY oracle instead: streaming
+#: the corpus in micro-batches must yield exactly the candidate-pair
+#: set of one-shot batch banding at the same parameters (a different
+#: code path: per-batch probe + index accumulation vs one self-join).
+#: Valid as exact equality because no sf1 bucket reaches the hot cap
+#: (max minhash bucket 102, max sign bucket 8, cap 500) — cap-firing
+#: behavior is pinned separately by unit fixtures.
+SF1_STREAM_CHECKS = [
+    "stream_fuzzy_dedup_vs_batch",
+    "stream_semantic_dedup_vs_batch",
+]
+
 SF1_DEFAULT_DIR = "/tmp/sf1"
+
+
+def _stream_vs_batch_record(spark, sf_dir: str, flavor: str) -> dict:
+    """Run one streaming dedup flavor over the sf corpus split into 4
+    parquet files (maxFilesPerTrigger=1 → 4 micro-batches) and compare
+    its accumulated pair set against one-shot batch banding."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from vcfdbr_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"sf1_stream_{flavor}_")
+    try:
+        if flavor == "fuzzy":
+            from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+            src_df = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).select("doc_id", "text")
+            schema = "doc_id long, text string"
+            src_df.repartition(4).write.parquet(f"{work}/src")
+            stream_fuzzy_dedup(
+                spark, f"{work}/src/*.parquet", f"{work}/out",
+                schema=schema, max_files_per_trigger=1,
+            )
+            batch = lsh_candidate_pairs(
+                minhash_band_buckets(minhash_signatures(src_df))
+            )
+        else:
+            from vcfdbr_spark.operators.similarity import (
+                adaptive_band_bits,
+                adaptive_band_count,
+                embedding_band_index,
+            )
+            from vcfdbr_spark.streaming.ingest import stream_semantic_dedup
+
+            src_df = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).select(
+                "vec_id",
+                F.col("embedding").cast("array<float>").alias("embedding"),
+            )
+            # pin the adaptive policy at the FULL corpus size on both
+            # sides — the comparison exercises sf1's own band width
+            bits = adaptive_band_bits(src_df.count())
+            n_bands = adaptive_band_count(bits, 0.95)
+            schema = "vec_id long, embedding array<float>"
+            src_df.repartition(4).write.parquet(f"{work}/src")
+            stream_semantic_dedup(
+                spark, f"{work}/src/*.parquet", f"{work}/out",
+                schema=schema, bits=bits, n_bands=n_bands,
+                max_files_per_trigger=1,
+            )
+            batch = lsh_candidate_pairs(
+                embedding_band_index(src_df, bits=bits, n_bands=n_bands),
+                "vec_id",
+            )
+        stream_pairs = {
+            (r["a"], r["b"])
+            for r in spark.read.parquet(f"{work}/out/pairs")
+            .select("a", "b").collect()
+        }
+        batch_pairs = {(r["a"], r["b"]) for r in batch.collect()}
+        ok = stream_pairs == batch_pairs
+        err = None
+        if not ok:
+            err = (
+                f"stream-only: {len(stream_pairs - batch_pairs)}, "
+                f"batch-only: {len(batch_pairs - stream_pairs)}"
+            )
+        return {
+            "rows_match": len(stream_pairs) == len(batch_pairs),
+            "schema_match": True,
+            "hash_match": ok,
+            "spark_rows": len(stream_pairs),
+            "oracle_rows": len(batch_pairs),
+            "err": err,
+            "oracle": "property: one-shot batch banding",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def ensure_sf1_dir() -> str:
@@ -107,7 +207,7 @@ def main() -> int:
             argv = argv[1:]
     if sf1_mode:
         sf_dir = ensure_sf1_dir()
-        only = set(argv) or set(SF1_QUERIES)
+        only = set(argv) or set(SF1_QUERIES) | set(SF1_STREAM_CHECKS)
     else:
         sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
         only = set(argv[1:])
@@ -189,7 +289,31 @@ def main() -> int:
                 f"PASS {name}: rows={len(got)} cols={len(got.columns)} "
                 f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
             )
-    n_run = len(only) if only else len(qs)
+    if sf1_mode:
+        for name in SF1_STREAM_CHECKS:
+            if only and name not in only:
+                continue
+            flavor = "fuzzy" if "fuzzy" in name else "semantic"
+            t0 = time.time()
+            try:
+                rec = _stream_vs_batch_record(spark, sf_dir, flavor)
+            except Exception as ex:
+                rec = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": None,
+                    "oracle_rows": None, "err": f"stream: {ex}"[:300],
+                    "oracle": "property: one-shot batch banding",
+                }
+            records[name] = rec
+            if rec["hash_match"]:
+                print(
+                    f"PASS {name}: pairs={rec['spark_rows']} == batch "
+                    f"[{time.time() - t0:.1f}s]"
+                )
+            else:
+                print(f"FAIL {name}: {rec['err']}")
+                failures.append(name)
+    n_run = len(records)
     print(f"\n{n_run - len(failures)}/{n_run} passed")
     if json_out:
         import json
