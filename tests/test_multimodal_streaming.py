@@ -273,6 +273,114 @@ def test_stream_semantic_dedup_pairs_across_batches(spark, tmp_path):
         )
 
 
+def test_stream_corpus_filter_first_seen_wins(spark, tmp_path):
+    """The streaming capstone: per-batch quality gates, then fuzzy
+    dedup against stream history with first-seen-wins — a doc
+    matching ANY previously indexed survivor (kept or dropped)
+    drops; in-batch clusters keep their min id; quality-failed docs
+    are never signed or indexed."""
+    from vcfdbr_spark.streaming.ingest import stream_corpus_filter
+
+    src = tmp_path / "cf_src"
+    src.mkdir()
+    schema = "doc_id long, text string, lang string, source string"
+    A = "alpha beta gamma delta epsilon zeta eta theta"
+    B = "one two three four five six seven eight nine"
+    C = "red orange yellow green blue indigo violet colors"
+    spark.createDataFrame(
+        [
+            (1, A, "en", "web"),
+            (2, "spam spam spam spam spam spam", "en", "web"),  # low ttr
+            (3, B, "en", "web"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [
+            (11, A, "en", "web"),   # dup of kept d1 → drop
+            (12, C, "en", "web"),   # in-batch cluster {12, 13}: keep 12
+            (13, C, "en", "web"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(21, C, "en", "web")],  # dup of DROPPED-but-indexed 13 → drop
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    out = tmp_path / "cf_out"
+    stream_corpus_filter(
+        spark, str(src) + "/*", str(out),
+        min_tokens=5, min_ttr=0.3, max_files_per_trigger=1,
+    )
+    kept = spark.read.option("basePath", str(out / "kept")).parquet(
+        str(out / "kept")
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 12}
+    by_batch = {
+        r["doc_id"]: r["batch"]
+        for r in kept.select("doc_id", "batch").collect()
+    }
+    assert by_batch == {1: 0, 3: 0, 12: 1}
+    # capstone columns ride along
+    row = kept.filter("doc_id = 1").first()
+    assert row["lang"] == "en" and row["n_tokens"] == 8
+    assert row["ttr"] == 1.0 and row["bits_per_bigram"] is None
+    # quality-failed d2 was never signed: no band index row, so a
+    # later identical doc would be judged on its own merits
+    idx = spark.read.option("basePath", str(out / "band_index")).parquet(
+        str(out / "band_index")
+    )
+    assert idx.filter("doc_id = 2").count() == 0
+
+
+def test_stream_corpus_filter_lm_gate_needs_model(spark, tmp_path):
+    """max_bits without a pre-trained model is a hard error (a
+    per-batch self-trained model judges each batch by a different
+    ruler); with a model, the cap drops high-entropy docs and the
+    scored bits ride into kept/."""
+    import pytest
+
+    from vcfdbr_spark.operators.lm import doc_bigrams, train_bigram_model
+    from vcfdbr_spark.streaming.ingest import stream_corpus_filter
+
+    src = tmp_path / "lm_src"
+    src.mkdir()
+    schema = "doc_id long, text string, lang string, source string"
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog", "en", "web")
+         for i in range(20)],
+        schema,
+    )
+    model = train_bigram_model(doc_bigrams(ref), materialize=False)
+    model_path = str(tmp_path / "model.parquet")
+    model.write.parquet(model_path)
+
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "web"),
+            (2, "zxqv wkjh plmn bvcx qwer asdf zxcv tyui", "en", "web"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+
+    with pytest.raises(ValueError, match="pre-trained model"):
+        stream_corpus_filter(
+            spark, str(src) + "/*", str(tmp_path / "x"),
+            min_tokens=5, min_ttr=0.3, max_bits=2.0,
+        )
+
+    out = tmp_path / "lm_out"
+    stream_corpus_filter(
+        spark, str(src) + "/*", str(out),
+        min_tokens=5, min_ttr=0.3, max_bits=2.0, model_path=model_path,
+    )
+    kept = spark.read.parquet(str(out / "kept")).collect()
+    assert {r["doc_id"] for r in kept} == {1}
+    assert kept[0]["bits_per_bigram"] is not None
+    assert kept[0]["bits_per_bigram"] <= 2.0
+
+
 def test_stream_dedup_drops_duplicates_across_batches(spark, tmp_path):
     from vcfdbr_spark.streaming.ingest import stream_dedup
 

@@ -820,6 +820,7 @@ def band_probe_pairs(
     n_pfx: int = DEFAULT_N_PFX,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     stats: dict | None = None,
+    self_pairs: bool = True,
 ) -> DataFrame:
     """Candidate pairs of a (persisted) new band frame against a
     stored band index, plus new-vs-new pairs — the probe step shared
@@ -843,6 +844,12 @@ def band_probe_pairs(
     multiplies against every probing batch forever.  Capping after pfx
     pruning equals capping before it: ``pfx`` is a pure function of
     ``bucket``, so pruning never splits a bucket's population.
+
+    ``self_pairs=False`` returns ONLY the index-vs-new cross pairs
+    (no new-vs-new self-join) — for callers that need the two pair
+    populations separately, e.g. a first-seen-wins streaming keep
+    policy where an edge to history and an edge within the batch
+    have different consequences.
     """
     if "pfx" in index.columns:
         pfxs = [
@@ -872,6 +879,8 @@ def band_probe_pairs(
             F.greatest("_x", "_y").alias("b"),
         )
     )
+    if not self_pairs:
+        return cross.distinct()
     return cross.unionByName(
         lsh_candidate_pairs(new_bands, id_col, max_bucket_size=max_bucket_size)
     ).distinct()

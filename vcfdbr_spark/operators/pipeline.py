@@ -24,6 +24,61 @@ from pyspark.sql import functions as F
 from vcfdbr_spark.plans.checkpoints import eager_checkpoint
 
 
+def quality_pass_frame(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    min_ttr: float = 0.3,
+    max_bits: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang", "source"),
+    model: DataFrame | None = None,
+    score_lm: bool = True,
+) -> DataFrame:
+    """The quality-gate stage of :func:`corpus_filter`, factored out
+    so the batch capstone and its streaming twin
+    (``streaming.ingest.stream_corpus_filter``) share ONE definition
+    of the gates: (id, *keep_cols, n_tokens, ttr, bits_per_bigram)
+    for every doc passing length/ttr (and, with ``max_bits``, the
+    LM cap).  ``model`` scores against a pre-trained bigram model
+    (``operators.lm.train_bigram_model``) instead of self-training —
+    the streaming path MUST pass one (a per-batch self-trained model
+    would judge each batch by a different ruler).  ``score_lm=False``
+    (only valid with ``max_bits=None``) skips LM scoring entirely and
+    returns NULL bits — the streaming no-model path, where
+    self-training a throwaway model per micro-batch would cost a
+    corpus aggregation per batch just to fill an informational
+    column with batch-relative numbers."""
+    from vcfdbr_spark.operators.lm import lm_score
+
+    if not score_lm and max_bits is not None:
+        raise ValueError("max_bits requires score_lm")
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6
+    )
+    qual = docs.select(
+        id_col,
+        *keep_cols,
+        n_tokens.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"),
+    )
+    gates = (F.col("n_tokens") >= min_tokens) & (F.col("ttr") >= min_ttr)
+    if not score_lm:
+        return qual.withColumn(
+            "bits_per_bigram", F.lit(None).cast("double")
+        ).filter(gates)
+    lm = lm_score(
+        docs, model=model, text_col=text_col, id_col=id_col
+    ).select(id_col, "bits_per_bigram")
+    if max_bits is not None:
+        gates = gates & (F.col("bits_per_bigram") <= max_bits)
+    return qual.join(
+        lm, id_col, "inner" if max_bits is not None else "left"
+    ).filter(gates)
+
+
 def corpus_filter(
     docs: DataFrame,
     min_tokens: int = 20,
@@ -59,28 +114,10 @@ def corpus_filter(
         dedup_components,
         minhash_dedup_pairs,
     )
-    from vcfdbr_spark.operators.lm import lm_score
 
-    toks = F.split(F.col(text_col), " ")
-    n_tokens = F.size(toks)
-    ttr = F.round(
-        F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6
+    passing = quality_pass_frame(
+        docs, min_tokens, min_ttr, max_bits, text_col, id_col, keep_cols
     )
-    qual = docs.select(
-        id_col,
-        *keep_cols,
-        n_tokens.cast("long").alias("n_tokens"),
-        ttr.alias("ttr"),
-    )
-    lm = lm_score(docs, text_col=text_col, id_col=id_col).select(
-        id_col, "bits_per_bigram"
-    )
-    gates = (F.col("n_tokens") >= min_tokens) & (F.col("ttr") >= min_ttr)
-    if max_bits is not None:
-        gates = gates & (F.col("bits_per_bigram") <= max_bits)
-    passing = qual.join(
-        lm, id_col, "inner" if max_bits is not None else "left"
-    ).filter(gates)
     # Materialize the survivor frame ONCE: it is consumed by the
     # semi-join below (which sits under BOTH sides of the banded
     # candidate self-join) and by the terminal anti-join.  Without

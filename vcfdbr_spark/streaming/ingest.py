@@ -295,6 +295,189 @@ def stream_semantic_dedup(
     )
 
 
+def stream_corpus_filter(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+    min_tokens: int = 20,
+    min_ttr: float = 0.3,
+    max_bits: float | None = None,
+    model_path: str | None = None,
+    keep_cols: tuple[str, ...] = ("lang", "source"),
+    max_files_per_trigger: int | None = None,
+    n_pfx: int | None = None,
+    max_bucket_size: int | None = None,
+    compact_every: int | None = 16,
+) -> None:
+    """The streaming twin of the :func:`operators.pipeline.corpus_filter`
+    capstone: per micro-batch, quality gates (length / type-token
+    ratio, same definitions via ``pipeline.quality_pass_frame``), the
+    optional bigram-LM cap against a PRE-TRAINED model, then fuzzy
+    dedup against the whole stream history — ONLY quality survivors
+    are shingled/signed/banded (the batch capstone's survivors-only
+    cost principle: dedup cost is pass-rate × batch, never batch),
+    probed through the same pfx-pruned band index as
+    :func:`stream_fuzzy_dedup`, and appended to it.
+
+    Keep policy is FIRST-SEEN-WINS — the online rendering of the
+    batch capstone's one-doc-per-component: a survivor is DROPPED if
+    (a) it candidate-pairs with ANY previously indexed survivor
+    (kept or dropped: dropped docs stay in the index so chains
+    A←B←C collapse transitively, exactly like batch components), or
+    (b) its in-batch component contains such a matched doc (the
+    cluster's representative already exists upstream), or (c) it is
+    not the minimum id of its (unmatched) in-batch component.  This
+    is deterministic given the batch order.  It is NOT always equal
+    to the batch capstone's min-id-per-final-component: a later doc
+    that would retroactively MERGE two earlier kept docs' clusters
+    drops (first-seen-wins keeps both earlier docs) where the batch
+    semantics would re-elect one representative — the inherent
+    difference between online and offline dedup, verified against a
+    pure-Python replay oracle in the sf1 scale gate.
+
+    LM semantics: a per-batch self-trained model would judge each
+    batch by a different ruler, so ``max_bits`` REQUIRES
+    ``model_path`` — a :func:`operators.lm.train_bigram_model` frame
+    persisted as parquet (train once on a reference corpus, score
+    every batch; unseen bigrams take the model's smoothed miss
+    floor).  Without ``max_bits`` the LM attach stays a left join
+    and docs are judged by the length/ttr gates alone.
+
+    Layout under ``out_dir`` adds ``kept/batch=N/`` — the passing,
+    stream-deduplicated docs with the capstone's columns
+    ``(doc_id, *keep_cols, n_tokens, ttr, bits_per_bigram)`` — next
+    to the core's ``pairs/`` and ``band_index/``; all three are
+    per-batch partitions written delete-before-write, so replays are
+    exactly-once end to end.
+    """
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.dedup import (
+        dedup_components,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+    from vcfdbr_spark.operators.pipeline import quality_pass_frame
+
+    if max_bits is not None and model_path is None:
+        raise ValueError(
+            "streaming LM gate needs a pre-trained model: max_bits "
+            "without model_path would self-train a different model "
+            "per micro-batch (each batch judged by a different ruler)"
+        )
+    model = None
+    if model_path is not None:
+        model = spark.read.parquet(model_path)
+    kept_dir = f"{out_dir}/kept"
+    state: dict = {}
+
+    def make_bands(batch_df: DataFrame) -> DataFrame:
+        surv = quality_pass_frame(
+            batch_df, min_tokens, min_ttr, max_bits,
+            "text", "doc_id", keep_cols, model=model,
+            # no model → NULL bits: never self-train a throwaway
+            # per-batch model (each batch would get its own ruler)
+            score_lm=model is not None,
+        ).persist()
+        surv.count()  # eager: consumed by bands now and the keep hook
+        state["surv"] = surv
+        surv_docs = batch_df.join(
+            surv.select("doc_id"), "doc_id", "left_semi"
+        )
+        return minhash_band_buckets(minhash_signatures(surv_docs))
+
+    def keep_hook(batch_df, cross, inbatch, batch_id) -> None:
+        surv = state.pop("surv")
+        drops = None
+        edges = inbatch
+        if cross is not None:
+            # In a normal run every cross pair holds one historical +
+            # one batch id.  On a REPLAY after auto-compaction folded
+            # this batch's own bands, the batch's self-pairs surface
+            # as cross pairs too — re-classify any both-endpoints-in-
+            # batch pair as an IN-BATCH edge so the replayed keep
+            # decision is identical to the original run's (the pairs
+            # output already has this property; the kept output must
+            # keep it).
+            mark = surv.select("doc_id", F.lit(True).alias("_in"))
+            c = (
+                cross.join(
+                    mark.select(
+                        F.col("doc_id").alias("a"),
+                        F.col("_in").alias("_a_in"),
+                    ),
+                    "a",
+                    "left",
+                ).join(
+                    mark.select(
+                        F.col("doc_id").alias("b"),
+                        F.col("_in").alias("_b_in"),
+                    ),
+                    "b",
+                    "left",
+                )
+            )
+            both_in = F.coalesce(F.col("_a_in"), F.lit(False)) & F.coalesce(
+                F.col("_b_in"), F.lit(False)
+            )
+            edges = inbatch.unionByName(
+                c.filter(both_in).select("a", "b")
+            )
+            hist = c.filter(~both_in)
+            # (a) matched history: the batch-side endpoint of each
+            # genuine history pair
+            matched = (
+                hist.select(
+                    F.when(
+                        F.coalesce(F.col("_a_in"), F.lit(False)), F.col("a")
+                    )
+                    .otherwise(F.col("b"))
+                    .alias("doc_id")
+                )
+                .distinct()
+            )
+            drops = matched
+        # (b)+(c): in-batch components — contaminated components drop
+        # whole (their representative lives upstream), clean ones keep
+        # their min id
+        comp = dedup_components(edges, materialize=False)
+        if drops is not None:
+            bad_comps = (
+                comp.join(drops, "doc_id", "left_semi")
+                .select("keep_id")
+                .distinct()
+            )
+            comp_drops = comp.join(bad_comps, "keep_id", "left_semi").select(
+                "doc_id"
+            )
+            losers = comp.filter(
+                F.col("doc_id") != F.col("keep_id")
+            ).select("doc_id")
+            drops = drops.unionByName(comp_drops).unionByName(losers)
+        else:
+            drops = comp.filter(F.col("doc_id") != F.col("keep_id")).select(
+                "doc_id"
+            )
+        kept = surv.join(drops.distinct(), "doc_id", "left_anti")
+        _fs.delete_dir(spark, f"{kept_dir}/batch={batch_id}")
+        kept.write.parquet(f"{kept_dir}/batch={batch_id}")
+        surv.unpersist()
+
+    _stream_banded_dedup(
+        spark,
+        source_dir,
+        out_dir,
+        schema,
+        make_bands,
+        id_col="doc_id",
+        max_files_per_trigger=max_files_per_trigger,
+        n_pfx=n_pfx,
+        max_bucket_size=max_bucket_size,
+        compact_every=compact_every,
+        post_batch=keep_hook,
+    )
+
+
 def _stream_banded_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -306,6 +489,7 @@ def _stream_banded_dedup(
     n_pfx: int | None = None,
     max_bucket_size: int | None = None,
     compact_every: int | None = 16,
+    post_batch=None,
 ) -> None:
     """The banding-agnostic streaming dedup core shared by
     :func:`stream_fuzzy_dedup` (MinHash text bands) and
@@ -313,7 +497,17 @@ def _stream_banded_dedup(
     ``make_bands(batch_df) → (id_col, band, bucket)`` is the only
     modality-specific step; index layout, pfx pruning, exactly-once
     replay semantics, hot-bucket caps and auto-compaction are
-    identical and tested once."""
+    identical and tested once.
+
+    ``post_batch(batch_df, cross, inbatch, batch_id)``: optional
+    per-batch hook (``stream_corpus_filter``'s keep policy) called
+    AFTER the batch's pairs and index partitions are written, with
+    the cross (index-vs-batch, ``None`` on the first batch) and
+    in-batch candidate pair frames SEPARATELY — an edge to history
+    and an edge within the batch have different keep consequences.
+    The hook must write its own outputs delete-before-write into a
+    ``batch=N`` partition to keep the replay-exactly-once contract.
+    """
     from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET_SIZE,
@@ -377,20 +571,37 @@ def _stream_banded_dedup(
                 .parquet(*prior)
                 .select(id_col, "band", "bucket", "pfx")
             )
+        cross = inbatch = None
         if frames:
             index = frames[0]
             for f in frames[1:]:
                 # the probe's pfx isin-filter pushes through the union
                 # into PartitionFilters on BOTH scans
                 index = index.unionByName(f)
-            pairs = band_probe_pairs(
-                bands, index, id_col=id_col, n_pfx=n_pfx,
-                max_bucket_size=max_bucket_size,
-            )
+            if post_batch is None:
+                pairs = band_probe_pairs(
+                    bands, index, id_col=id_col, n_pfx=n_pfx,
+                    max_bucket_size=max_bucket_size,
+                )
+            else:
+                # split probe: the hook consumes cross and in-batch
+                # pairs separately; their union is the same distinct
+                # pair set the unsplit path writes
+                cross = band_probe_pairs(
+                    bands, index, id_col=id_col, n_pfx=n_pfx,
+                    max_bucket_size=max_bucket_size, self_pairs=False,
+                ).persist()
+                inbatch = lsh_candidate_pairs(
+                    bands, id_col, max_bucket_size=max_bucket_size
+                ).persist()
+                pairs = cross.unionByName(inbatch).distinct()
         else:
-            pairs = lsh_candidate_pairs(
+            inbatch = lsh_candidate_pairs(
                 bands, id_col, max_bucket_size=max_bucket_size
             )
+            if post_batch is not None:
+                inbatch = inbatch.persist()
+            pairs = inbatch
         _fs.delete_dir(spark, f"{pairs_dir}/batch={batch_id}")
         _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
         pairs.write.parquet(f"{pairs_dir}/batch={batch_id}")
@@ -398,6 +609,12 @@ def _stream_banded_dedup(
             bands, f"{idx_dir}/batch={batch_id}", n_pfx=n_pfx,
             mode="errorifexists",
         )
+        if post_batch is not None:
+            post_batch(batch_df, cross, inbatch, batch_id)
+            if cross is not None:
+                cross.unpersist()
+            if inbatch is not None:
+                inbatch.unpersist()
         bands.unpersist()
         if compact_every and len(
             _fs.list_subdirs(spark, idx_dir, "batch=")
