@@ -483,6 +483,52 @@ def test_cli_stream_semantic_dedup(spark, tmp_path, capsys):
     assert idx.select("vec_id").distinct().count() == 2
 
 
+def test_cli_train_lm_then_stream_corpus_filter(spark, tmp_path, capsys):
+    """The train-once/score-forever workflow: `vcfdb train-lm` on a
+    reference corpus, then `vcfdb stream-corpus-filter --model` gates
+    each micro-batch against the pinned model and dedups against the
+    stream history with first-seen-wins."""
+    schema = "doc_id long, text string, lang string, source string"
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog dear reader",
+          "en", "web") for i in range(10)],
+        schema,
+    )
+    ref.write.parquet(str(tmp_path / "ref.parquet"))
+    model = str(tmp_path / "model")
+    assert cli_main(
+        ["train-lm", "--docs", str(tmp_path / "ref.parquet"),
+         "--out", model]
+    ) == 0
+    assert "trained bigram model" in capsys.readouterr().out
+
+    src = tmp_path / "scf_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog dear reader",
+             "en", "web"),
+            (2, "zxqv wkjh plmn bvcx qwer asdf zxcv tyui poiu mnbv",
+             "en", "web"),  # gibberish: fails the LM cap
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog dear reader",
+          "en", "web")],  # dup of kept 1 → dropped
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    out = str(tmp_path / "scf_out")
+    assert cli_main(
+        ["stream-corpus-filter", "--docs-dir", str(src) + "/*",
+         "--out", out, "--min-tokens", "5", "--max-bits", "2.0",
+         "--model", model, "--max-files-per-trigger", "1"]
+    ) == 0
+    assert "1 docs kept" in capsys.readouterr().out
+    kept = spark.read.parquet(f"{out}/kept").collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
 def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
     """ADVICE r7: a fresh/empty source dir fires zero batches, so
     pairs/ is never created — the CLI must report zero pairs, not die

@@ -340,6 +340,50 @@ def main(argv: list[str] | None = None) -> int:
                      help="fold the batch tail into one compacted layout "
                      "every N batches (0 disables)")
 
+    scf = sub.add_parser(
+        "stream-corpus-filter",
+        help="streaming corpus filter (the capstone's streaming "
+        "twin): per micro-batch quality gates + optional bigram-LM "
+        "cap against a pre-trained model, then fuzzy dedup against "
+        "the whole stream history with first-seen-wins keep; "
+        "passing docs land in kept/batch=N; re-run to pick up new "
+        "files (checkpointed)",
+    )
+    scf.add_argument("--docs-dir", required=True,
+                     help="directory watched for (doc_id, text, lang, "
+                     "source) parquet files")
+    scf.add_argument("--out", required=True,
+                     help="output root (kept/, pairs/, band_index/, "
+                     "_checkpoint)")
+    scf.add_argument("--schema",
+                     default="doc_id long, text string, lang string, "
+                     "source string")
+    scf.add_argument("--min-tokens", type=int, default=20)
+    scf.add_argument("--min-ttr", type=float, default=0.3)
+    scf.add_argument("--max-bits", type=float, default=None,
+                     help="bigram-LM cross-entropy cap; requires "
+                     "--model (a train_bigram_model parquet)")
+    scf.add_argument("--model", default=None,
+                     help="pre-trained bigram model parquet "
+                     "(vcfdb train-lm output or "
+                     "operators.lm.train_bigram_model persisted)")
+    scf.add_argument("--max-files-per-trigger", type=int, default=None)
+    scf.add_argument("--n-pfx", type=int, default=None)
+    scf.add_argument("--max-bucket-size", type=int, default=None)
+    scf.add_argument("--compact-every", type=int, default=16)
+
+    tl = sub.add_parser(
+        "train-lm",
+        help="train the smoothed bigram model on a reference corpus "
+        "and persist it as parquet — the reusable scoring index "
+        "stream-corpus-filter's --model and lm_score(model=...) "
+        "consume (train once, score every batch)",
+    )
+    tl.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text, ...)")
+    tl.add_argument("--out", required=True, help="model output directory")
+    tl.add_argument("--text-col", default="text")
+
     sc = sub.add_parser(
         "scrub",
         help="PII-scrub a documents parquet (emails/IPv4/phones → "
@@ -528,6 +572,49 @@ def main(argv: list[str] | None = None) -> int:
             f"stream-semantic-deduped {args.vecs_dir}: "
             f"{n} candidate pairs → {args.out}"
         )
+        return 0
+
+    if args.cmd == "stream-corpus-filter":
+        from vcfdbr_spark.streaming.ingest import stream_corpus_filter
+
+        stream_corpus_filter(
+            spark,
+            args.docs_dir,
+            args.out,
+            schema=args.schema,
+            min_tokens=args.min_tokens,
+            min_ttr=args.min_ttr,
+            max_bits=args.max_bits,
+            model_path=args.model,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_pfx=args.n_pfx,
+            max_bucket_size=args.max_bucket_size,
+            compact_every=args.compact_every or None,
+        )
+        from vcfdbr_spark import fs as _cli_fs
+
+        kept_dir = f"{args.out}/kept"
+        n = (
+            spark.read.parquet(kept_dir).count()
+            if _cli_fs.exists(spark, kept_dir)
+            else 0
+        )
+        print(
+            f"stream-corpus-filtered {args.docs_dir}: "
+            f"{n} docs kept → {args.out}"
+        )
+        return 0
+
+    if args.cmd == "train-lm":
+        from vcfdbr_spark.operators.lm import doc_bigrams, train_bigram_model
+
+        docs = spark.read.parquet(args.docs)
+        model = train_bigram_model(
+            doc_bigrams(docs, text_col=args.text_col), materialize=False
+        )
+        model.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"trained bigram model on {args.docs}: {n} bigrams → {args.out}")
         return 0
 
     if args.cmd == "append":
