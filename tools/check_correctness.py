@@ -70,6 +70,7 @@ SF1_QUERIES = [
 SF1_STREAM_CHECKS = [
     "stream_fuzzy_dedup_vs_batch",
     "stream_semantic_dedup_vs_batch",
+    "stream_corpus_filter_vs_replay",
 ]
 
 SF1_DEFAULT_DIR = "/tmp/sf1"
@@ -194,6 +195,114 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _stream_corpus_filter_record(spark, sf_dir: str) -> dict:
+    """Layered verification of the streaming capstone's KEEP layer:
+    run ``stream_corpus_filter`` (no-LM config; the model path is
+    unit-tested) over the sf corpus in 4 micro-batches, then replay
+    the documented first-seen-wins policy in pure Python (union-find
+    per batch) over (a) the quality-survivor set recomputed
+    INDEPENDENTLY in DuckDB with the registered oracle's gate
+    expressions and (b) the engine's own per-batch pair partitions —
+    the pair layer is itself verified against one-shot batch banding
+    by ``stream_fuzzy_dedup_vs_batch``, so together the two checks
+    cover the full path with no Spark code trusted twice."""
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    work = tempfile.mkdtemp(prefix="sf1_stream_cf_")
+    try:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text", "lang", "source")
+        docs.repartition(4).write.parquet(f"{work}/src")
+        from vcfdbr_spark.streaming.ingest import stream_corpus_filter
+
+        stream_corpus_filter(
+            spark, f"{work}/src/*.parquet", f"{work}/out",
+            max_files_per_trigger=1,
+        )
+        kept_spark = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{work}/out/kept")
+            .select("doc_id").collect()
+        }
+        idx = spark.read.option("basePath", f"{work}/out/band_index").parquet(
+            f"{work}/out/band_index"
+        )
+        doc_batch = {
+            r["doc_id"]: r["batch"]
+            for r in idx.select("doc_id", "batch").distinct().collect()
+        }
+        pairs = [
+            (r["a"], r["b"], r["batch"])
+            for r in spark.read.option("basePath", f"{work}/out/pairs")
+            .parquet(f"{work}/out/pairs").collect()
+        ]
+        # independent survivor set: the registered oracle's gates
+        con2 = duckdb.connect()
+        surv = {
+            r[0]
+            for r in con2.execute(
+                f"""
+                SELECT doc_id FROM parquet_scan({table_scan(sf_dir, 'documents')})
+                WHERE CAST(len(string_split(text, ' ')) AS BIGINT) >= 20
+                  AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) >= 0.3
+                """
+            ).fetchall()
+        }
+        if set(doc_batch) != surv:
+            return {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(doc_batch),
+                "oracle_rows": len(surv),
+                "err": "indexed set != independent quality-survivor set",
+                "oracle": "property: python replay of first-seen-wins",
+            }
+        kept_py: set = set()
+        for bn in sorted(set(doc_batch.values())):
+            sb = {d for d, b in doc_batch.items() if b == bn}
+            inb = [(a, b) for a, b, pb in pairs
+                   if pb == bn and a in sb and b in sb]
+            crossp = [(a, b) for a, b, pb in pairs
+                      if pb == bn and ((a in sb) != (b in sb))]
+            matched = {a if a in sb else b for a, b in crossp}
+            parent = {d: d for d in sb}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in inb:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comps = defaultdict(set)
+            for d in sb:
+                comps[find(d)].add(d)
+            for mem in comps.values():
+                if not (mem & matched):
+                    kept_py.add(min(mem))
+        ok = kept_spark == kept_py
+        return {
+            "rows_match": len(kept_spark) == len(kept_py),
+            "schema_match": True,
+            "hash_match": ok,
+            "spark_rows": len(kept_spark),
+            "oracle_rows": len(kept_py),
+            "err": None if ok else (
+                f"spark-only: {len(kept_spark - kept_py)}, "
+                f"replay-only: {len(kept_py - kept_spark)}"
+            ),
+            "oracle": "property: python replay of first-seen-wins",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -293,10 +402,13 @@ def main() -> int:
         for name in SF1_STREAM_CHECKS:
             if only and name not in only:
                 continue
-            flavor = "fuzzy" if "fuzzy" in name else "semantic"
             t0 = time.time()
             try:
-                rec = _stream_vs_batch_record(spark, sf_dir, flavor)
+                if name == "stream_corpus_filter_vs_replay":
+                    rec = _stream_corpus_filter_record(spark, sf_dir)
+                else:
+                    flavor = "fuzzy" if "fuzzy" in name else "semantic"
+                    rec = _stream_vs_batch_record(spark, sf_dir, flavor)
             except Exception as ex:
                 rec = {
                     "rows_match": False, "schema_match": False,
