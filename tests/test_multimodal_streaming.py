@@ -273,6 +273,72 @@ def test_stream_semantic_dedup_pairs_across_batches(spark, tmp_path):
         )
 
 
+def test_stream_ivf_assign_matches_batch_index(spark, tmp_path):
+    """Streaming IVF maintenance: vectors streamed in 2 micro-batches
+    through stream_ivf_assign answer ivf_topk_indexed queries with
+    EXACTLY the in-memory ivf_topk results over the union corpus at
+    the same pinned centroids; the probe scan prunes to the probed
+    cent_id= partitions; a restart under different centroids dies."""
+    import pytest
+
+    from vcfdbr_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_train,
+    )
+    from vcfdbr_spark.streaming.ingest import stream_ivf_assign
+
+    schema = "vec_id long, embedding array<float>, label int"
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)], 0)
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, schema)
+    cents = ivf_train(
+        corpus.select("vec_id", "embedding"), nlist=4, n_iter=1
+    )
+    cpath = str(tmp_path / "cents")
+    cents.write.parquet(cpath)
+
+    src = tmp_path / "ivf_src"
+    src.mkdir()
+    spark.createDataFrame(rows[:20], schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    spark.createDataFrame(rows[20:], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    out = str(tmp_path / "ivf_out")
+    stream_ivf_assign(
+        spark, str(src) + "/*", out, cpath, max_files_per_trigger=1
+    )
+    import glob
+
+    assert len(glob.glob(f"{out}/index/batch=*")) == 2
+
+    q = corpus.filter("vec_id % 10 = 0").select("vec_id", "embedding")
+    got = ivf_topk_indexed(spark, f"{out}/index", q, k=3, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in l and "cent_id" in l and " IN " in l
+        for l in plan.split("\n")
+    ), "probe scan must prune to the probed cent_id= partitions"
+    want = ivf_topk(
+        corpus.select("vec_id", "embedding"), q, k=3, nprobe=2,
+        centroids=spark.read.parquet(cpath),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    other = str(tmp_path / "cents2")
+    ivf_train(
+        corpus.select("vec_id", "embedding"), nlist=3, n_iter=1
+    ).write.parquet(other)
+    with pytest.raises(ValueError, match="pinned to different"):
+        stream_ivf_assign(spark, str(src) + "/*", out, other)
+
+
 def test_stream_corpus_filter_first_seen_wins(spark, tmp_path):
     """The streaming capstone: per-batch quality gates, then fuzzy
     dedup against stream history with first-seen-wins — a doc

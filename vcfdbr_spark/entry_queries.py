@@ -2645,6 +2645,30 @@ def q_embedding_ivf_trained_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, nprobe=3, centroids=cents)
 
 
+def q_embedding_ivf_indexed_topk(spark, sf_dir):
+    """IVF ANN over the PERSISTED partition-prunable inverted-list
+    layout (write_ivf_index → ivf_topk_indexed): the SAME trained
+    centroids and parameters as embedding_ivf_trained_topk, so the
+    oracle is the same SQL — persisting and pruning the index MUST
+    NOT change answers; the probe scan reads only the probed
+    cent_id= partitions (PartitionFilters plan-asserted in
+    tests/test_multimodal_streaming.py)."""
+    import tempfile
+
+    from vcfdbr_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_train,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = ivf_train(emb, nlist=20, n_iter=2)
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    write_ivf_index(emb, path, centroids=cents)
+    return ivf_topk_indexed(spark, path, queries, k=5, nprobe=3)
+
+
 def _sql_ivf_trained(nlist=20, n_iter=2, nprobe=3, k=5, dim=64) -> str:
     """Oracle for the trained-IVF query: the SAME Lloyd iterations the
     Spark trainer runs, unrolled as CTE stages (exact integer sums and
@@ -3416,9 +3440,11 @@ QUERIES: dict[str, QueryFn] = {
     # validation; values unchanged), the NEW embedding_cap_skew
     # (planted-cluster cap-EFFECT evidence, first driver row), and
     # the NEW embedding_dup_pairs_recall (recall-targeted band
-    # count, first driver row).  The remaining slots keep r10-green
+    # count, first driver row), and the NEW (late-r11)
+    # embedding_ivf_indexed_topk (persisted partition-pruned IVF
+    # layout, first driver row).  The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
-    # tail is green in CORRECTNESS_r10.json, so all 81 registered
+    # tail is green in CORRECTNESS_r10.json, so all 82 registered
     # queries hold a driver-artifact green row within the 2-round
     # window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
@@ -3472,6 +3498,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition": q_doc_repetition,
     "deterministic_sample": q_deterministic_sample,
     "lsh_recall": q_lsh_recall,
+    "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_codec": q_multimodal_codec,
@@ -3584,6 +3611,9 @@ ORACLE: dict[str, str] = {
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
+    # the persisted-layout path must answer EXACTLY like the
+    # in-memory trained path — same centroids, same oracle
+    "embedding_ivf_indexed_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_cap_skew": SQL_EMBEDDING_CAP_SKEW,
     "embedding_dup_pairs_recall": SQL_EMBEDDING_DUP_PAIRS_RECALL,

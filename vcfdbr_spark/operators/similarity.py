@@ -467,6 +467,15 @@ def ivf_topk(
         F.col("_qv").alias("qv"),
         F.col("_norm").alias("qn"),
     )
+    probes = _query_probes(q, cents, nprobe)
+    return _probe_score_topk(c, probes, k)
+
+
+def _query_probes(q: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, cent_id, qv, qn): each query's ``nprobe`` nearest
+    centroids (broadcast centroid scoring; deterministic tie-break) —
+    the probe-selection step shared by :func:`ivf_topk` and
+    :func:`ivf_topk_indexed`."""
     qc = q.join(F.broadcast(cents)).withColumn(
         "cscore",
         cosine_score(F.col("qv"), F.col("ccv"), F.col("qn"), F.col("ccn")),
@@ -474,11 +483,17 @@ def ivf_topk(
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cscore").desc(), F.col("cent_id")
     )
-    probes = (
+    return (
         qc.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= nprobe)
         .select("query_id", "cent_id", "qv", "qn")
     )
+
+
+def _probe_score_topk(c: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Score each query against its probed lists' candidates and keep
+    the top ``k`` — the scoring tail shared by :func:`ivf_topk` and
+    :func:`ivf_topk_indexed`.  ``c``: (cand_id, cv, cn, cent_id)."""
     scored = (
         c.join(probes, "cent_id")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -499,6 +514,130 @@ def ivf_topk(
             "query_id", "cand_id", "score", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: DataFrame | None = None,
+    nlist: int = 64,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF inverted lists as a PARTITION-PRUNABLE layout:
+    ``(vec_id, embedding)`` hive-partitioned by ``cent_id``, with the
+    centroid table pinned in a ``_centroids`` sidecar dir (underscore
+    prefix → invisible to parquet partition discovery).
+
+    This is the build-once side :func:`ivf_topk`'s docstring defers
+    to: at 10⁹ vectors the assignment is amortized across every
+    query batch, and :func:`ivf_topk_indexed`'s probe reads ONLY the
+    ``cent_id=`` directories the query batch probes (≤ nlist dirs,
+    PartitionFilters on the scan) — never the whole corpus.
+
+    ``centroids`` defaults to :func:`ivf_train` on the corpus (the
+    deterministic k-means path); pass a frame to pin externally
+    trained centroids.  The sidecar guard is the same class as the
+    band-index ``_band_params``: probing with different centroids
+    than the lists were assigned under silently searches the wrong
+    lists, so :func:`ivf_topk_indexed` always reads the sidecar.
+    ``mode="append"`` (streaming maintenance) validates the sidecar
+    matches the assignment centroids first.
+    """
+    from vcfdbr_spark import fs as _fs
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, nlist=nlist, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+    centroids = centroids.persist()
+    cent_dir = f"{path}/_centroids"
+    if mode == "append" and _fs.exists(spark, cent_dir):
+        stored = read_ivf_centroids(spark, path, id_col=id_col)
+        a = sorted(map(tuple, stored.collect()))
+        b = sorted(map(tuple, centroids.select(id_col, vec_col).collect()))
+        if a != b:
+            centroids.unpersist()
+            raise ValueError(
+                f"IVF index at {path} was assigned under different "
+                f"centroids than the append's; mixed assignments would "
+                f"silently probe the wrong lists"
+            )
+    assign = ivf_assign(corpus, id_col, vec_col, centroids=centroids)
+    (
+        corpus.select(id_col, vec_col)
+        .join(assign, id_col)
+        .write.mode(mode)
+        .partitionBy("cent_id")
+        .parquet(path)
+    )
+    # non-append overwrite deletes the sidecar with the dir
+    if mode != "append" or not _fs.exists(spark, cent_dir):
+        centroids.select(id_col, vec_col).write.mode("overwrite").parquet(
+            cent_dir
+        )
+    centroids.unpersist()
+
+
+def read_ivf_centroids(
+    spark, path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The pinned centroid table of a :func:`write_ivf_index` layout."""
+    return spark.read.parquet(f"{path}/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k over a PERSISTED :func:`write_ivf_index`
+    layout — identical results to :func:`ivf_topk` with the same
+    centroids (pinned by the layout's sidecar), but the corpus scan
+    is PRUNED to the probed inverted lists: the query batch's
+    distinct probed ``cent_id`` set (≤ nlist ints — driver-bounded
+    by the centroid count, never data-sized) is pushed as an ``IN``
+    filter on the partition column, so Catalyst reads only those
+    ``cent_id=`` directories.  At 10⁹ vectors × nprobe/nlist
+    selectivity that is the difference between scanning the corpus
+    per query batch and scanning a few percent of it.
+    """
+    cents = with_quantized(
+        read_ivf_centroids(spark, path, id_col), vec_col
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("_qv").alias("ccv"),
+        F.col("_norm").alias("ccn"),
+    )
+    q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_qv").alias("qv"),
+        F.col("_norm").alias("qn"),
+    )
+    probes = _query_probes(q, cents, nprobe).persist()
+    probed_lists = [
+        r[0] for r in probes.select("cent_id").distinct().collect()
+    ]
+    index = spark.read.parquet(path).filter(
+        F.col("cent_id").isin(probed_lists)
+    )
+    c = with_quantized(index, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("_qv").alias("cv"),
+        F.col("_norm").alias("cn"),
+        "cent_id",
+    )
+    out = _probe_score_topk(c, probes, k)
+    probes.unpersist()
+    return out
 
 
 def embedding_dup_pairs(

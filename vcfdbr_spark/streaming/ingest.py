@@ -295,6 +295,82 @@ def stream_semantic_dedup(
     )
 
 
+def stream_ivf_assign(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    centroids_path: str,
+    schema: str = "vec_id long, embedding array<float>, label int",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming IVF index maintenance: each micro-batch of vectors
+    is assigned to its nearest PINNED centroid and appended to the
+    partition-prunable inverted-list layout
+    (``similarity.write_ivf_index``'s shape, one ``batch=N`` dir per
+    micro-batch so replays are exactly-once) —
+    ``similarity.ivf_topk_indexed`` queries the accumulated layout
+    with the same probed-list pruning as a batch-built index.
+
+    Centroids are pinned for the stream's life (the ``_centroids``
+    sidecar is written at first run and every later run must pass a
+    path with the SAME centroid table — assignment under different
+    centroids would interleave incompatible inverted lists, the IVF
+    analog of the band-width pinning guard).  Train them offline
+    (``similarity.ivf_train`` on a reference sample) — a stream has
+    no final corpus to train on, the same reasoning as
+    ``stream_semantic_dedup``'s pinned band params.  As the
+    accumulated stream drifts from the training distribution, lists
+    skew; the remedy is the familiar re-pin + rebuild: retrain,
+    ``write_ivf_index`` over the accumulated vectors, restart.
+    """
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.similarity import ivf_assign
+
+    idx_dir = f"{out_dir}/index"
+    cents = spark.read.parquet(centroids_path).select(
+        "vec_id", "embedding"
+    )
+    cent_dir = f"{idx_dir}/_centroids"
+    if _fs.exists(spark, cent_dir):
+        stored = sorted(
+            map(tuple, spark.read.parquet(cent_dir).collect())
+        )
+        given = sorted(map(tuple, cents.collect()))
+        if stored != given:
+            raise ValueError(
+                f"stream IVF index at {idx_dir} is pinned to different "
+                f"centroids than {centroids_path}; assigning new "
+                f"batches under them would interleave incompatible "
+                f"inverted lists"
+            )
+    else:
+        cents.write.parquet(cent_dir)
+    cents = cents.persist()
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = batch_df.select("vec_id", "embedding")
+        assign = ivf_assign(vecs, centroids=cents)
+        _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
+        (
+            vecs.join(assign, "vec_id")
+            .write.partitionBy("cent_id")
+            .parquet(f"{idx_dir}/batch={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cents.unpersist()
+
+
 def stream_corpus_filter(
     spark: SparkSession,
     source_dir: str,
