@@ -529,6 +529,56 @@ def test_cli_train_lm_then_stream_corpus_filter(spark, tmp_path, capsys):
     assert [r["doc_id"] for r in kept] == [1]
 
 
+def test_cli_ivf_index_search_and_stream_assign(spark, tmp_path, capsys):
+    """The IVF CLI workflow: ivf-index builds the pruned layout,
+    ivf-search answers from it, and stream-ivf-assign maintains an
+    equivalent layout incrementally — both layouts return identical
+    results for the same queries."""
+    schema = "vec_id long, embedding array<float>, label int"
+    rows = [
+        (i, [float((i * 5 + d * 7) % 13 - 6) for d in range(8)], 0)
+        for i in range(30)
+    ]
+    vecs = spark.createDataFrame(rows, schema).select("vec_id", "embedding")
+    vecs.write.parquet(str(tmp_path / "vecs.parquet"))
+    idx = str(tmp_path / "ivf_idx")
+    assert cli_main(
+        ["ivf-index", "--vecs", str(tmp_path / "vecs.parquet"),
+         "--out", idx, "--nlist", "4", "--n-iter", "1"]
+    ) == 0
+    assert "30 vectors" in capsys.readouterr().out
+
+    q = vecs.filter("vec_id % 10 = 0")
+    q.write.parquet(str(tmp_path / "q.parquet"))
+    res1 = str(tmp_path / "res1")
+    assert cli_main(
+        ["ivf-search", "--index", idx, "--queries",
+         str(tmp_path / "q.parquet"), "--out", res1, "--k", "3"]
+    ) == 0
+    out1 = sorted(map(tuple, spark.read.parquet(res1).collect()))
+    assert len(out1) == 9  # 3 queries x k=3
+
+    # streaming maintenance reaches the same answers
+    src = tmp_path / "ivf_src"
+    src.mkdir()
+    vecs.filter("vec_id < 15").coalesce(1).write.parquet(str(src / "f0"))
+    vecs.filter("vec_id >= 15").coalesce(1).write.parquet(str(src / "f1"))
+    sout = str(tmp_path / "ivf_stream")
+    assert cli_main(
+        ["stream-ivf-assign", "--vecs-dir", str(src) + "/*",
+         "--out", sout, "--centroids", f"{idx}/_centroids",
+         "--schema", "vec_id long, embedding array<float>",
+         "--max-files-per-trigger", "1"]
+    ) == 0
+    res2 = str(tmp_path / "res2")
+    assert cli_main(
+        ["ivf-search", "--index", f"{sout}/index", "--queries",
+         str(tmp_path / "q.parquet"), "--out", res2, "--k", "3"]
+    ) == 0
+    out2 = sorted(map(tuple, spark.read.parquet(res2).collect()))
+    assert out1 == out2
+
+
 def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
     """ADVICE r7: a fresh/empty source dir fires zero batches, so
     pairs/ is never created — the CLI must report zero pairs, not die

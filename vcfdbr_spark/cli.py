@@ -279,6 +279,59 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-side bucket cap (default "
                     "dedup.DEFAULT_MAX_BUCKET_SIZE; 0 disables)")
 
+    ib = sub.add_parser(
+        "ivf-index",
+        help="build the partition-prunable IVF ANN index: train "
+        "deterministic k-means centroids (or pin externally trained "
+        "ones), assign every vector to its nearest centroid, store "
+        "inverted lists hive-partitioned by cent_id with the "
+        "centroids pinned in a _centroids sidecar — build once, "
+        "search with ivf-search",
+    )
+    ib.add_argument("--vecs", required=True,
+                    help="parquet with (vec_id, embedding)")
+    ib.add_argument("--out", required=True, help="index directory")
+    ib.add_argument("--centroids", default=None,
+                    help="externally trained centroid parquet "
+                    "(vec_id, embedding); default trains in-engine")
+    ib.add_argument("--nlist", type=int, default=64,
+                    help="centroid count when training in-engine")
+    ib.add_argument("--n-iter", type=int, default=2,
+                    help="Lloyd rounds when training in-engine")
+
+    isr = sub.add_parser(
+        "ivf-search",
+        help="approximate top-k cosine search of a query parquet "
+        "against a stored ivf-index: probes the nprobe nearest "
+        "lists per query and READS ONLY those cent_id= partitions "
+        "(partition-pruned scan; centroids from the pinned sidecar)",
+    )
+    isr.add_argument("--index", required=True, help="ivf-index directory")
+    isr.add_argument("--queries", required=True,
+                     help="parquet with (vec_id, embedding)")
+    isr.add_argument("--out", required=True, help="results directory")
+    isr.add_argument("--k", type=int, default=5)
+    isr.add_argument("--nprobe", type=int, default=3)
+
+    sia = sub.add_parser(
+        "stream-ivf-assign",
+        help="streaming IVF index maintenance: assign each parquet "
+        "file of new vectors to the PINNED centroids and append "
+        "exactly-once batch=N/cent_id=M partitions; ivf-search "
+        "queries the accumulated layout with the same pruning",
+    )
+    sia.add_argument("--vecs-dir", required=True,
+                     help="directory watched for (vec_id, embedding) "
+                     "parquet files")
+    sia.add_argument("--out", required=True,
+                     help="output root (index/, _checkpoint)")
+    sia.add_argument("--centroids", required=True,
+                     help="trained centroid parquet — pinned at first "
+                     "run, restart must match")
+    sia.add_argument("--schema",
+                     default="vec_id long, embedding array<float>, label int")
+    sia.add_argument("--max-files-per-trigger", type=int, default=None)
+
     sd = sub.add_parser(
         "stream-dedup",
         help="streaming incremental fuzzy dedup: each parquet file "
@@ -515,6 +568,58 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every or None,
         )
         print(f"stream-ingested {args.vcf_dir} into {args.prefix}")
+        return 0
+
+    if args.cmd == "ivf-index":
+        from vcfdbr_spark.operators.similarity import write_ivf_index
+
+        vecs = spark.read.parquet(args.vecs).select("vec_id", "embedding")
+        cents = (
+            spark.read.parquet(args.centroids).select("vec_id", "embedding")
+            if args.centroids
+            else None
+        )
+        write_ivf_index(
+            vecs, args.out, centroids=cents,
+            nlist=args.nlist, n_iter=args.n_iter,
+        )
+        n = spark.read.parquet(args.out).count()
+        print(f"ivf-indexed {args.vecs}: {n} vectors → {args.out}")
+        return 0
+
+    if args.cmd == "ivf-search":
+        from vcfdbr_spark.operators.similarity import ivf_topk_indexed
+
+        queries = spark.read.parquet(args.queries).select(
+            "vec_id", "embedding"
+        )
+        out = ivf_topk_indexed(
+            spark, args.index, queries, k=args.k, nprobe=args.nprobe
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"ivf-searched {args.queries} (k={args.k}, "
+            f"nprobe={args.nprobe}): {n} result rows → {args.out}"
+        )
+        return 0
+
+    if args.cmd == "stream-ivf-assign":
+        from vcfdbr_spark.streaming.ingest import stream_ivf_assign
+
+        stream_ivf_assign(
+            spark,
+            args.vecs_dir,
+            args.out,
+            args.centroids,
+            schema=args.schema,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        n = spark.read.parquet(f"{args.out}/index").count()
+        print(
+            f"stream-ivf-assigned {args.vecs_dir}: "
+            f"{n} vectors in index → {args.out}"
+        )
         return 0
 
     if args.cmd == "stream-dedup":
