@@ -546,7 +546,19 @@ def test_cli_ivf_index_search_and_stream_assign(spark, tmp_path, capsys):
         ["ivf-index", "--vecs", str(tmp_path / "vecs.parquet"),
          "--out", idx, "--nlist", "4", "--n-iter", "1"]
     ) == 0
-    assert "30 vectors" in capsys.readouterr().out
+    built = capsys.readouterr().out
+    assert "30 vectors" in built and "lists (max" in built
+
+    from vcfdbr_spark.operators.similarity import ivf_list_stats
+
+    stats = ivf_list_stats(spark, idx).collect()
+    assert sum(r["n"] for r in stats) == 30
+    # the stats scan reads only the partition column, no data columns
+    plan = (
+        ivf_list_stats(spark, idx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<>" in plan
 
     q = vecs.filter("vec_id % 10 = 0")
     q.write.parquet(str(tmp_path / "q.parquet"))

@@ -583,8 +583,22 @@ def main(argv: list[str] | None = None) -> int:
             vecs, args.out, centroids=cents,
             nlist=args.nlist, n_iter=args.n_iter,
         )
-        n = spark.read.parquet(args.out).count()
-        print(f"ivf-indexed {args.vecs}: {n} vectors → {args.out}")
+        from vcfdbr_spark.operators.similarity import ivf_list_stats
+
+        stats = ivf_list_stats(spark, args.out).collect()
+        n = sum(r["n"] for r in stats)
+        sizes = sorted(r["n"] for r in stats)
+        med = sizes[len(sizes) // 2]
+        print(
+            f"ivf-indexed {args.vecs}: {n} vectors in {len(sizes)} "
+            f"lists (max {sizes[-1]}, median {med}) → {args.out}"
+        )
+        if med and sizes[-1] > 10 * med:
+            print(
+                f"WARNING: hottest list is {sizes[-1] / med:.0f}x the "
+                f"median — probe pruning degrades on skewed lists; "
+                f"consider retraining centroids on a fresher sample"
+            )
         return 0
 
     if args.cmd == "ivf-search":

@@ -590,6 +590,25 @@ def read_ivf_centroids(
     return spark.read.parquet(f"{path}/_centroids")
 
 
+def ivf_list_stats(spark, path: str) -> DataFrame:
+    """(cent_id, n) inverted-list populations of a
+    :func:`write_ivf_index` / ``stream_ivf_assign`` layout — the
+    skew probe.  Pruning wins scale with nprobe/nlist only while
+    lists stay balanced: a hot list (a dense region the training
+    sample under-represented, or stream drift) re-concentrates the
+    probe scan onto one huge partition.  Measure, don't guess — a
+    ``max(n)/median(n)`` ratio creeping past ~an order of magnitude
+    is the retrain signal (re-pin + rebuild, same cadence as the
+    band-width re-derivation).  One count aggregation over the
+    partition column — the scan reads no data columns."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
