@@ -227,6 +227,41 @@ def test_stream_fuzzy_dedup_pairs_across_batches(spark, tmp_path):
     assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 3
 
 
+def test_stream_fuzzy_dedup_empty_batch_mid_stream(spark, tmp_path):
+    """A zero-row file mid-stream (empty crawl shard) must not write
+    an empty batch=N index dir — the next batch's basePath read of it
+    would die with UNABLE_TO_INFER_SCHEMA (latent until r11's
+    bandless-batch guard) — and cross-batch pairs across the gap
+    still work."""
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    src = tmp_path / "gap_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame([], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(
+        [(21, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    out = tmp_path / "gap_out"
+    stream_fuzzy_dedup(
+        spark, str(src) + "/*", str(out), max_files_per_trigger=1
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(out / "pairs")).collect()
+    }
+    assert (1, 21) in pairs
+    import glob
+
+    # only the two non-empty batches left index partitions
+    assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 2
+
+
 def test_stream_semantic_dedup_pairs_across_batches(spark, tmp_path):
     """The sign-LSH embedding twin over the same streaming core:
     cross-batch near-dups via the index probe, in-batch via the
@@ -398,6 +433,40 @@ def test_stream_corpus_filter_first_seen_wins(spark, tmp_path):
         str(out / "band_index")
     )
     assert idx.filter("doc_id = 2").count() == 0
+
+
+def test_stream_corpus_filter_all_filtered_batch(spark, tmp_path):
+    """A micro-batch whose docs ALL fail the quality gates writes an
+    empty kept partition and indexes nothing — and the next batch's
+    docs are judged on their own merits (an all-garbage batch, e.g. a
+    bad crawl shard, must not poison or crash the stream)."""
+    from vcfdbr_spark.streaming.ingest import stream_corpus_filter
+
+    src = tmp_path / "bad_src"
+    src.mkdir()
+    schema = "doc_id long, text string, lang string, source string"
+    spark.createDataFrame(
+        [(1, "x x x x x x x x", "en", "web"),
+         (2, "y", "en", "web")],  # low ttr / too short: all fail
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(11, "alpha beta gamma delta epsilon zeta", "en", "web")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    out = tmp_path / "bad_out"
+    stream_corpus_filter(
+        spark, str(src) + "/*", str(out),
+        min_tokens=5, min_ttr=0.3, max_files_per_trigger=1,
+    )
+    kept = spark.read.option("basePath", str(out / "kept")).parquet(
+        str(out / "kept")
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {11}
+    idx = spark.read.option("basePath", str(out / "band_index")).parquet(
+        str(out / "band_index")
+    )
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {11}
 
 
 def test_stream_corpus_filter_lm_gate_needs_model(spark, tmp_path):

@@ -31,6 +31,16 @@ __all__ = [
     "cap_per_group",
     "scrub_pii",
     "pii_counts",
+    "corpus_filter",
+    "quality_pass_frame",
+    "write_ivf_index",
+    "ivf_topk_indexed",
+    "ivf_list_stats",
+    "read_ivf_centroids",
+    "stream_fuzzy_dedup",
+    "stream_semantic_dedup",
+    "stream_corpus_filter",
+    "stream_ivf_assign",
 ]
 __version__ = "0.2.0"
 
@@ -72,4 +82,26 @@ def __getattr__(name: str):
         from vcfdbr_spark.functions import text
 
         return getattr(text, name)
+    if name in ("corpus_filter", "quality_pass_frame"):
+        from vcfdbr_spark.operators import pipeline
+
+        return getattr(pipeline, name)
+    if name in (
+        "write_ivf_index",
+        "ivf_topk_indexed",
+        "ivf_list_stats",
+        "read_ivf_centroids",
+    ):
+        from vcfdbr_spark.operators import similarity
+
+        return getattr(similarity, name)
+    if name in (
+        "stream_fuzzy_dedup",
+        "stream_semantic_dedup",
+        "stream_corpus_filter",
+        "stream_ivf_assign",
+    ):
+        from vcfdbr_spark.streaming import ingest
+
+        return getattr(ingest, name)
     raise AttributeError(name)

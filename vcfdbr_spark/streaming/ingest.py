@@ -464,6 +464,14 @@ def stream_corpus_filter(
 
     def keep_hook(batch_df, cross, inbatch, batch_id) -> None:
         surv = state.pop("surv")
+        _fs.delete_dir(spark, f"{kept_dir}/batch={batch_id}")
+        if inbatch is None:
+            # bandless batch: every doc failed the gates (no
+            # survivors → nothing to keep) — an all-garbage shard
+            # writes NO kept partition (see the core's bandless-batch
+            # contract) and the stream moves on
+            surv.unpersist()
+            return
         drops = None
         edges = inbatch
         if cross is not None:
@@ -535,8 +543,11 @@ def stream_corpus_filter(
                 "doc_id"
             )
         kept = surv.join(drops.distinct(), "doc_id", "left_anti")
-        _fs.delete_dir(spark, f"{kept_dir}/batch={batch_id}")
-        kept.write.parquet(f"{kept_dir}/batch={batch_id}")
+        # write only a non-empty keep set: an empty partitioned dir
+        # has no parquet files and breaks later multi-dir reads (the
+        # stale dir was already deleted above, so replays agree)
+        if kept.take(1):
+            kept.write.parquet(f"{kept_dir}/batch={batch_id}")
         surv.unpersist()
 
     _stream_banded_dedup(
@@ -581,8 +592,12 @@ def _stream_banded_dedup(
     the cross (index-vs-batch, ``None`` on the first batch) and
     in-batch candidate pair frames SEPARATELY — an edge to history
     and an edge within the batch have different keep consequences.
-    The hook must write its own outputs delete-before-write into a
-    ``batch=N`` partition to keep the replay-exactly-once contract.
+    BOTH are ``None`` for a bandless batch (no pairs exist and no
+    index partition was written).  The hook must write its own
+    outputs delete-before-write into a ``batch=N`` partition — and
+    write NOTHING when its output is empty (an empty partitioned
+    dir breaks later multi-dir reads) — to keep the
+    replay-exactly-once contract.
     """
     from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.operators.dedup import (
@@ -617,6 +632,20 @@ def _stream_banded_dedup(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         bands = make_bands(batch_df).persist()
+        if not bands.take(1):
+            # A bandless batch (empty file, or every doc gated out by
+            # a filtering make_bands) must write NO batch=N dirs: an
+            # empty partitioned write leaves a dir with no parquet
+            # files, and the next batch's basePath read of it dies
+            # with UNABLE_TO_INFER_SCHEMA.  Delete-stale keeps replays
+            # exactly-once; the hook still runs (with None pair
+            # frames) so its own per-batch output stays replay-clean.
+            _fs.delete_dir(spark, f"{pairs_dir}/batch={batch_id}")
+            _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
+            if post_batch is not None:
+                post_batch(batch_df, None, None, batch_id)
+            bands.unpersist()
+            return
         prior = [
             d
             for d in _fs.list_subdirs(spark, idx_dir, "batch=")
