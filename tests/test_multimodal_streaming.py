@@ -436,10 +436,13 @@ def test_stream_corpus_filter_first_seen_wins(spark, tmp_path):
 
 
 def test_stream_corpus_filter_all_filtered_batch(spark, tmp_path):
-    """A micro-batch whose docs ALL fail the quality gates writes an
-    empty kept partition and indexes nothing — and the next batch's
-    docs are judged on their own merits (an all-garbage batch, e.g. a
-    bad crawl shard, must not poison or crash the stream)."""
+    """A micro-batch whose docs ALL fail the quality gates writes NO
+    kept partition and NO index partition (an empty partitioned dir
+    has no parquet files and breaks later multi-dir reads — the exact
+    husk the bandless-batch guard exists to prevent) — and the next
+    batch's docs are judged on their own merits (an all-garbage
+    batch, e.g. a bad crawl shard, must not poison or crash the
+    stream)."""
     from vcfdbr_spark.streaming.ingest import stream_corpus_filter
 
     src = tmp_path / "bad_src"

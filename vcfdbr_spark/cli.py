@@ -420,6 +420,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="pre-trained bigram model parquet "
                      "(vcfdb train-lm output or "
                      "operators.lm.train_bigram_model persisted)")
+    scf.add_argument("--keep-cols", default="lang,source",
+                     help="comma-separated passthrough columns (must "
+                     "exist in --schema); empty string for none")
     scf.add_argument("--max-files-per-trigger", type=int, default=None)
     scf.add_argument("--n-pfx", type=int, default=None)
     scf.add_argument("--max-bucket-size", type=int, default=None)
@@ -629,7 +632,17 @@ def main(argv: list[str] | None = None) -> int:
             schema=args.schema,
             max_files_per_trigger=args.max_files_per_trigger,
         )
-        n = spark.read.parquet(f"{args.out}/index").count()
+        # a fresh/empty source fires zero batches: index/ holds only
+        # the _centroids sidecar, so report 0 instead of dying on a
+        # schema-less read (same contract as the other stream CLIs)
+        from vcfdbr_spark import fs as _cli_fs
+
+        batches = _cli_fs.list_subdirs(spark, f"{args.out}/index", "batch=")
+        n = (
+            spark.read.parquet(f"{args.out}/index").count()
+            if batches
+            else 0
+        )
         print(
             f"stream-ivf-assigned {args.vecs_dir}: "
             f"{n} vectors in index → {args.out}"
@@ -696,6 +709,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "stream-corpus-filter":
         from vcfdbr_spark.streaming.ingest import stream_corpus_filter
 
+        keep_cols = tuple(
+            c.strip() for c in args.keep_cols.split(",") if c.strip()
+        )
         stream_corpus_filter(
             spark,
             args.docs_dir,
@@ -705,6 +721,7 @@ def main(argv: list[str] | None = None) -> int:
             min_ttr=args.min_ttr,
             max_bits=args.max_bits,
             model_path=args.model,
+            keep_cols=keep_cols,
             max_files_per_trigger=args.max_files_per_trigger,
             n_pfx=args.n_pfx,
             max_bucket_size=args.max_bucket_size,

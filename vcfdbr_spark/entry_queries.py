@@ -2653,6 +2653,7 @@ def q_embedding_ivf_indexed_topk(spark, sf_dir):
     NOT change answers; the probe scan reads only the probed
     cent_id= partitions (PartitionFilters plan-asserted in
     tests/test_multimodal_streaming.py)."""
+    import hashlib
     import tempfile
 
     from vcfdbr_spark.operators.similarity import (
@@ -2664,7 +2665,12 @@ def q_embedding_ivf_indexed_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     cents = ivf_train(emb, nlist=20, n_iter=2)
-    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    # FIXED per-sf path, rebuilt in place (overwrite): repeated
+    # harness/bench runs reuse one dir instead of accumulating a
+    # corpus-sized orphan per invocation (the index must outlive this
+    # call — the returned plan is lazy — so rmtree is not an option)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/vcfdbr_ivf_idx_{tag}/index"
     write_ivf_index(emb, path, centroids=cents)
     return ivf_topk_indexed(spark, path, queries, k=5, nprobe=3)
 

@@ -641,7 +641,15 @@ def ivf_topk_indexed(
         F.col("_qv").alias("qv"),
         F.col("_norm").alias("qn"),
     )
-    probes = _query_probes(q, cents, nprobe).persist()
+    from vcfdbr_spark.plans.checkpoints import eager_checkpoint
+
+    # eager_checkpoint, not persist+unpersist: the probe frame feeds
+    # the driver-side probed_lists collect NOW and the returned lazy
+    # plan LATER — an unpersist before the caller's action would
+    # silently re-run the probe selection per evaluation, and never
+    # unpersisting leaks cache; checkpoint blocks release when the
+    # returned frame is dropped (repo-wide checkpoint contract)
+    probes = eager_checkpoint(_query_probes(q, cents, nprobe))
     probed_lists = [
         r[0] for r in probes.select("cent_id").distinct().collect()
     ]
@@ -654,9 +662,7 @@ def ivf_topk_indexed(
         F.col("_norm").alias("cn"),
         "cent_id",
     )
-    out = _probe_score_topk(c, probes, k)
-    probes.unpersist()
-    return out
+    return _probe_score_topk(c, probes, k)
 
 
 def embedding_dup_pairs(

@@ -349,8 +349,14 @@ def stream_ivf_assign(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         vecs = batch_df.select("vec_id", "embedding")
-        assign = ivf_assign(vecs, centroids=cents)
         _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
+        # empty micro-batch (zero-row shard): write NO batch dir — an
+        # empty partitioned write leaves a husk with no parquet files
+        # that breaks every later root read (same guard class as the
+        # banded core's bandless-batch rule)
+        if not vecs.take(1):
+            return
+        assign = ivf_assign(vecs, centroids=cents)
         (
             vecs.join(assign, "vec_id")
             .write.partitionBy("cent_id")
@@ -542,12 +548,16 @@ def stream_corpus_filter(
             drops = comp.filter(F.col("doc_id") != F.col("keep_id")).select(
                 "doc_id"
             )
-        kept = surv.join(drops.distinct(), "doc_id", "left_anti")
+        # persist: kept feeds the emptiness probe AND the write, and
+        # its lineage includes the per-batch components loop — without
+        # the cache that loop's tail re-executes per consumer
+        kept = surv.join(drops.distinct(), "doc_id", "left_anti").persist()
         # write only a non-empty keep set: an empty partitioned dir
         # has no parquet files and breaks later multi-dir reads (the
         # stale dir was already deleted above, so replays agree)
         if kept.take(1):
             kept.write.parquet(f"{kept_dir}/batch={batch_id}")
+        kept.unpersist()
         surv.unpersist()
 
     _stream_banded_dedup(
