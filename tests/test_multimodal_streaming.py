@@ -227,6 +227,24 @@ def test_stream_fuzzy_dedup_pairs_across_batches(spark, tmp_path):
     assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 3
 
 
+def test_sample_exact_k_plan_and_determinism(spark):
+    """Exact-k sampling compiles to TakeOrderedAndProject (per-
+    partition heaps, no global sort Exchange) and returns the same k
+    rows on every run and any partitioning."""
+    from vcfdbr_spark.operators.sampling import sample_exact_k
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+    out = sample_exact_k(df, "doc_id", 25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(df.repartition(7), "doc_id", 25).collect()
+    )
+    assert len(a) == 25 and a == b
+
+
 def test_stream_fuzzy_dedup_empty_batch_mid_stream(spark, tmp_path):
     """A zero-row file mid-stream (empty crawl shard) must not write
     an empty batch=N index dir — the next batch's basePath read of it

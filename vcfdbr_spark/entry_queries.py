@@ -1520,6 +1520,24 @@ FROM sig
 """
 
 
+def q_exact_k_sample(spark, sf_dir):
+    """Exactly-k deterministic sample via md5 ranking —
+    TakeOrderedAndProject plan (per-partition top-k heaps, no global
+    sort; plan-asserted in tests), identical row set in any engine
+    ordering by the same md5 hex."""
+    from vcfdbr_spark.operators.sampling import sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_exact_k(docs, "doc_id", 100).select("doc_id", "lang")
+
+
+SQL_EXACT_K_SAMPLE = """
+SELECT doc_id, lang FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+"""
+
+
 def q_deterministic_sample(spark, sf_dir):
     """C13 sampling parity, engine-portable: md5-keyed Bernoulli at
     2/16 plus a stratified 4/16-'en' variant, union'd with a tag."""
@@ -3448,9 +3466,11 @@ QUERIES: dict[str, QueryFn] = {
     # the NEW embedding_dup_pairs_recall (recall-targeted band
     # count, first driver row), and the NEW (late-r11)
     # embedding_ivf_indexed_topk (persisted partition-pruned IVF
-    # layout, first driver row).  The remaining slots keep r10-green
+    # layout, first driver row) + exact_k_sample
+    # (TakeOrderedAndProject exact-size sample, first driver row).
+    # The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
-    # tail is green in CORRECTNESS_r10.json, so all 82 registered
+    # tail is green in CORRECTNESS_r10.json, so all 83 registered
     # queries hold a driver-artifact green row within the 2-round
     # window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
@@ -3503,8 +3523,11 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "doc_repetition": q_doc_repetition,
     "deterministic_sample": q_deterministic_sample,
-    "lsh_recall": q_lsh_recall,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
+    "exact_k_sample": q_exact_k_sample,
+    # displaced to the tail for the two late-r11 first-row keys:
+    # lsh_recall and embedding_topk are both r10-driver-green
+    "lsh_recall": q_lsh_recall,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_codec": q_multimodal_codec,
@@ -3620,6 +3643,7 @@ ORACLE: dict[str, str] = {
     # the persisted-layout path must answer EXACTLY like the
     # in-memory trained path — same centroids, same oracle
     "embedding_ivf_indexed_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
+    "exact_k_sample": SQL_EXACT_K_SAMPLE,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_cap_skew": SQL_EMBEDDING_CAP_SKEW,
     "embedding_dup_pairs_recall": SQL_EMBEDDING_DUP_PAIRS_RECALL,

@@ -33,6 +33,30 @@ def deterministic_sample(
     return df.filter(md5_bernoulli(F.col(key_col), sixteenths))
 
 
+def sample_exact_k(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACTLY ``k`` rows, deterministic and engine-portable: every
+    row is ranked by ``md5(key)`` — a uniform pseudo-random total
+    order with no RNG/seed machinery — and the ``k`` smallest win.
+
+    Scale shape: Catalyst compiles the orderBy+limit into
+    ``TakeOrderedAndProject`` (plan-asserted in tests) — each
+    partition emits its own size-k heap and the driver merges
+    ``P·k`` rows, so a 100-TB corpus is sampled in ONE pass with NO
+    global sort or shuffle.  The alternatives both fail a
+    requirement: ``df.sample(fraction)`` returns a BINOMIAL row
+    count (never exactly k), and a ``row_number`` window over a
+    global order shuffles the entire corpus to rank it.
+
+    Exact-k is inherently GROWTH-UNSTABLE (new rows can displace
+    earlier picks — no exact-size sample can be stable); when
+    membership stability under corpus growth matters use
+    :func:`deterministic_sample` (fixed rate) or
+    :func:`split_corpus` instead.  md5 ties are broken by the key.
+    """
+    rank = F.md5(F.col(key_col).cast("string"))
+    return df.orderBy(rank, F.col(key_col)).limit(k)
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
