@@ -29,6 +29,7 @@ __all__ = [
     "compact_band_index",
     "index_n_pfx",
     "cap_per_group",
+    "sample_exact_k",
     "scrub_pii",
     "pii_counts",
     "corpus_filter",
@@ -74,10 +75,10 @@ def __getattr__(name: str):
         from vcfdbr_spark.operators import dedup
 
         return getattr(dedup, name)
-    if name == "cap_per_group":
+    if name in ("cap_per_group", "sample_exact_k"):
         from vcfdbr_spark.operators import sampling
 
-        return sampling.cap_per_group
+        return getattr(sampling, name)
     if name in ("scrub_pii", "pii_counts"):
         from vcfdbr_spark.functions import text
 
