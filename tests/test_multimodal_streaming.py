@@ -280,6 +280,65 @@ def test_stream_fuzzy_dedup_empty_batch_mid_stream(spark, tmp_path):
     assert len(glob.glob(str(out / "band_index" / "batch=*"))) == 2
 
 
+def test_stream_exact_dedup_unbounded_history(spark, tmp_path):
+    """Exact dedup against the WHOLE stream history: a dup arriving
+    many batches after its original still maps to the original
+    keeper (no watermark bound), the index stays one row per
+    DISTINCT hash (a boilerplate cluster of any size costs one
+    index row), and keepers never change once assigned."""
+    from vcfdbr_spark.streaming.ingest import stream_exact_dedup
+
+    src = tmp_path / "ed_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(5, "original text"), (6, "boilerplate"), (7, "boilerplate")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(11, "something else")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(21, "original text"), (22, "boilerplate"), (23, "new stuff")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    out = tmp_path / "ed_out"
+    stream_exact_dedup(
+        spark, str(src) + "/*", str(out), max_files_per_trigger=1
+    )
+    keep = {
+        r["doc_id"]: r["keep_id"]
+        for r in spark.read.option("basePath", str(out / "keep"))
+        .parquet(str(out / "keep")).collect()
+    }
+    assert keep == {
+        5: 5, 6: 6, 7: 6, 11: 11,
+        21: 5,   # two batches after its original — no watermark loss
+        22: 6, 23: 23,
+    }
+    # index: one row per DISTINCT hash, not per doc
+    idx = spark.read.option("basePath", str(out / "hash_index")).parquet(
+        str(out / "hash_index")
+    )
+    assert idx.count() == 4  # original/boilerplate/something/new
+    assert {r["doc_id"] for r in idx.collect()} == {5, 6, 11, 23}
+
+    # a later re-run with a new file keeps old keepers stable
+    spark.createDataFrame(
+        [(31, "boilerplate")], schema
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    stream_exact_dedup(
+        spark, str(src) + "/*", str(out), max_files_per_trigger=1
+    )
+    keep2 = {
+        r["doc_id"]: r["keep_id"]
+        for r in spark.read.option("basePath", str(out / "keep"))
+        .parquet(str(out / "keep")).collect()
+    }
+    assert keep2[31] == 6 and keep2[5] == 5
+
+
 def test_stream_semantic_dedup_pairs_across_batches(spark, tmp_path):
     """The sign-LSH embedding twin over the same streaming core:
     cross-batch near-dups via the index probe, in-batch via the

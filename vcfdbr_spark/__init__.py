@@ -40,6 +40,7 @@ __all__ = [
     "read_ivf_centroids",
     "stream_fuzzy_dedup",
     "stream_semantic_dedup",
+    "stream_exact_dedup",
     "stream_corpus_filter",
     "stream_ivf_assign",
 ]
@@ -99,6 +100,7 @@ def __getattr__(name: str):
     if name in (
         "stream_fuzzy_dedup",
         "stream_semantic_dedup",
+        "stream_exact_dedup",
         "stream_corpus_filter",
         "stream_ivf_assign",
     ):

@@ -355,6 +355,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="fold the batch tail into one compacted layout "
                     "every N batches (0 disables)")
 
+    sed = sub.add_parser(
+        "stream-exact-dedup",
+        help="streaming exact dedup with UNBOUNDED history: each "
+        "doc's content hash is probed against a persistent "
+        "hash→keeper index (one row per distinct text, pfx-pruned "
+        "probes) and keep/batch=N maps every doc to the FIRST doc "
+        "ever seen with its text — no watermark bound; re-run to "
+        "pick up new files (checkpointed)",
+    )
+    sed.add_argument("--docs-dir", required=True,
+                     help="directory watched for (doc_id, text) parquet")
+    sed.add_argument("--out", required=True,
+                     help="output root (keep/, hash_index/, _checkpoint)")
+    sed.add_argument("--schema", default="doc_id long, text string")
+    sed.add_argument("--text-col", default="text")
+    sed.add_argument("--max-files-per-trigger", type=int, default=None)
+    sed.add_argument("--n-pfx", type=int, default=None)
+    sed.add_argument("--compact-every", type=int, default=16)
+
     ssd = sub.add_parser(
         "stream-semantic-dedup",
         help="streaming incremental semantic dedup: each parquet file "
@@ -674,6 +693,34 @@ def main(argv: list[str] | None = None) -> int:
             else 0
         )
         print(f"stream-deduped {args.docs_dir}: {n} candidate pairs → {args.out}")
+        return 0
+
+    if args.cmd == "stream-exact-dedup":
+        from vcfdbr_spark.streaming.ingest import stream_exact_dedup
+
+        stream_exact_dedup(
+            spark,
+            args.docs_dir,
+            args.out,
+            schema=args.schema,
+            text_col=args.text_col,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_pfx=args.n_pfx,
+            compact_every=args.compact_every or None,
+        )
+        from vcfdbr_spark import fs as _cli_fs
+
+        keep_dir = f"{args.out}/keep"
+        if _cli_fs.exists(spark, keep_dir):
+            kf = spark.read.parquet(keep_dir)
+            n = kf.count()
+            d = kf.filter("doc_id != keep_id").count()
+        else:
+            n = d = 0
+        print(
+            f"stream-exact-deduped {args.docs_dir}: {n} docs mapped, "
+            f"{d} duplicates → {args.out}"
+        )
         return 0
 
     if args.cmd == "stream-semantic-dedup":

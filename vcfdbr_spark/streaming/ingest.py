@@ -295,6 +295,163 @@ def stream_semantic_dedup(
     )
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+    n_pfx: int | None = None,
+    compact_every: int | None = 16,
+) -> None:
+    """Streaming EXACT dedup with UNBOUNDED history: per micro-batch,
+    every doc's content hash is probed against a persistent
+    ``hash → keeper`` index and the batch emits one
+    ``(doc_id, keep_id)`` row per doc — ``keep_id`` is the FIRST doc
+    ever seen with that text (first-seen-wins, stable once assigned).
+
+    Why not :func:`stream_dedup`: watermark state is BOUNDED by
+    design — a duplicate arriving after the watermark passes its
+    original is NOT caught.  Why not the banded core: exact dedup
+    over pairs is the wrong shape at scale (B identical boilerplate
+    docs would emit B² pairs); the right state is ONE row per
+    DISTINCT hash, so the index is corpus-vocabulary-sized and a
+    boilerplate cluster of any size costs one probe row.
+
+    The index reuses the ``dedup.write_band_index`` pfx-prunable
+    layout (``bucket`` = md5(text), ``doc_id`` = keeper, band 0):
+    each probe pushes its batch's hash prefixes as PartitionFilters
+    and reads only the matching ``pfx=`` dirs — per-batch cost is
+    O(|batch| + pruned probe), independent of stream age, and the
+    same auto-compaction (:func:`_compact_stream_index`) bounds
+    dir-listing growth.  Exactly-once: ``keep/batch=N`` and
+    ``batch=N`` index partitions are delete-before-write, the probe
+    excludes the batch's own partition, and a replayed batch
+    recomputes the identical keeper assignment (keepers are min-id
+    within the batch for unseen hashes, so the choice is
+    deterministic, not arrival-order-dependent within a batch).
+    """
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.dedup import (
+        DEFAULT_N_PFX,
+        band_pfx,
+        index_n_pfx,
+        write_band_index,
+    )
+
+    idx_dir = f"{out_dir}/hash_index"
+    keep_dir = f"{out_dir}/keep"
+    comp_dir = f"{out_dir}/hash_index_compacted"
+    stored = index_n_pfx(spark, idx_dir)
+    if n_pfx is None:
+        n_pfx = stored if stored is not None else DEFAULT_N_PFX
+    elif stored is not None and stored != n_pfx:
+        raise ValueError(
+            f"stream hash index at {idx_dir} was built with "
+            f"n_pfx={stored}; restarting with n_pfx={n_pfx} would mix "
+            f"partition moduli"
+        )
+    if stored != n_pfx:
+        _fs.write_text(spark, f"{idx_dir}/_n_pfx", str(n_pfx))
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _fs.delete_dir(spark, f"{keep_dir}/batch={batch_id}")
+        _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
+        hashes = batch_df.select(
+            "doc_id", F.md5(F.col(text_col)).alias("bucket")
+        ).persist()
+        if not hashes.take(1):
+            hashes.unpersist()
+            return
+        frames = []
+        for cand in (comp_dir, f"{comp_dir}.old"):
+            if _fs.exists(spark, cand):
+                frames.append(
+                    spark.read.parquet(cand).select(
+                        "doc_id", "bucket", "pfx"
+                    )
+                )
+                break
+        prior = [
+            d
+            for d in _fs.list_subdirs(spark, idx_dir, "batch=")
+            if not d.endswith(f"batch={batch_id}")
+        ]
+        if prior:
+            frames.append(
+                spark.read.option("basePath", idx_dir)
+                .parquet(*prior)
+                .select("doc_id", "bucket", "pfx")
+            )
+        if frames:
+            index = frames[0]
+            for f in frames[1:]:
+                index = index.unionByName(f)
+            pfxs = [
+                r[0]
+                for r in hashes.select(
+                    band_pfx(F.col("bucket"), n_pfx).alias("p")
+                ).distinct().collect()
+            ]
+            known = (
+                index.filter(F.col("pfx").isin(pfxs))
+                .select(F.col("bucket"), F.col("doc_id").alias("_keeper"))
+                # a replayed batch's own folded rows can coexist with
+                # older true keepers in the compacted layout; min is
+                # the deterministic, replay-stable choice
+                .groupBy("bucket")
+                .agg(F.min("_keeper").alias("_keeper"))
+            )
+        else:
+            known = None
+        batch_min = hashes.groupBy("bucket").agg(
+            F.min("doc_id").alias("_bmin")
+        )
+        if known is not None:
+            resolved = batch_min.join(known, "bucket", "left").select(
+                "bucket",
+                F.coalesce(F.col("_keeper"), F.col("_bmin")).alias("keep_id"),
+                F.col("_keeper").isNull().alias("_new"),
+            )
+        else:
+            resolved = batch_min.select(
+                "bucket", F.col("_bmin").alias("keep_id"),
+                F.lit(True).alias("_new"),
+            )
+        resolved = resolved.persist()
+        keep = hashes.join(resolved, "bucket").select("doc_id", "keep_id")
+        keep.write.parquet(f"{keep_dir}/batch={batch_id}")
+        fresh = resolved.filter(F.col("_new")).select(
+            F.col("keep_id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            "bucket",
+        )
+        if fresh.take(1):
+            write_band_index(
+                fresh, f"{idx_dir}/batch={batch_id}", n_pfx=n_pfx,
+                mode="errorifexists",
+            )
+        resolved.unpersist()
+        hashes.unpersist()
+        if compact_every and len(
+            _fs.list_subdirs(spark, idx_dir, "batch=")
+        ) >= compact_every:
+            _compact_stream_index(spark, idx_dir, comp_dir, n_pfx)
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_ivf_assign(
     spark: SparkSession,
     source_dir: str,
