@@ -980,3 +980,136 @@ def test_loop_checkpoint_bounds_the_size_estimate_across_rounds(spark):
         assert bitlen(ck) <= 512
     # both frames read the same checkpointed rows
     assert labels.count() == 100 and ck.count() == 100
+
+
+# --------------------------------------------------------------------
+# domain_mix_sample / epoch_shuffle (continuation-session additions)
+# --------------------------------------------------------------------
+
+
+def _py_u32(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+def test_domain_mix_matches_pure_python_replay(spark):
+    """Exact row-set equality against a hashlib+IEEE-double replay of
+    the published formula (thr_d = floor(2^32·((c·t_d)/W_d)),
+    c = min(W_d/t_d)) — the same determinism contract the DuckDB
+    oracle relies on."""
+    import math
+
+    from vcfdbr_spark.operators.sampling import domain_mix_sample
+
+    rows = [(i, "web" if i % 4 else "code", 50 + (i * 37) % 400) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, w long")
+    targets = {"web": 0.7, "code": 0.3}
+    got = {
+        r["doc_id"]
+        for r in domain_mix_sample(
+            df, targets, key_col="doc_id", domain_col="dom", weight_col="w"
+        ).collect()
+    }
+    w_d = {d: float(sum(w for _, dd, w in rows if dd == d)) for d in targets}
+    c = min(w_d[d] / targets[d] for d in targets)
+    thr = {
+        d: math.floor(float(2**32) * ((c * targets[d]) / w_d[d])) for d in targets
+    }
+    expect = {
+        i for i, d, _ in rows if _py_u32(f"mix:{i}") < thr[d]
+    }
+    assert got == expect
+
+
+def test_domain_mix_hits_target_shares_and_scale_invariance(spark):
+    """Kept per-domain weight shares converge to the targets (law of
+    large numbers over the md5 uniforms); scaling all targets by a
+    constant yields the identical sample (only ratios matter); the
+    binding domain keeps ~everything; untargeted domains are
+    dropped."""
+    from vcfdbr_spark.operators.sampling import domain_mix_sample
+
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("de"), F.lit("xx")),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("dom"),
+        F.lit(100).alias("w"),
+    )
+    targets = {"en": 0.5, "de": 0.5}
+    out = domain_mix_sample(df, targets, domain_col="dom", weight_col="w")
+    kept = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert set(kept) == {"en", "de"}          # 'xx' dropped
+    # de is binding (6k rows vs en 18k at equal targets): keeps all
+    assert kept["de"] == 6_000
+    # en keeps ~6k of 18k (rate 1/3), within LLN tolerance
+    assert abs(kept["en"] - 6_000) < 300
+    scaled = domain_mix_sample(df, {d: 7 * t for d, t in targets.items()},
+                               domain_col="dom", weight_col="w")
+    assert scaled.count() == out.count()
+    assert (
+        scaled.select("doc_id").exceptAll(out.select("doc_id")).count() == 0
+    )
+
+
+def test_domain_mix_validation():
+    from vcfdbr_spark.operators.sampling import domain_mix_sample
+
+    with pytest.raises(ValueError):
+        domain_mix_sample(None, {})
+    with pytest.raises(ValueError):
+        domain_mix_sample(None, {"en": 0.0})
+
+
+def test_epoch_shuffle_replay_and_plan(spark):
+    """Python replay equality (order_key + bucket are pure functions
+    of seed:epoch:key); per-epoch orders differ; the plan is a pure
+    projection — no Exchange, no Sort."""
+    from vcfdbr_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle(df, epochs=2, n_buckets=16)
+    rows = out.collect()
+    assert len(rows) == 1000
+    width = 2**32 // 16
+    for r in rows[:50] + rows[-50:]:
+        u = _py_u32(f"shuf:{r['epoch']}:{r['doc_id']}")
+        assert r["order_key"] == u
+        assert r["bucket"] == u // width
+        assert 0 <= r["bucket"] < 16
+    order0 = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["epoch"], r["order_key"])) if r["epoch"] == 0]
+    order1 = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["epoch"], r["order_key"])) if r["epoch"] == 1]
+    assert order0 != order1                   # epochs decorrelated
+    assert sorted(order0) == sorted(order1)   # same membership
+    plan = formatted_plan(out)
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+
+
+def test_epoch_shuffle_bucket_major_order_is_global_md5_order(spark):
+    """THE consumption contract: concatenating buckets in order, each
+    sorted internally by order_key, equals the global order_key sort
+    — a uniform permutation recovered without any global sort."""
+    from vcfdbr_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(0, 2_000).select(F.col("id").alias("doc_id"))
+    pdf = epoch_shuffle(df, epochs=1, n_buckets=8).toPandas()
+    global_order = pdf.sort_values("order_key")["doc_id"].tolist()
+    bucket_major = (
+        pdf.sort_values(["bucket", "order_key"])["doc_id"].tolist()
+    )
+    assert bucket_major == global_order
+    # equal-width buckets on a uniform variate: balanced within 4x
+    sizes = pdf.groupby("bucket").size()
+    assert len(sizes) == 8 and sizes.max() < 4 * sizes.min()
+
+
+def test_epoch_shuffle_validation():
+    from vcfdbr_spark.operators.sampling import epoch_shuffle
+
+    with pytest.raises(ValueError):
+        epoch_shuffle(None, epochs=0)
+    with pytest.raises(ValueError):
+        epoch_shuffle(None, n_buckets=12)

@@ -952,6 +952,76 @@ FROM documents
 SQL_SPLIT_CORPUS = _sql_split_corpus()
 
 
+_MIX_TARGETS = {"en": 0.40, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+
+def q_domain_mix(spark, sf_dir):
+    """Target-mixture corpus resampling
+    (operators/sampling.py::domain_mix_sample): largest deterministic
+    subsample whose per-language char totals are proportional to the
+    target shares — the mixture-weighting step of an LLM data
+    pipeline.  Data-derived thresholds use only exact BIGINT sums and
+    a fixed IEEE-double nesting, so the SQL oracle replays them
+    bit-exactly."""
+    from vcfdbr_spark.operators.sampling import domain_mix_sample
+
+    return domain_mix_sample(
+        _t(spark, sf_dir, "documents"), _MIX_TARGETS
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_domain_mix() -> str:
+    vals = ", ".join(
+        f"('{d}', {float(t)!r})" for d, t in sorted(_MIX_TARGETS.items())
+    )
+    u = _hex8_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")
+    return f"""
+WITH tgt(lang, t_d) AS (VALUES {vals}),
+w AS (SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS w_d FROM documents GROUP BY lang),
+r AS (SELECT w.lang AS lang, w_d, t_d FROM w JOIN tgt ON w.lang = tgt.lang),
+c AS (SELECT MIN(w_d / t_d) AS c FROM r),
+thr AS (SELECT lang, CAST(floor(4294967296.0 * ((c * t_d) / w_d)) AS BIGINT) AS thr
+        FROM r CROSS JOIN c)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE {u} < thr.thr
+"""
+
+
+SQL_DOMAIN_MIX = _sql_domain_mix()
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle
+    (operators/sampling.py::epoch_shuffle): per-(epoch, doc) md5
+    order key + its top bits as a range bucket — reading buckets in
+    order, sorted within bucket, is a uniform pseudo-random
+    permutation per epoch with zero shuffle/sort in the plan."""
+    from vcfdbr_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _t(spark, sf_dir, "documents"), epochs=2, n_buckets=8
+    )
+
+
+def _sql_epoch_shuffle() -> str:
+    u = _hex8_sql(
+        "'shuf:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(floor(u / {2**32 // 8}) AS BIGINT) AS bucket,
+       u AS order_key, doc_id
+FROM (
+  SELECT doc_id, epoch, {u} AS u
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS epoch) e
+)
+"""
+
+
+SQL_EPOCH_SHUFFLE = _sql_epoch_shuffle()
+
+
 def q_events_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup: one pass computes
     (day × type), per-day, and grand totals via GROUPING SETS —
@@ -3467,12 +3537,16 @@ QUERIES: dict[str, QueryFn] = {
     # count, first driver row), and the NEW (late-r11)
     # embedding_ivf_indexed_topk (persisted partition-pruned IVF
     # layout, first driver row) + exact_k_sample
-    # (TakeOrderedAndProject exact-size sample, first driver row).
-    # The remaining slots keep r10-green
+    # (TakeOrderedAndProject exact-size sample, first driver row),
+    # and the NEW (continuation-session) domain_mix (target-mixture
+    # corpus resampling, first driver row) + epoch_shuffle
+    # (deterministic global training-order shuffle, first driver
+    # row).  The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
-    # tail is green in CORRECTNESS_r10.json, so all 83 registered
-    # queries hold a driver-artifact green row within the 2-round
-    # window.
+    # tail (incl. doc_repetition + deterministic_sample, displaced
+    # for the two continuation keys) is green in
+    # CORRECTNESS_r10.json, so all 85 registered queries hold a
+    # driver-artifact green row within the 2-round window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
@@ -3521,12 +3595,14 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_incremental": q_dedup_incremental,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
-    "doc_repetition": q_doc_repetition,
-    "deterministic_sample": q_deterministic_sample,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
     "exact_k_sample": q_exact_k_sample,
-    # displaced to the tail for the two late-r11 first-row keys:
-    # lsh_recall and embedding_topk are both r10-driver-green
+    "domain_mix": q_domain_mix,
+    "epoch_shuffle": q_epoch_shuffle,
+    # displaced to the tail for the late-r11/continuation first-row
+    # keys: all four below are r10-driver-green
+    "doc_repetition": q_doc_repetition,
+    "deterministic_sample": q_deterministic_sample,
     "lsh_recall": q_lsh_recall,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -3593,6 +3669,8 @@ ORACLE: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_dedup_capped": SQL_SEMANTIC_DEDUP_CAPPED,
     "split_corpus": SQL_SPLIT_CORPUS,
+    "domain_mix": SQL_DOMAIN_MIX,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "corpus_filter": SQL_CORPUS_FILTER,
     "scrub_passages": SQL_SCRUB_PASSAGES,
     "events_hourly": SQL_EVENTS_HOURLY,

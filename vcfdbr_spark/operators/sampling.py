@@ -217,3 +217,139 @@ def split_corpus(
         cond = u < F.lit(thr)
         col = F.when(cond, name) if col is None else col.when(cond, name)
     return df.withColumn(split_col, col.otherwise(fractions[-1][0]))
+
+
+def _u32(key: Column) -> Column:
+    """First 8 md5 hex chars of ``key`` as a BIGINT in [0, 2³²) — the
+    uniform deterministic uniform-variate every md5-keyed decision in
+    this module shares (mirrored in SQL by ``entry_queries._hex8_sql``)."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    key_col: str = "doc_id",
+    domain_col: str = "lang",
+    weight_col: str = "n_chars",
+    seed: str = "mix",
+) -> DataFrame:
+    """Resample a corpus to a TARGET DOMAIN MIXTURE — the
+    mixture-weighting step of an LLM data pipeline (web/books/code/…
+    shares are tuned, not taken as crawled).  Returns the LARGEST
+    deterministic subsample whose per-domain ``weight_col`` totals
+    (chars/tokens/bytes) are exactly proportional to ``targets`` in
+    expectation, without upsampling any row.
+
+    Math: with observed per-domain weight ``W_d`` and target share
+    ``t_d``, the binding domain is the one with the smallest
+    ``W_d / t_d`` (relative to its target it is the scarcest); its
+    keep-rate is 1 and every other domain keeps
+    ``rate_d = c · t_d / W_d`` with ``c = min_d(W_d / t_d)``, so kept
+    weight per domain is ``c · t_d`` — proportional to the targets and
+    maximal.  ``targets`` need not sum to 1 (only ratios matter);
+    domains absent from ``targets`` are dropped.
+
+    Determinism: the keep-test is ``u < floor(2³² · rate_d)`` where
+    ``u`` is the md5 uniform of ``seed || ':' || key`` — a pure
+    function of (key, corpus domain totals), so any engine, any
+    partitioning, any run selects the same rows.  The thresholds are
+    data-derived but use only IEEE double ops in a fixed nesting
+    (``floor(2³² · ((c · t_d) / W_d))`` over exact BIGINT sums), so a
+    SQL engine replaying the same formula reproduces them bit-exactly.
+
+    Scale shape: pass 1 aggregates (domain, weight) only — column
+    pruning keeps the scan narrow and the shuffle carries |domains|
+    groups after map-side partial aggregation; the rates frame is a
+    few rows, broadcast onto pass 2's filter, which runs at the scan.
+    No global sort, no skew (the filter is stateless per row); the
+    corpus is read twice, which is inherent to any data-calibrated
+    rate (the alternative — caching 100 TB — is not).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for d, t in targets.items():
+        if t <= 0:
+            raise ValueError(f"target for domain {d!r} must be > 0")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(d, float(t)) for d, t in sorted(targets.items())],
+        f"{domain_col} string, t_d double",
+    )
+    w = df.groupBy(domain_col).agg(
+        F.sum(weight_col).cast("double").alias("w_d")
+    )
+    rates = w.join(F.broadcast(tgt), domain_col)
+    c = rates.agg(F.min(F.col("w_d") / F.col("t_d")).alias("c"))
+    thr = (
+        rates.crossJoin(F.broadcast(c))  # 1x1 scalar attach
+        .select(
+            domain_col,
+            F.floor(
+                F.lit(float(2**32)) * ((F.col("c") * F.col("t_d")) / F.col("w_d"))
+            )
+            .cast("long")
+            .alias("_thr"),
+        )
+    )
+    u = _u32(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    return (
+        df.join(F.broadcast(thr), domain_col)
+        .filter(u < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epochs: int = 1,
+    n_buckets: int = 8,
+    seed: str = "shuf",
+) -> DataFrame:
+    """Deterministic GLOBAL TRAINING-ORDER SHUFFLE without a global
+    sort: every (epoch, row) gets a uniform ``order_key`` =
+    md5-u32 of ``seed:epoch:key`` and a ``bucket`` = the order_key's
+    top bits.  Reading buckets in order and sorting WITHIN each
+    bucket yields the exact global md5 order — i.e. a uniform
+    pseudo-random permutation of the corpus, different per epoch —
+    while each sort touches only ~1/n_buckets of the data.
+
+    This is the standard distributed-shuffle decomposition: the
+    bucket is a RANGE partition of the order key (equal-width on a
+    uniform variate, so bucket sizes are balanced with no sampling
+    step), and the plan is a pure projection — zero shuffle, zero
+    sort; the consumer chooses parallelism by bucket count.  Epochs
+    multiply rows via an exploded literal sequence (plan stays O(1)
+    in epochs).  RNG-free: order is a pure function of
+    (seed, epoch, key), so re-runs and engines agree and a training
+    job can resume mid-epoch at an exact (bucket, order_key) cursor.
+
+    ``n_buckets`` must be a power of two ≤ 2³² so the bucket edges
+    ``i · 2³²/n_buckets`` are exact and bucket = floor(u / width)
+    is exact integer math in IEEE doubles (u < 2³² is
+    double-representable; width divides exactly).
+    """
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0 or n_buckets > 2**32:
+        raise ValueError("n_buckets must be a power of two in [1, 2^32]")
+    width = 2**32 // n_buckets
+    ep = df.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
+    )
+    u = _u32(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.col("epoch").cast("string"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    return ep.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        F.floor(u / F.lit(width)).cast("long").alias("bucket"),
+        u.alias("order_key"),
+        F.col(key_col),
+    )
