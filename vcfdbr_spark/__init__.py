@@ -30,6 +30,8 @@ __all__ = [
     "index_n_pfx",
     "cap_per_group",
     "sample_exact_k",
+    "domain_mix_sample",
+    "epoch_shuffle",
     "scrub_pii",
     "pii_counts",
     "corpus_filter",
@@ -76,7 +78,12 @@ def __getattr__(name: str):
         from vcfdbr_spark.operators import dedup
 
         return getattr(dedup, name)
-    if name in ("cap_per_group", "sample_exact_k"):
+    if name in (
+        "cap_per_group",
+        "sample_exact_k",
+        "domain_mix_sample",
+        "epoch_shuffle",
+    ):
         from vcfdbr_spark.operators import sampling
 
         return getattr(sampling, name)
