@@ -65,6 +65,8 @@ DATA_QUERIES = [
     "doc_repetition",
     "weighted_sample",
     "split_corpus",
+    "domain_mix",
+    "epoch_shuffle",
     "text_normalize_dedup",
     "pii_scrub",
     "repeated_passages",

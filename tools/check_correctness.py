@@ -57,6 +57,12 @@ SF1_QUERIES = [
     "corpus_filter",
     "dedup_incremental",
     "dedup_keep_best",
+    # data-derived-threshold family: domain_mix computes its md5
+    # keep-thresholds from corpus-wide sums; the sf1 row proves the
+    # fixed IEEE-double nesting stays bit-identical between engines
+    # on 10x-larger exact BIGINT sums (and that the kept mixture
+    # converges to the targets at scale).
+    "domain_mix",
 ]
 
 #: streaming ops are outside the registry (no SQL oracle), so the
