@@ -67,6 +67,7 @@ DATA_QUERIES = [
     "split_corpus",
     "domain_mix",
     "epoch_shuffle",
+    "decontaminate_splits",
     "text_normalize_dedup",
     "pii_scrub",
     "repeated_passages",

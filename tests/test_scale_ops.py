@@ -1113,3 +1113,47 @@ def test_epoch_shuffle_validation():
         epoch_shuffle(None, epochs=0)
     with pytest.raises(ValueError):
         epoch_shuffle(None, n_buckets=12)
+
+
+def test_decontaminate_splits_removes_train_side_of_cross_split_dups(spark):
+    """Plant a near-dup pair straddling train/eval: the train member
+    must be dropped, the eval member kept, and within-train dups must
+    NOT be dropped (that's dedup's job, not decontamination's)."""
+    from vcfdbr_spark.operators.pipeline import decontaminate_splits
+    from vcfdbr_spark.operators.sampling import split_assign_col
+
+    fr = (("train", 0.5), ("val", 0.5))
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the cat watches from the warm windowsill "
+            "every single morning before breakfast is even served")
+    # find ids on each side of the split
+    ids = spark.range(0, 200).select(
+        F.col("id"), split_assign_col(F.col("id"), fr).alias("s")
+    ).collect()
+    train_ids = [r["id"] for r in ids if r["s"] == "train"]
+    val_ids = [r["id"] for r in ids if r["s"] == "val"]
+    cross_t, cross_v = train_ids[0], val_ids[0]
+    intra_a, intra_b = train_ids[1], train_ids[2]
+    clean = train_ids[3]
+    rows = [
+        (cross_t, base + " alpha", "en"),
+        (cross_v, base + " beta", "en"),       # near-dup across splits
+        (intra_a, base.upper() + " gamma", "en"),
+        (intra_b, base.upper() + " delta", "en"),  # near-dup within train
+        (clean, "completely different text with nothing shared at all "
+                "short and unique", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = decontaminate_splits(docs, fractions=fr, jaccard_threshold=0.5)
+    kept = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert cross_t not in kept          # train side of cross-split dup dropped
+    assert kept[cross_v] == "val"       # eval side kept
+    assert intra_a in kept and intra_b in kept  # within-train dup kept
+    assert clean in kept
+
+
+def test_decontaminate_splits_validation():
+    from vcfdbr_spark.operators.pipeline import decontaminate_splits
+
+    with pytest.raises(ValueError):
+        decontaminate_splits(None, train_split="nope")

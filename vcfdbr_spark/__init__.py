@@ -36,6 +36,7 @@ __all__ = [
     "pii_counts",
     "corpus_filter",
     "quality_pass_frame",
+    "decontaminate_splits",
     "write_ivf_index",
     "ivf_topk_indexed",
     "ivf_list_stats",
@@ -91,7 +92,7 @@ def __getattr__(name: str):
         from vcfdbr_spark.functions import text
 
         return getattr(text, name)
-    if name in ("corpus_filter", "quality_pass_frame"):
+    if name in ("corpus_filter", "quality_pass_frame", "decontaminate_splits"):
         from vcfdbr_spark.operators import pipeline
 
         return getattr(pipeline, name)

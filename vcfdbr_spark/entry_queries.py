@@ -934,17 +934,22 @@ def q_split_corpus(spark, sf_dir):
 _SPLIT_FRACTIONS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 
 
-def _sql_split_corpus() -> str:
+def _sql_split_case(key_sql: str) -> str:
+    """The split_corpus CASE expression over an arbitrary key SQL —
+    mirror of sampling.split_assign_col (same thresholds, same salt)."""
     from vcfdbr_spark.operators.sampling import split_thresholds
 
-    u = _hex8_sql("CAST(doc_id AS VARCHAR) || ':split'")
+    u = _hex8_sql(f"CAST({key_sql} AS VARCHAR) || ':split'")
     whens = " ".join(
         f"WHEN {u} < {thr} THEN '{name}'"
         for thr, name in split_thresholds(_SPLIT_FRACTIONS)
     )
+    return f"CASE {whens} ELSE '{_SPLIT_FRACTIONS[-1][0]}' END"
+
+
+def _sql_split_corpus() -> str:
     return f"""
-SELECT doc_id, lang,
-       CASE {whens} ELSE '{_SPLIT_FRACTIONS[-1][0]}' END AS split
+SELECT doc_id, lang, {_sql_split_case("doc_id")} AS split
 FROM documents
 """
 
@@ -1890,6 +1895,46 @@ SELECT a, b, n_inter, n_a, n_b,
        round(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
 FROM scored
 """
+
+
+_DECONTAM_JACCARD = 0.5
+
+
+def q_decontaminate_splits(spark, sf_dir):
+    """Cross-split near-dup decontamination
+    (operators/pipeline.py::decontaminate_splits): split assignment +
+    removal of every train doc whose verified near-duplicate (banded
+    MinHash candidates, exact-Jaccard >= 0.5) landed in val/test —
+    the leakage class a key-hash split cannot see.  Both pair
+    endpoints are classified by the pure split expression on the
+    O(pairs) frame; leaked ids ride a broadcast anti-join."""
+    from vcfdbr_spark.operators.pipeline import decontaminate_splits
+
+    return decontaminate_splits(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=_DECONTAM_JACCARD,
+    )
+
+
+def _sql_decontaminate_splits() -> str:
+    case_a = _sql_split_case("a")
+    case_b = _sql_split_case("b")
+    return f"""
+WITH verified AS (
+  SELECT a, b FROM ({SQL_NGRAM_JACCARD}) j WHERE j.jaccard >= {_DECONTAM_JACCARD}),
+edges AS (
+  SELECT a, b FROM verified
+  UNION ALL SELECT b AS a, a AS b FROM verified),
+leaked AS (
+  SELECT DISTINCT a AS doc_id FROM edges
+  WHERE {case_a} = 'train' AND {case_b} <> 'train')
+SELECT d.doc_id, d.lang, {_sql_split_case("d.doc_id")} AS split
+FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+SQL_DECONTAMINATE_SPLITS = _sql_decontaminate_splits()
 
 _HEX15 = "(" + "+".join(
     f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
@@ -3541,12 +3586,13 @@ QUERIES: dict[str, QueryFn] = {
     # and the NEW (continuation-session) domain_mix (target-mixture
     # corpus resampling, first driver row) + epoch_shuffle
     # (deterministic global training-order shuffle, first driver
-    # row).  The remaining slots keep r10-green
+    # row) + decontaminate_splits (cross-split near-dup leak
+    # removal, first driver row).  The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
-    # tail (incl. doc_repetition + deterministic_sample, displaced
-    # for the two continuation keys) is green in
-    # CORRECTNESS_r10.json, so all 85 registered queries hold a
-    # driver-artifact green row within the 2-round window.
+    # tail (incl. doc_repetition + deterministic_sample +
+    # simhash_dup_pairs, displaced for the three continuation keys)
+    # is green in CORRECTNESS_r10.json, so all 86 registered queries
+    # hold a driver-artifact green row within the 2-round window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
@@ -3594,13 +3640,14 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_incremental": q_dedup_incremental,
     "simhash": q_simhash,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
     "exact_k_sample": q_exact_k_sample,
     "domain_mix": q_domain_mix,
     "epoch_shuffle": q_epoch_shuffle,
+    "decontaminate_splits": q_decontaminate_splits,
     # displaced to the tail for the late-r11/continuation first-row
-    # keys: all four below are r10-driver-green
+    # keys: all five below are r10-driver-green
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "doc_repetition": q_doc_repetition,
     "deterministic_sample": q_deterministic_sample,
     "lsh_recall": q_lsh_recall,
@@ -3669,6 +3716,7 @@ ORACLE: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_dedup_capped": SQL_SEMANTIC_DEDUP_CAPPED,
     "split_corpus": SQL_SPLIT_CORPUS,
+    "decontaminate_splits": SQL_DECONTAMINATE_SPLITS,
     "domain_mix": SQL_DOMAIN_MIX,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "corpus_filter": SQL_CORPUS_FILTER,

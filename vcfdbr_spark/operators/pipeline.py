@@ -142,3 +142,73 @@ def corpus_filter(
         .select(F.col("doc_id").alias(id_col))
     )
     return passing.join(drops, id_col, "left_anti")
+
+
+def decontaminate_splits(
+    docs: DataFrame,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_split: str = "train",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Split the corpus AND remove cross-split near-duplicate leaks:
+    a train doc that is a near-duplicate of a val/test doc inflates
+    eval scores exactly like verbatim contamination, and
+    :func:`~vcfdbr_spark.operators.sampling.split_corpus` alone
+    cannot see it (splits are independent of content).  Returns
+    (id, *keep_cols, split) where every ``train`` row whose verified
+    near-dup counterpart landed in a held-out split has been dropped;
+    held-out rows are never dropped (eval sets stay complete — the
+    leak is fixed on the train side only, the standard
+    decontamination direction).
+
+    Near-dup evidence is the engine's existing LSH pipeline: banded
+    MinHash candidates (hot-bucket capped, never all-pairs) verified
+    by exact shingle-set Jaccard >= ``jaccard_threshold``.
+
+    Scale shape: because the split is a pure function of the key
+    (:func:`~vcfdbr_spark.operators.sampling.split_assign_col`), both
+    endpoints of every candidate pair are classified by per-row
+    column algebra directly on the O(pairs) frame — the corpus is
+    never joined to itself to look up splits.  The leaked-id frame is
+    bounded by the verified-pair count (post-LSH small) and rides a
+    broadcast anti-join; the corpus-side plan is one LSH pipeline +
+    one scan with the split expression fused at the scan.
+    """
+    from vcfdbr_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from vcfdbr_spark.operators.sampling import split_assign_col
+
+    names = [n for n, _ in fractions]
+    if train_split not in names:
+        raise ValueError(f"train_split {train_split!r} not in fractions")
+    cand = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
+    verified = ngram_jaccard_pairs(
+        docs, cand, text_col=text_col, id_col=id_col,
+        threshold=jaccard_threshold,
+    ).select("a", "b")
+    edges = verified.unionByName(
+        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    leaked = (
+        edges.withColumn("_sa", split_assign_col(F.col("a"), fractions))
+        .withColumn("_sb", split_assign_col(F.col("b"), fractions))
+        .filter(
+            (F.col("_sa") == train_split) & (F.col("_sb") != train_split)
+        )
+        .select(F.col("a").alias(id_col))
+        .distinct()
+    )
+    assigned = docs.select(
+        id_col, *keep_cols,
+        split_assign_col(F.col(id_col), fractions).alias("split"),
+    )
+    return assigned.join(F.broadcast(leaked), id_col, "left_anti")

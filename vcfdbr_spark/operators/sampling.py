@@ -205,10 +205,23 @@ def split_corpus(
     should rank per stratum instead (one shuffle — ``cap_per_group``'s
     two-phase shape).
     """
+    return df.withColumn(
+        split_col, split_assign_col(F.col(key_col), fractions, salt)
+    )
+
+
+def split_assign_col(
+    key: Column,
+    fractions: tuple[tuple[str, float], ...],
+    salt: str = ":split",
+) -> Column:
+    """The split assignment of :func:`split_corpus` as a standalone
+    Column expression over any key — because the split is a PURE
+    function of the key, consumers (e.g. cross-split decontamination)
+    can evaluate membership on derived frames (pair endpoints, probe
+    batches) without joining back to the corpus."""
     u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
-        ),
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
         16,
         10,
     ).cast("long")
@@ -216,7 +229,7 @@ def split_corpus(
     for thr, name in split_thresholds(fractions):
         cond = u < F.lit(thr)
         col = F.when(cond, name) if col is None else col.when(cond, name)
-    return df.withColumn(split_col, col.otherwise(fractions[-1][0]))
+    return col.otherwise(fractions[-1][0])
 
 
 def _u32(key: Column) -> Column:
