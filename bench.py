@@ -68,6 +68,7 @@ DATA_QUERIES = [
     "domain_mix",
     "epoch_shuffle",
     "decontaminate_splits",
+    "snapshot_delta",
     "text_normalize_dedup",
     "pii_scrub",
     "repeated_passages",

@@ -1157,3 +1157,35 @@ def test_decontaminate_splits_validation():
 
     with pytest.raises(ValueError):
         decontaminate_splits(None, train_split="nope")
+
+
+def test_snapshot_delta_classifies_all_four_states(spark):
+    from vcfdbr_spark.operators.delta import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-modified"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_delta(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_delta_prunes_to_key_and_hash_at_scan(spark, tmp_path):
+    """The join sides must reduce to (key, md5) before the shuffle —
+    a wide snapshot must not ship its payload through the Exchange —
+    and the parquet scan must read only the hashed + key columns."""
+    from vcfdbr_spark.operators.delta import snapshot_delta
+
+    p = str(tmp_path / "snap")
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+        F.lit("payload-we-must-not-read").alias("big_blob"),
+        F.lit("en").alias("lang"),
+    ).write.parquet(p)
+    snap = spark.read.parquet(p)
+    plan = formatted_plan(snapshot_delta(snap, snap))
+    assert "big_blob" not in plan and "lang" not in plan
+    assert "ReadSchema" in plan

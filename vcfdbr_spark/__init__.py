@@ -37,6 +37,7 @@ __all__ = [
     "corpus_filter",
     "quality_pass_frame",
     "decontaminate_splits",
+    "snapshot_delta",
     "write_ivf_index",
     "ivf_topk_indexed",
     "ivf_list_stats",
@@ -96,6 +97,10 @@ def __getattr__(name: str):
         from vcfdbr_spark.operators import pipeline
 
         return getattr(pipeline, name)
+    if name == "snapshot_delta":
+        from vcfdbr_spark.operators.delta import snapshot_delta
+
+        return snapshot_delta
     if name in (
         "write_ivf_index",
         "ivf_topk_indexed",

@@ -1936,6 +1936,48 @@ WHERE l.doc_id IS NULL
 
 SQL_DECONTAMINATE_SPLITS = _sql_decontaminate_splits()
 
+
+def q_snapshot_delta(spark, sf_dir):
+    """Recrawl change-data-capture (operators/delta.py::snapshot_delta):
+    classify every key across two corpus snapshots as
+    added/removed/changed/unchanged by content hash, so downstream
+    incremental operators (band-index probes, streaming filter)
+    touch O(delta), not O(corpus).  Snapshots are derived
+    deterministically from the documents table: docs with
+    id % 11 == 3 are 'not yet crawled' in the old snapshot, docs
+    with id % 13 == 5 are gone from the new one, and id % 7 == 0
+    texts gained a ' v2' suffix."""
+    from vcfdbr_spark.operators.delta import snapshot_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_delta(old, new)
+
+
+SQL_SNAPSHOT_DELTA = """
+WITH old_ AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+new_ AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 5)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       md5(COALESCE(n.text, o.text)) AS content_hash
+FROM old_ o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id
+"""
+
 _HEX15 = "(" + "+".join(
     f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
     for i in range(15)
@@ -3589,10 +3631,12 @@ QUERIES: dict[str, QueryFn] = {
     # row) + decontaminate_splits (cross-split near-dup leak
     # removal, first driver row).  The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
-    # tail (incl. doc_repetition + deterministic_sample +
-    # simhash_dup_pairs, displaced for the three continuation keys)
-    # is green in CORRECTNESS_r10.json, so all 86 registered queries
-    # hold a driver-artifact green row within the 2-round window.
+    # tail (incl. doc_repetition + deterministic_sample + simhash +
+    # simhash_dup_pairs, displaced for the four continuation keys:
+    # domain_mix, epoch_shuffle, decontaminate_splits,
+    # snapshot_delta) is green in CORRECTNESS_r10.json, so all 87
+    # registered queries hold a driver-artifact green row within the
+    # 2-round window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
@@ -3639,14 +3683,15 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_dedup": q_corpus_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_incremental": q_dedup_incremental,
-    "simhash": q_simhash,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
     "exact_k_sample": q_exact_k_sample,
     "domain_mix": q_domain_mix,
     "epoch_shuffle": q_epoch_shuffle,
     "decontaminate_splits": q_decontaminate_splits,
+    "snapshot_delta": q_snapshot_delta,
     # displaced to the tail for the late-r11/continuation first-row
-    # keys: all five below are r10-driver-green
+    # keys: all six below are r10-driver-green
+    "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "doc_repetition": q_doc_repetition,
     "deterministic_sample": q_deterministic_sample,
@@ -3717,6 +3762,7 @@ ORACLE: dict[str, str] = {
     "semantic_dedup_capped": SQL_SEMANTIC_DEDUP_CAPPED,
     "split_corpus": SQL_SPLIT_CORPUS,
     "decontaminate_splits": SQL_DECONTAMINATE_SPLITS,
+    "snapshot_delta": SQL_SNAPSHOT_DELTA,
     "domain_mix": SQL_DOMAIN_MIX,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "corpus_filter": SQL_CORPUS_FILTER,
