@@ -69,6 +69,7 @@ DATA_QUERIES = [
     "epoch_shuffle",
     "decontaminate_splits",
     "snapshot_delta",
+    "decontaminate_batch",
     "text_normalize_dedup",
     "pii_scrub",
     "repeated_passages",

@@ -1189,3 +1189,47 @@ def test_snapshot_delta_prunes_to_key_and_hash_at_scan(spark, tmp_path):
     plan = formatted_plan(snapshot_delta(snap, snap))
     assert "big_blob" not in plan and "lang" not in plan
     assert "ReadSchema" in plan
+
+
+def test_decontaminate_batch_probe_matches_in_memory_and_pfx_index(spark, tmp_path):
+    """The batch flavor drops exactly the batch rows near-dupping an
+    eval doc; batch-vs-batch dups survive; and probing a persisted
+    pfx-partitioned index yields the identical survivor set to the
+    in-memory band frame (layout must not change answers)."""
+    from vcfdbr_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        read_band_index,
+        write_band_index,
+    )
+    from vcfdbr_spark.operators.pipeline import decontaminate_batch
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen "
+            "eighteen nineteen twenty twentyone twentytwo twentythree")
+    eval_docs = spark.createDataFrame(
+        [(1000, base + " evalA"), (1001, "totally unrelated eval text here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base + " trainX"),          # leaks vs 1000
+            (2, base.upper() + " p"),        # dup of 3, NOT of eval
+            (3, base.upper() + " q"),
+            (4, "clean and unique short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out1 = {r["doc_id"] for r in decontaminate_batch(batch, eval_docs).collect()}
+    assert out1 == {2, 3, 4}
+    idx_path = str(tmp_path / "eval_idx")
+    write_band_index(
+        minhash_band_buckets(minhash_signatures(eval_docs)), idx_path
+    )
+    out2 = {
+        r["doc_id"]
+        for r in decontaminate_batch(
+            batch, eval_docs, eval_index=read_band_index(spark, idx_path)
+        ).collect()
+    }
+    assert out2 == out1

@@ -37,6 +37,7 @@ __all__ = [
     "corpus_filter",
     "quality_pass_frame",
     "decontaminate_splits",
+    "decontaminate_batch",
     "snapshot_delta",
     "write_ivf_index",
     "ivf_topk_indexed",
@@ -93,7 +94,12 @@ def __getattr__(name: str):
         from vcfdbr_spark.functions import text
 
         return getattr(text, name)
-    if name in ("corpus_filter", "quality_pass_frame", "decontaminate_splits"):
+    if name in (
+        "corpus_filter",
+        "quality_pass_frame",
+        "decontaminate_splits",
+        "decontaminate_batch",
+    ):
         from vcfdbr_spark.operators import pipeline
 
         return getattr(pipeline, name)

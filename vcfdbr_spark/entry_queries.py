@@ -1937,6 +1937,68 @@ WHERE l.doc_id IS NULL
 SQL_DECONTAMINATE_SPLITS = _sql_decontaminate_splits()
 
 
+def q_decontaminate_batch(spark, sf_dir):
+    """Incremental decontamination
+    (operators/pipeline.py::decontaminate_batch): a train ingest
+    batch (train-split docs with id % 3 == 1) probes the held-out
+    set's band index — built once, benchmark-sized — and drops every
+    batch row whose verified near-dup (Jaccard >= 0.5) is an eval
+    doc.  O(batch) per ingest, never O(corpus)."""
+    from vcfdbr_spark.operators.pipeline import decontaminate_batch
+    from vcfdbr_spark.operators.sampling import split_assign_col
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = split_assign_col(F.col("doc_id"), _SPLIT_FRACTIONS)
+    eval_docs = docs.filter(sc != "train")
+    batch = docs.filter((sc == "train") & (F.col("doc_id") % 3 == 1))
+    return decontaminate_batch(
+        batch, eval_docs, jaccard_threshold=_DECONTAM_JACCARD
+    ).select("doc_id", "lang")
+
+
+def _sql_decontaminate_batch() -> str:
+    case_d = _sql_split_case("doc_id")
+    case_a = _sql_split_case("a")
+    return f"""
+WITH bands AS ({_BANDS_SQL}),
+evalb AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM bands WHERE {case_d} <> 'train') WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
+batchb AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket, COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+    FROM bands WHERE {case_d} = 'train' AND doc_id % 3 = 1)
+  WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
+cand AS (
+  SELECT DISTINCT least(e.doc_id, x.doc_id) AS a,
+         greatest(e.doc_id, x.doc_id) AS b
+  FROM evalb e JOIN batchb x
+    ON e.band = x.band AND e.bucket = x.bucket AND e.doc_id <> x.doc_id),
+sets_ AS (
+  SELECT doc_id, list_distinct(list(sh)) AS s
+  FROM ({_SHINGLE_SQL}) GROUP BY doc_id),
+scored AS (
+  SELECT c.a, c.b,
+         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN sets_ sa ON sa.doc_id = c.a
+  JOIN sets_ sb ON sb.doc_id = c.b),
+leaked AS (
+  SELECT DISTINCT CASE WHEN {case_a} = 'train' THEN a ELSE b END AS doc_id
+  FROM scored WHERE jaccard >= {_DECONTAM_JACCARD})
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+WHERE {_sql_split_case("d.doc_id")} = 'train'
+  AND d.doc_id % 3 = 1 AND l.doc_id IS NULL
+"""
+
+
+SQL_DECONTAMINATE_BATCH = _sql_decontaminate_batch()
+
+
 def q_snapshot_delta(spark, sf_dir):
     """Recrawl change-data-capture (operators/delta.py::snapshot_delta):
     classify every key across two corpus snapshots as
@@ -3632,11 +3694,11 @@ QUERIES: dict[str, QueryFn] = {
     # removal, first driver row).  The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
     # tail (incl. doc_repetition + deterministic_sample + simhash +
-    # simhash_dup_pairs, displaced for the four continuation keys:
-    # domain_mix, epoch_shuffle, decontaminate_splits,
-    # snapshot_delta) is green in CORRECTNESS_r10.json, so all 87
-    # registered queries hold a driver-artifact green row within the
-    # 2-round window.
+    # simhash_dup_pairs + minhash_sig, displaced for the five
+    # continuation keys: domain_mix, epoch_shuffle,
+    # decontaminate_splits, snapshot_delta, decontaminate_batch) is
+    # green in CORRECTNESS_r10.json, so all 88 registered queries
+    # hold a driver-artifact green row within the 2-round window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
@@ -3676,7 +3738,6 @@ QUERIES: dict[str, QueryFn] = {
     "split_corpus": q_split_corpus,
     # r10-green keys holding window slots (dedup/ANN family):
     "dedup_exact": q_dedup_exact,
-    "minhash_sig": q_minhash_sig,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -3689,8 +3750,10 @@ QUERIES: dict[str, QueryFn] = {
     "epoch_shuffle": q_epoch_shuffle,
     "decontaminate_splits": q_decontaminate_splits,
     "snapshot_delta": q_snapshot_delta,
+    "decontaminate_batch": q_decontaminate_batch,
     # displaced to the tail for the late-r11/continuation first-row
-    # keys: all six below are r10-driver-green
+    # keys: all seven below are r10-driver-green
+    "minhash_sig": q_minhash_sig,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "doc_repetition": q_doc_repetition,
@@ -3763,6 +3826,7 @@ ORACLE: dict[str, str] = {
     "split_corpus": SQL_SPLIT_CORPUS,
     "decontaminate_splits": SQL_DECONTAMINATE_SPLITS,
     "snapshot_delta": SQL_SNAPSHOT_DELTA,
+    "decontaminate_batch": SQL_DECONTAMINATE_BATCH,
     "domain_mix": SQL_DOMAIN_MIX,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "corpus_filter": SQL_CORPUS_FILTER,

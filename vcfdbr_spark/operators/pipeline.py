@@ -212,3 +212,70 @@ def decontaminate_splits(
         split_assign_col(F.col(id_col), fractions).alias("split"),
     )
     return assigned.join(F.broadcast(leaked), id_col, "left_anti")
+
+
+def decontaminate_batch(
+    batch: DataFrame,
+    eval_docs: DataFrame,
+    eval_index: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental decontamination — the production shape of
+    :func:`decontaminate_splits`: the held-out/benchmark set is
+    FIXED and small, so its band index is built once (persist with
+    :func:`~vcfdbr_spark.operators.dedup.write_band_index`) and each
+    arriving TRAIN batch only signs itself and probes the index.
+    Returns the batch minus every row whose verified near-duplicate
+    (exact Jaccard >= ``jaccard_threshold``) is an eval doc.  Cost is
+    O(batch), never O(corpus) — re-running the full-corpus
+    decontamination per daily ingest is the scale-killer this exists
+    to remove.
+
+    ``eval_index``: a band frame (``minhash_band_buckets`` output or
+    a :func:`~vcfdbr_spark.operators.dedup.read_band_index` layout,
+    which additionally prunes ``pfx=`` partitions to the batch's own
+    bucket spread).  ``None`` builds it in-plan from ``eval_docs``
+    (fine for one-shot use; persist it for repeated batches).
+
+    Scale shape: the probe is :func:`~vcfdbr_spark.operators.dedup.
+    band_probe_pairs` with ``self_pairs=False`` — batch-vs-batch
+    pairs are NOT leakage (that's dedup's job) — so every candidate
+    pair has exactly one batch end and one eval end; the eval-id
+    frame (benchmark-sized) and the leaked-id frame (pair-bounded)
+    both ride broadcast joins, and the batch is scanned once.
+    """
+    from vcfdbr_spark.operators.dedup import (
+        band_probe_pairs,
+        minhash_band_buckets,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    if eval_index is None:
+        eval_index = minhash_band_buckets(
+            minhash_signatures(eval_docs, text_col, id_col), id_col=id_col
+        )
+    batch_bands = minhash_band_buckets(
+        minhash_signatures(batch, text_col, id_col), id_col=id_col
+    ).persist()
+    cand = band_probe_pairs(
+        batch_bands, eval_index, id_col, self_pairs=False
+    )
+    union_docs = batch.select(id_col, text_col).unionByName(
+        eval_docs.select(id_col, text_col)
+    )
+    verified = ngram_jaccard_pairs(
+        union_docs, cand, text_col, id_col, threshold=jaccard_threshold
+    ).select("a", "b")
+    edges = verified.unionByName(
+        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    eval_ids = eval_docs.select(F.col(id_col).alias("_eid"))
+    leaked = (
+        edges.join(F.broadcast(eval_ids), edges["b"] == F.col("_eid"), "left_semi")
+        .select(F.col("a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(F.broadcast(leaked), id_col, "left_anti")
