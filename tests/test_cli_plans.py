@@ -730,3 +730,71 @@ def test_cli_emb_index_probe_append_and_guards(spark, tmp_path):
         incremental_embedding_dup_pairs(
             b2, index, base, bits, n_bands, materialize=False,
         ).count()
+
+
+def test_cli_training_data_subcommands(spark, tmp_path, capsys):
+    """domain-mix / epoch-shuffle / snapshot-delta / decontaminate
+    drive their operators end-to-end and report sane summaries."""
+    import pyspark.sql.functions as F
+
+    docs_p = str(tmp_path / "docs")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base + " tail"), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        F.lit(100).alias("n_chars"),
+    ).write.parquet(docs_p)
+
+    mix_p = str(tmp_path / "mix")
+    assert cli_main([
+        "domain-mix", "--docs", docs_p, "--out", mix_p,
+        "--target", "en=0.5", "--target", "de=0.5",
+    ]) == 0
+    assert "mixed" in capsys.readouterr().out
+    mixed = spark.read.parquet(mix_p)
+    assert 0 < mixed.count() <= 120
+
+    ord_p = str(tmp_path / "order")
+    assert cli_main([
+        "epoch-shuffle", "--docs", docs_p, "--out", ord_p,
+        "--epochs", "2", "--buckets", "4",
+    ]) == 0
+    order = spark.read.parquet(ord_p)
+    assert order.count() == 240
+    # sort-on-write contract: files within an (epoch, bucket)
+    # partition are already ordered by order_key
+    one = order.filter((F.col("epoch") == 0) & (F.col("bucket") == 0))
+    vals = [r["order_key"] for r in one.collect()]
+    assert vals == sorted(vals)
+
+    # snapshot-delta over a modified copy
+    docs2_p = str(tmp_path / "docs2")
+    spark.read.parquet(docs_p).filter(F.col("doc_id") != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.lit("rewritten")).otherwise(F.col("text")),
+    ).write.parquet(docs2_p)
+    delta_p = str(tmp_path / "delta")
+    assert cli_main([
+        "snapshot-delta", "--old", docs_p, "--new", docs2_p,
+        "--out", delta_p,
+    ]) == 0
+    got = {r["status"]: r["n"] for r in spark.read.parquet(delta_p)
+           .groupBy("status").count().withColumnRenamed("count", "n").collect()}
+    assert got == {"removed": 1, "changed": 1, "unchanged": 118}
+
+    # decontaminate: doc 5's near-dup placed in the eval side
+    eval_p = str(tmp_path / "evald")
+    spark.createDataFrame(
+        [(9001, base + " tail5x")], "doc_id long, text string"
+    ).write.parquet(eval_p)
+    kept_p = str(tmp_path / "kept")
+    assert cli_main([
+        "decontaminate", "--batch", docs_p, "--eval-docs", eval_p,
+        "--out", kept_p,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "leaked" in out
+    kept = spark.read.parquet(kept_p)
+    assert kept.count() < 120          # at least doc 5's twin dropped

@@ -481,6 +481,68 @@ def main(argv: list[str] | None = None) -> int:
     cb.add_argument("--out", required=True)
     cb.add_argument("--n-pfx", type=int, default=64)
 
+    dm = sub.add_parser(
+        "domain-mix",
+        help="resample a corpus to a target domain mixture "
+        "(largest subsample with per-domain weight totals "
+        "proportional to the targets)",
+    )
+    dm.add_argument("--docs", required=True)
+    dm.add_argument("--out", required=True)
+    dm.add_argument(
+        "--target", action="append", required=True, metavar="DOMAIN=SHARE",
+        help="repeatable, e.g. --target en=0.4 --target de=0.15; "
+        "shares need not sum to 1 (only ratios matter); domains "
+        "not listed are dropped",
+    )
+    dm.add_argument("--key-col", default="doc_id")
+    dm.add_argument("--domain-col", default="lang")
+    dm.add_argument("--weight-col", default="n_chars")
+
+    es = sub.add_parser(
+        "epoch-shuffle",
+        help="materialize deterministic training order: bucket-"
+        "partitioned parquet, sorted by order_key within each "
+        "bucket — reading epoch=E buckets in order IS the global "
+        "shuffled order",
+    )
+    es.add_argument("--docs", required=True)
+    es.add_argument("--out", required=True)
+    es.add_argument("--epochs", type=int, default=1)
+    es.add_argument("--buckets", type=int, default=64)
+    es.add_argument("--key-col", default="doc_id")
+    es.add_argument("--seed", default="shuf")
+
+    dc = sub.add_parser(
+        "decontaminate",
+        help="drop train-batch docs whose verified near-dup is in "
+        "the held-out/benchmark set (probes the eval band index; "
+        "O(batch) per ingest)",
+    )
+    dc.add_argument("--batch", required=True, help="train batch parquet")
+    dc.add_argument("--eval-docs", required=True, help="held-out docs parquet")
+    dc.add_argument(
+        "--eval-index",
+        help="persisted write_band_index layout for the eval set "
+        "(built in-plan from --eval-docs when omitted)",
+    )
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--jaccard", type=float, default=0.5)
+
+    sdl = sub.add_parser(
+        "snapshot-delta",
+        help="recrawl CDC: classify keys across two corpus snapshots "
+        "as added/removed/changed/unchanged by content hash",
+    )
+    sdl.add_argument("--old", required=True)
+    sdl.add_argument("--new", required=True)
+    sdl.add_argument("--out", required=True)
+    sdl.add_argument("--key-col", default="doc_id")
+    sdl.add_argument(
+        "--hash-cols", default="text",
+        help="comma-separated columns hashed into the content hash",
+    )
+
     q = sub.add_parser(
         "sql",
         help="plain SQL over the store tables (variant_info, "
@@ -1020,6 +1082,108 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.stream_index, args.out, n_pfx=args.n_pfx
         )
         print(f"compacted {args.stream_index}: {n} band rows → {args.out}")
+        return 0
+    if args.cmd == "domain-mix":
+        from vcfdbr_spark.operators.sampling import domain_mix_sample
+
+        targets = {}
+        for spec in args.target:
+            dom, _, share = spec.partition("=")
+            if not share:
+                print(f"ERROR: --target wants DOMAIN=SHARE, got {spec!r}",
+                      file=sys.stderr)
+                return 1
+            targets[dom] = float(share)
+        docs = spark.read.parquet(args.docs)
+        kept = domain_mix_sample(
+            docs, targets, key_col=args.key_col,
+            domain_col=args.domain_col, weight_col=args.weight_col,
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        mix = (
+            spark.read.parquet(args.out)
+            .groupBy(args.domain_col)
+            .agg(F.sum(args.weight_col).alias("w"))
+            .collect()
+        )
+        tot = sum(r["w"] for r in mix) or 1
+        shares = ", ".join(
+            f"{r[args.domain_col]}={r['w'] / tot:.3f}"
+            for r in sorted(mix, key=lambda r: r[args.domain_col])
+        )
+        print(f"mixed {args.docs} → {args.out} ({shares})")
+        return 0
+    if args.cmd == "epoch-shuffle":
+        from vcfdbr_spark.operators.sampling import epoch_shuffle
+
+        docs = spark.read.parquet(args.docs)
+        order = epoch_shuffle(
+            docs, key_col=args.key_col, epochs=args.epochs,
+            n_buckets=args.buckets, seed=args.seed,
+        )
+        # sort-on-write: each (epoch, bucket) partition holds its
+        # slice of the global order already sorted — a training
+        # reader streams partitions in bucket order with zero
+        # sorting.  The sort MUST lead with the partition columns:
+        # partitionBy's writer requires (epoch, bucket) ordering and
+        # would otherwise insert its own non-stable sort on exactly
+        # those keys, destroying the intra-bucket order_key order.
+        (
+            order.repartition("epoch", "bucket")
+            .sortWithinPartitions("epoch", "bucket", "order_key")
+            .write.mode("overwrite")
+            .partitionBy("epoch", "bucket")
+            .parquet(args.out)
+        )
+        print(
+            f"wrote training order for {args.epochs} epoch(s) × "
+            f"{args.buckets} buckets → {args.out}"
+        )
+        return 0
+    if args.cmd == "decontaminate":
+        from vcfdbr_spark.operators.dedup import read_band_index
+        from vcfdbr_spark.operators.pipeline import decontaminate_batch
+
+        batch = spark.read.parquet(args.batch)
+        eval_docs = spark.read.parquet(args.eval_docs)
+        idx = (
+            read_band_index(spark, args.eval_index)
+            if args.eval_index
+            else None
+        )
+        kept = decontaminate_batch(
+            batch, eval_docs, eval_index=idx,
+            jaccard_threshold=args.jaccard,
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        n_in = batch.count()
+        n_out = spark.read.parquet(args.out).count()
+        print(
+            f"decontaminated {args.batch}: {n_in - n_out} of {n_in} "
+            f"docs leaked vs {args.eval_docs} → {args.out}"
+        )
+        return 0
+    if args.cmd == "snapshot-delta":
+        from vcfdbr_spark.operators.delta import snapshot_delta
+
+        out = snapshot_delta(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            key_col=args.key_col,
+            hash_cols=tuple(args.hash_cols.split(",")),
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["status"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        print(
+            f"delta {args.old} → {args.new}: "
+            + ", ".join(f"{k}={counts.get(k, 0)}"
+                        for k in ("added", "removed", "changed", "unchanged"))
+            + f" → {args.out}"
+        )
         return 0
     if args.cmd == "compact":
         from vcfdbr_spark.sources.build import compact_table

@@ -292,18 +292,18 @@ def domain_mix_sample(
     w = df.groupBy(domain_col).agg(
         F.sum(weight_col).cast("double").alias("w_d")
     )
+    from pyspark.sql import Window
+
     rates = w.join(F.broadcast(tgt), domain_col)
-    c = rates.agg(F.min(F.col("w_d") / F.col("t_d")).alias("c"))
-    thr = (
-        rates.crossJoin(F.broadcast(c))  # 1x1 scalar attach
-        .select(
-            domain_col,
-            F.floor(
-                F.lit(float(2**32)) * ((F.col("c") * F.col("t_d")) / F.col("w_d"))
-            )
-            .cast("long")
-            .alias("_thr"),
-        )
+    # c = min_d(W_d / t_d) attached via an unpartitioned window over
+    # the |domains|-row rates frame (tiny by construction — no
+    # cartesian node, and the single-partition window is O(domains))
+    c = F.min(F.col("w_d") / F.col("t_d")).over(Window.partitionBy())
+    thr = rates.select(
+        domain_col,
+        F.floor(F.lit(float(2**32)) * ((c * F.col("t_d")) / F.col("w_d")))
+        .cast("long")
+        .alias("_thr"),
     )
     u = _u32(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
     return (
