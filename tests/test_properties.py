@@ -599,3 +599,68 @@ def test_lm_score_matches_python_oracle(spark, docs_words):
         for r in lm_score(docs).collect()
     }
     assert got == _py_lm_scores(corpus)
+
+
+# --- domain_mix_sample vs a pure-Python replay (continuation) -------
+# Oracle: hashlib md5 + the published fixed IEEE-double nesting
+# thr_d = floor(2^32 * ((c * t_d) / W_d)), c = min_d(W_d / t_d).
+
+
+def _mix_py(rows, targets, seed="mix"):
+    import hashlib
+    import math
+
+    w_d: dict[str, float] = {}
+    for _k, d, w in rows:
+        if d in targets:
+            w_d[d] = w_d.get(d, 0.0) + float(w)
+    if not w_d:
+        return set()
+    c = min(w_d[d] / targets[d] for d in w_d)
+    thr = {
+        d: math.floor(float(2**32) * ((c * targets[d]) / w_d[d])) for d in w_d
+    }
+    out = set()
+    for k, d, _w in rows:
+        if d not in thr:
+            continue
+        u = int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8], 16)
+        if u < thr[d]:
+            out.add(k)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["web", "code", "wiki", "books"]),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.dictionaries(
+        st.sampled_from(["web", "code", "wiki", "books"]),
+        st.floats(min_value=0.01, max_value=10.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_domain_mix_matches_python_oracle(spark, entries, targets):
+    """Exact keep-set equality for arbitrary domain/weight corpora
+    and arbitrary (unnormalized) positive targets — including
+    extreme ratios, single-domain targets, and domains absent from
+    the corpus."""
+    from vcfdbr_spark.operators.sampling import domain_mix_sample
+
+    rows = [(i, d, w) for i, (d, w) in enumerate(entries)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, w long")
+    got = {
+        r["doc_id"]
+        for r in domain_mix_sample(
+            df, targets, key_col="doc_id", domain_col="dom", weight_col="w"
+        ).collect()
+    }
+    assert got == _mix_py(rows, targets)
