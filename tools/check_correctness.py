@@ -63,6 +63,12 @@ SF1_QUERIES = [
     # on 10x-larger exact BIGINT sums (and that the kept mixture
     # converges to the targets at scale).
     "domain_mix",
+    # cross-split decontamination: candidate sets depend on band
+    # bucket populations (corpus-size-dependent) and the per-side
+    # caps — the same class of scale-dependent answer as the CC/
+    # banding family above.
+    "decontaminate_splits",
+    "decontaminate_batch",
 ]
 
 #: streaming ops are outside the registry (no SQL oracle), so the
