@@ -87,6 +87,7 @@ DATA_QUERIES = [
     "semantic_dedup",
     "semantic_dedup_capped",
     "corpus_filter",
+    "training_mix",
     "multimodal_decode",
     "multimodal_codec",
     "events_pivot",

@@ -362,6 +362,9 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         "tfidf_keywords",
         "lm_score",
         "corpus_filter",
+        # training_mix embeds corpus_filter (and so lm_score's 1x1
+        # vocab-size attach) — same inherited exemption
+        "training_mix",
         # three 1-row aggregates crossJoined into the single summary
         # row (cap-effect evidence query, r11) — each side broadcast
         "embedding_cap_skew",

@@ -3574,6 +3574,60 @@ WHERE p.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> keep_id)
 """
 
 
+def q_training_mix(spark, sf_dir):
+    """THE end-to-end training-set builder: corpus_filter's quality +
+    LM + dedup survivors → TOKEN-weighted target-mixture resampling
+    (domain_mix_sample with weight_col=n_tokens — the mixture is
+    tuned on token budget, not doc count) → leakage-safe split
+    assignment, composed as one declarative plan.  Every stage
+    reuses an operator that is independently oracle-checked; the mix
+    thresholds are data-derived from the FILTERED subset's token
+    sums, so this query also proves the threshold determinism
+    composes through an upstream filter."""
+    from vcfdbr_spark.operators.pipeline import corpus_filter
+    from vcfdbr_spark.operators.sampling import (
+        domain_mix_sample,
+        split_assign_col,
+    )
+
+    surv = corpus_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=_CF_MIN_TOKENS,
+        min_ttr=_CF_MIN_TTR,
+        max_bits=_CF_MAX_BITS,
+    )
+    mixed = domain_mix_sample(
+        surv, _MIX_TARGETS, key_col="doc_id",
+        domain_col="lang", weight_col="n_tokens",
+    )
+    return mixed.select(
+        "doc_id", "lang", "n_tokens",
+        split_assign_col(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
+    )
+
+
+def _sql_training_mix() -> str:
+    vals = ", ".join(
+        f"('{d}', {float(t)!r})" for d, t in sorted(_MIX_TARGETS.items())
+    )
+    u = _hex8_sql("'mix:' || CAST(s.doc_id AS VARCHAR)")
+    return f"""
+WITH surv AS ({SQL_CORPUS_FILTER}),
+tgt(lang, t_d) AS (VALUES {vals}),
+w AS (SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS w_d FROM surv GROUP BY lang),
+r AS (SELECT w.lang AS lang, w_d, t_d FROM w JOIN tgt ON w.lang = tgt.lang),
+c AS (SELECT MIN(w_d / t_d) AS c FROM r),
+thr AS (SELECT lang, CAST(floor(4294967296.0 * ((c * t_d) / w_d)) AS BIGINT) AS thr
+        FROM r CROSS JOIN c)
+SELECT s.doc_id, s.lang, s.n_tokens, {_sql_split_case("s.doc_id")} AS split
+FROM surv s JOIN thr ON s.lang = thr.lang
+WHERE {u} < thr.thr
+"""
+
+
+SQL_TRAINING_MIX = _sql_training_mix()
+
+
 def q_vcfsim_interval_join(spark, sf_dir):
     """Range join (multi-interval interval_query): binned equi-join,
     never a nested-loop cross product."""
@@ -3694,11 +3748,12 @@ QUERIES: dict[str, QueryFn] = {
     # removal, first driver row).  The remaining slots keep r10-green
     # keys from the dedup/ANN family.  Every key displaced to the
     # tail (incl. doc_repetition + deterministic_sample + simhash +
-    # simhash_dup_pairs + minhash_sig, displaced for the five
-    # continuation keys: domain_mix, epoch_shuffle,
-    # decontaminate_splits, snapshot_delta, decontaminate_batch) is
-    # green in CORRECTNESS_r10.json, so all 88 registered queries
-    # hold a driver-artifact green row within the 2-round window.
+    # simhash_dup_pairs + minhash_sig + ngram_jaccard, displaced for
+    # the six continuation keys: domain_mix, epoch_shuffle,
+    # decontaminate_splits, snapshot_delta, decontaminate_batch,
+    # training_mix) is green in CORRECTNESS_r10.json, so all 89
+    # registered queries hold a driver-artifact green row within the
+    # 2-round window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
@@ -3739,7 +3794,6 @@ QUERIES: dict[str, QueryFn] = {
     # r10-green keys holding window slots (dedup/ANN family):
     "dedup_exact": q_dedup_exact,
     "minhash_pairs": q_minhash_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "corpus_dedup": q_corpus_dedup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -3751,8 +3805,10 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_splits": q_decontaminate_splits,
     "snapshot_delta": q_snapshot_delta,
     "decontaminate_batch": q_decontaminate_batch,
+    "training_mix": q_training_mix,
     # displaced to the tail for the late-r11/continuation first-row
-    # keys: all seven below are r10-driver-green
+    # keys: all eight below are r10-driver-green
+    "ngram_jaccard": q_ngram_jaccard,
     "minhash_sig": q_minhash_sig,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -3827,6 +3883,7 @@ ORACLE: dict[str, str] = {
     "decontaminate_splits": SQL_DECONTAMINATE_SPLITS,
     "snapshot_delta": SQL_SNAPSHOT_DELTA,
     "decontaminate_batch": SQL_DECONTAMINATE_BATCH,
+    "training_mix": SQL_TRAINING_MIX,
     "domain_mix": SQL_DOMAIN_MIX,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "corpus_filter": SQL_CORPUS_FILTER,
