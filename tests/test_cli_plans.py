@@ -801,3 +801,29 @@ def test_cli_training_data_subcommands(spark, tmp_path, capsys):
     assert "leaked" in out
     kept = spark.read.parquet(kept_p)
     assert kept.count() < 120          # at least doc 5's twin dropped
+
+
+def test_cli_build_training_set(spark, tmp_path, capsys):
+    """The capstone command writes split-partitioned survivors with
+    per-split doc/token totals."""
+    import pyspark.sql.functions as F
+
+    docs_p = str(tmp_path / "docs")
+    words = " ".join(f"w{i}" for i in range(40))
+    spark.range(0, 80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(words + " t"), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.lit("s").alias("source"),
+    ).write.parquet(docs_p)
+    out_p = str(tmp_path / "tset")
+    assert cli_main([
+        "build-training-set", "--docs", docs_p, "--out", out_p,
+        "--target", "en=0.5", "--target", "de=0.5",
+        "--splits", "train=0.8,val=0.2",
+    ]) == 0
+    assert "built training set" in capsys.readouterr().out
+    got = spark.read.parquet(out_p)
+    assert set(r["split"] for r in got.select("split").distinct().collect()) <= {"train", "val"}
+    assert 0 < got.count() <= 80
+    assert "n_tokens" in got.columns

@@ -529,6 +529,32 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--out", required=True)
     dc.add_argument("--jaccard", type=float, default=0.5)
 
+    bts = sub.add_parser(
+        "build-training-set",
+        help="end-to-end training-set build: quality gates + "
+        "optional LM cap + fuzzy dedup (corpus-filter), then "
+        "token-weighted target-mixture resampling, then leakage-"
+        "safe split assignment; writes split-partitioned parquet",
+    )
+    bts.add_argument("--docs", required=True)
+    bts.add_argument("--out", required=True)
+    bts.add_argument(
+        "--target", action="append", default=None, metavar="DOMAIN=SHARE",
+        help="repeatable token-share targets over --domain-col "
+        "(omit to skip the mixing stage)",
+    )
+    bts.add_argument("--domain-col", default="lang")
+    bts.add_argument("--min-tokens", type=int, default=20)
+    bts.add_argument("--min-ttr", type=float, default=0.3)
+    bts.add_argument(
+        "--max-bits", type=float, default=None,
+        help="bigram-LM bits/bigram cap (omit to skip the LM gate)",
+    )
+    bts.add_argument(
+        "--splits", default="train=0.9,val=0.05,test=0.05",
+        help="comma-separated NAME=FRACTION list, fractions sum to 1",
+    )
+
     sdl = sub.add_parser(
         "snapshot-delta",
         help="recrawl CDC: classify keys across two corpus snapshots "
@@ -1162,6 +1188,55 @@ def main(argv: list[str] | None = None) -> int:
             f"decontaminated {args.batch}: {n_in - n_out} of {n_in} "
             f"docs leaked vs {args.eval_docs} → {args.out}"
         )
+        return 0
+    if args.cmd == "build-training-set":
+        from vcfdbr_spark.operators.pipeline import corpus_filter
+        from vcfdbr_spark.operators.sampling import (
+            domain_mix_sample,
+            split_assign_col,
+        )
+
+        fractions = []
+        for spec in args.splits.split(","):
+            name, _, frac = spec.partition("=")
+            if not frac:
+                print(f"ERROR: --splits wants NAME=FRACTION, got {spec!r}",
+                      file=sys.stderr)
+                return 1
+            fractions.append((name, float(frac)))
+        docs = spark.read.parquet(args.docs)
+        surv = corpus_filter(
+            docs, min_tokens=args.min_tokens, min_ttr=args.min_ttr,
+            max_bits=args.max_bits,
+        )
+        if args.target:
+            targets = {}
+            for spec in args.target:
+                dom, _, share = spec.partition("=")
+                if not share:
+                    print(f"ERROR: --target wants DOMAIN=SHARE, got {spec!r}",
+                          file=sys.stderr)
+                    return 1
+                targets[dom] = float(share)
+            surv = domain_mix_sample(
+                surv, targets, key_col="doc_id",
+                domain_col=args.domain_col, weight_col="n_tokens",
+            )
+        out = surv.withColumn(
+            "split", split_assign_col(F.col("doc_id"), tuple(fractions))
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        stats = (
+            spark.read.parquet(args.out)
+            .groupBy("split")
+            .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+            .collect()
+        )
+        summary = ", ".join(
+            f"{r['split']}={r['docs']} docs/{r['tokens']} tokens"
+            for r in sorted(stats, key=lambda r: r["split"])
+        )
+        print(f"built training set from {args.docs} → {args.out} ({summary})")
         return 0
     if args.cmd == "snapshot-delta":
         from vcfdbr_spark.operators.delta import snapshot_delta
