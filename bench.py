@@ -60,6 +60,7 @@ DATA_QUERIES = [
     "simhash",
     "simhash_dup_pairs",
     "pack_sequences",
+    "pack_shuffled",
     "chunk_documents",
     "lm_score",
     "doc_repetition",

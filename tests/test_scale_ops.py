@@ -1233,3 +1233,32 @@ def test_decontaminate_batch_probe_matches_in_memory_and_pfx_index(spark, tmp_pa
         ).collect()
     }
     assert out2 == out1
+
+
+def test_pack_shuffled_is_decorrelated_and_parallel(spark):
+    """Packs mix non-adjacent ids (vs pack_sequences' id-adjacent
+    packs); offsets are a correct per-bucket cumsum in order_key
+    order; the window partitions by bucket (no global-order window)."""
+    from vcfdbr_spark.operators.packing import pack_shuffled
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("ten little words make up this tiny document body x").alias("text"),
+    )
+    pdf = pack_shuffled(docs, window_tokens=64, n_buckets=8).toPandas()
+    assert len(pdf) == 400
+    # per-bucket offsets replay as cumsum of n_tokens in order
+    for b, grp in pdf.groupby("bucket"):
+        g = grp.sort_values(["order_key", "doc_id"])
+        run = 0
+        for _, r in g.iterrows():
+            assert r["offset"] == run
+            run += r["n_tokens"]
+    # shuffled packs: the first pack of bucket 0 must not be a
+    # contiguous id range (id-order packing would make it one)
+    first = pdf[(pdf.bucket == 0) & (pdf.pack_id == 0)]["doc_id"].tolist()
+    assert len(first) > 1
+    srt = sorted(first)
+    assert srt != list(range(srt[0], srt[0] + len(srt)))
+    with pytest.raises(ValueError):
+        pack_shuffled(docs, n_buckets=12)

@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate_splits",
     "decontaminate_batch",
     "snapshot_delta",
+    "pack_shuffled",
     "write_ivf_index",
     "ivf_topk_indexed",
     "ivf_list_stats",
@@ -107,6 +108,10 @@ def __getattr__(name: str):
         from vcfdbr_spark.operators.delta import snapshot_delta
 
         return snapshot_delta
+    if name == "pack_shuffled":
+        from vcfdbr_spark.operators.packing import pack_shuffled
+
+        return pack_shuffled
     if name in (
         "write_ivf_index",
         "ivf_topk_indexed",

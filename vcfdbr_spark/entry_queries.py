@@ -2510,6 +2510,45 @@ FROM run
 """
 
 
+def q_pack_shuffled(spark, sf_dir):
+    """Shuffled-order packing (operators/packing.py::pack_shuffled):
+    pack_sequences composed with the deterministic epoch shuffle —
+    shard = shuffle bucket, cumsum in order_key order, so every
+    context window holds a decorrelated pseudo-random doc mix and the
+    training order reproduces from (seed, epoch)."""
+    from vcfdbr_spark.operators.packing import pack_shuffled
+
+    return pack_shuffled(_t(spark, sf_dir, "documents"))
+
+
+def _sql_pack_shuffled() -> str:
+    u = _hex8_sql("'shuf:0:' || CAST(doc_id AS VARCHAR)")
+    width = 2**32 // 8
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {u} AS u,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, CAST(floor(u / {width}) AS BIGINT) AS bucket,
+         u AS order_key, n_tokens
+  FROM toks),
+run AS (
+  SELECT doc_id, bucket, order_key, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY order_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM b)
+SELECT doc_id, bucket, order_key, n_tokens, "offset",
+       CAST("offset" // 512 AS BIGINT) AS pack_id,
+       ("offset" // 512) != (("offset" + n_tokens - 1) // 512) AS straddles
+FROM run
+"""
+
+
+SQL_PACK_SHUFFLED = _sql_pack_shuffled()
+
+
 # chunk_documents query constants (interpolated into the oracle SQL
 # below — never literal-duplicated)
 _CHUNK_WINDOW = 32
@@ -3749,9 +3788,10 @@ QUERIES: dict[str, QueryFn] = {
     # keys from the dedup/ANN family.  Every key displaced to the
     # tail (incl. doc_repetition + deterministic_sample + simhash +
     # simhash_dup_pairs + minhash_sig + ngram_jaccard, displaced for
-    # the six continuation keys: domain_mix, epoch_shuffle,
+    # the seven continuation keys: domain_mix, epoch_shuffle,
     # decontaminate_splits, snapshot_delta, decontaminate_batch,
-    # training_mix) is green in CORRECTNESS_r10.json, so all 89
+    # training_mix, pack_shuffled; dedup_keep_best joins the
+    # displaced set) is green in CORRECTNESS_r10.json, so all 90
     # registered queries hold a driver-artifact green row within the
     # 2-round window.
     "vcfsim_info_rare": q_vcfsim_info_rare,
@@ -3796,7 +3836,6 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "corpus_dedup": q_corpus_dedup,
-    "dedup_keep_best": q_dedup_keep_best,
     "dedup_incremental": q_dedup_incremental,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
     "exact_k_sample": q_exact_k_sample,
@@ -3806,8 +3845,10 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_delta": q_snapshot_delta,
     "decontaminate_batch": q_decontaminate_batch,
     "training_mix": q_training_mix,
+    "pack_shuffled": q_pack_shuffled,
     # displaced to the tail for the late-r11/continuation first-row
-    # keys: all eight below are r10-driver-green
+    # keys: all nine below are r10-driver-green
+    "dedup_keep_best": q_dedup_keep_best,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_sig": q_minhash_sig,
     "simhash": q_simhash,
@@ -3884,6 +3925,7 @@ ORACLE: dict[str, str] = {
     "snapshot_delta": SQL_SNAPSHOT_DELTA,
     "decontaminate_batch": SQL_DECONTAMINATE_BATCH,
     "training_mix": SQL_TRAINING_MIX,
+    "pack_shuffled": SQL_PACK_SHUFFLED,
     "domain_mix": SQL_DOMAIN_MIX,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "corpus_filter": SQL_CORPUS_FILTER,

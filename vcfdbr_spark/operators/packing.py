@@ -62,3 +62,66 @@ def pack_sequences(
             )
         ).alias("straddles"),
     )
+
+
+def pack_shuffled(
+    docs: DataFrame,
+    window_tokens: int = 512,
+    n_buckets: int = 8,
+    epoch: int = 0,
+    seed: str = "shuf",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing in SHUFFLED order — :func:`pack_sequences` composed
+    with the deterministic epoch shuffle
+    (:func:`~vcfdbr_spark.operators.sampling.epoch_shuffle`): the
+    shard is the shuffle BUCKET and the cumulative sum runs in
+    ``order_key`` order, so each pack concatenates a pseudo-random
+    doc mix (decorrelated batches) instead of id-adjacent docs, and
+    the whole training order is reproducible from (seed, epoch).
+
+    Same scale shape as :func:`pack_sequences`: the window partitions
+    by bucket (uniform md5 top bits — balanced by construction), so
+    the cumsum parallelizes across buckets; no global sort, one
+    shuffle on the bucket key.  Returns (id, bucket, order_key,
+    n_tokens, offset, pack_id, straddles).
+    """
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError("n_buckets must be a power of two")
+    from vcfdbr_spark.operators.sampling import _u32
+
+    u = _u32(
+        F.concat_ws(
+            ":", F.lit(seed), F.lit(str(epoch)), F.col(id_col).cast("string")
+        )
+    )
+    width = 2**32 // n_buckets
+    toks = docs.select(
+        F.col(id_col),
+        F.floor(u / F.lit(width)).cast("long").alias("bucket"),
+        u.alias("order_key"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("order_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = toks.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return out.select(
+        id_col,
+        "bucket",
+        "order_key",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / window_tokens).cast("long").alias("pack_id"),
+        (
+            F.floor(F.col("offset") / window_tokens)
+            != F.floor(
+                (F.col("offset") + F.col("n_tokens") - 1) / window_tokens
+            )
+        ).alias("straddles"),
+    )
