@@ -1210,6 +1210,12 @@ def main(argv: list[str] | None = None) -> int:
             max_bits=args.max_bits,
         )
         if args.target:
+            from vcfdbr_spark.plans.checkpoints import eager_checkpoint
+
+            # the mix re-reads the survivors for its token-sum
+            # calibration pass; checkpoint so the filter's dedup
+            # lineage runs once
+            surv = eager_checkpoint(surv)
             targets = {}
             for spec in args.target:
                 dom, _, share = spec.partition("=")

@@ -3629,12 +3629,18 @@ def q_training_mix(spark, sf_dir):
         split_assign_col,
     )
 
+    from vcfdbr_spark.plans.checkpoints import eager_checkpoint
+
     surv = corpus_filter(
         _t(spark, sf_dir, "documents"),
         min_tokens=_CF_MIN_TOKENS,
         min_ttr=_CF_MIN_TTR,
         max_bits=_CF_MAX_BITS,
     )
+    # the mix needs TWO passes over the survivors (token-sum
+    # calibration, then the filter); without the checkpoint each pass
+    # re-runs the filter's dedup anti-join lineage (measured ~2x)
+    surv = eager_checkpoint(surv)
     mixed = domain_mix_sample(
         surv, _MIX_TARGETS, key_col="doc_id",
         domain_col="lang", weight_col="n_tokens",
