@@ -1142,3 +1142,72 @@ def test_decode_media_mixed_real_decoders(spark):
     assert feats[1] == 2.0 and feats[2] == 2.0
     assert abs(feats[5] - 1.0) < 1e-6  # peak is full-scale -32768
     assert feats[7] == 4.0
+
+
+def test_stream_decontaminate_matches_batch_and_replays_clean(spark, tmp_path):
+    """Streaming decontamination == one-shot decontaminate_batch over
+    the same corpus (batches are independent: a doc's leak status
+    depends only on itself vs the frozen eval set), from BOTH the
+    in-memory and the persisted-index paths."""
+    from vcfdbr_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        write_band_index,
+    )
+    from vcfdbr_spark.operators.pipeline import decontaminate_batch
+    from vcfdbr_spark.streaming.ingest import stream_decontaminate
+
+    schema = "doc_id long, text string"
+    base = ("red orange yellow green blue indigo violet crimson teal "
+            "maroon silver golden purple magenta cyan beige ochre "
+            "salmon coral ivory pearl amber jade ruby topaz onyx")
+    eval_rows = [(900, base + " benchA"), (901, "nothing like the rest")]
+    batches = [
+        [(1, base + " trainA"), (2, "unique one two three")],
+        [(3, "another clean document"), (4, base + " trainB")],
+        [(5, "the final unrelated doc")],
+    ]
+    src = tmp_path / "dc_src"; src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    eval_p = str(tmp_path / "evald")
+    spark.createDataFrame(eval_rows, schema).write.parquet(eval_p)
+    idx_p = str(tmp_path / "eval_idx")
+    write_band_index(
+        minhash_band_buckets(minhash_signatures(spark.read.parquet(eval_p))),
+        idx_p,
+    )
+
+    out1 = tmp_path / "dc_out1"
+    stream_decontaminate(
+        spark, str(src) + "/*", eval_p, str(out1), max_files_per_trigger=1
+    )
+    got1 = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", str(out1 / "kept"))
+        .parquet(str(out1 / "kept")).collect()
+    }
+    out2 = tmp_path / "dc_out2"
+    stream_decontaminate(
+        spark, str(src) + "/*", eval_p, str(out2),
+        eval_index_dir=idx_p, max_files_per_trigger=1,
+    )
+    got2 = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", str(out2 / "kept"))
+        .parquet(str(out2 / "kept")).collect()
+    }
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {
+        r["doc_id"]
+        for r in decontaminate_batch(
+            full, spark.read.parquet(eval_p)
+        ).collect()
+    }
+    assert got1 == want == got2
+    assert 1 not in want and 4 not in want     # the planted leaks
+    assert {2, 3, 5} <= want

@@ -48,6 +48,7 @@ __all__ = [
     "stream_semantic_dedup",
     "stream_exact_dedup",
     "stream_corpus_filter",
+    "stream_decontaminate",
     "stream_ivf_assign",
 ]
 __version__ = "0.2.0"
@@ -126,6 +127,7 @@ def __getattr__(name: str):
         "stream_semantic_dedup",
         "stream_exact_dedup",
         "stream_corpus_filter",
+        "stream_decontaminate",
         "stream_ivf_assign",
     ):
         from vcfdbr_spark.streaming import ingest

@@ -355,6 +355,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="fold the batch tail into one compacted layout "
                     "every N batches (0 disables)")
 
+    sdc = sub.add_parser(
+        "stream-decontaminate",
+        help="streaming decontamination: each parquet file appearing "
+        "under --docs-dir probes the FIXED eval set's band index; "
+        "only non-leaking rows reach kept/ (the index never grows — "
+        "no compaction, no cross-batch state)",
+    )
+    sdc.add_argument("--docs-dir", required=True)
+    sdc.add_argument("--eval-docs", required=True)
+    sdc.add_argument("--eval-index", default=None,
+                     help="persisted write_band_index layout (default: "
+                     "band the eval docs once at stream start)")
+    sdc.add_argument("--out", required=True,
+                     help="output root (kept/, _checkpoint)")
+    sdc.add_argument("--jaccard", type=float, default=0.5)
+    sdc.add_argument("--max-files-per-trigger", type=int, default=None)
+
     sed = sub.add_parser(
         "stream-exact-dedup",
         help="streaming exact dedup with UNBOUNDED history: each "
@@ -756,6 +773,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "stream-decontaminate":
+        from vcfdbr_spark.streaming.ingest import stream_decontaminate
+
+        stream_decontaminate(
+            spark,
+            args.docs_dir,
+            args.eval_docs,
+            args.out,
+            eval_index_dir=args.eval_index,
+            jaccard_threshold=args.jaccard,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        kept_dir = f"{args.out}/kept"
+        from vcfdbr_spark import fs as _fs
+
+        n = (
+            spark.read.option("basePath", kept_dir).parquet(kept_dir).count()
+            if _fs.exists(spark, kept_dir)
+            else 0
+        )
+        print(f"stream-decontaminate: {n} docs kept → {kept_dir}")
+        return 0
     if args.cmd == "stream-dedup":
         from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
 

@@ -908,6 +908,84 @@ def _stream_banded_dedup(
     q.awaitTermination()
 
 
+def stream_decontaminate(
+    spark: SparkSession,
+    source_dir: str,
+    eval_docs_path: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    eval_index_dir: str | None = None,
+    jaccard_threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Streaming twin of
+    :func:`~vcfdbr_spark.operators.pipeline.decontaminate_batch`:
+    every arriving train micro-batch probes the FIXED held-out set's
+    band index and only the non-leaking rows are written to
+    ``kept/batch=N``.  This is decontamination as an ingest stage —
+    a doc near-dupping a benchmark doc never reaches the training
+    corpus at all.
+
+    Unlike the dedup streams the index NEVER grows (the eval set is
+    frozen by definition), so there is no append, no compaction, and
+    no cross-batch state: per-batch cost is O(batch + pruned probe)
+    forever, and batches are independent — a replay recomputes the
+    identical survivor set from the same static index
+    (delete-before-write ``batch=N`` keeps output exactly-once).
+    ``eval_index_dir``: a :func:`~vcfdbr_spark.operators.dedup.
+    write_band_index` layout (pfx-pruned probes); omitted, the band
+    frame is built from ``eval_docs_path`` once at stream start.
+    """
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        read_band_index,
+    )
+    from vcfdbr_spark.operators.pipeline import decontaminate_batch
+
+    eval_docs = spark.read.parquet(eval_docs_path)
+    if eval_index_dir is not None:
+        eval_index = read_band_index(spark, eval_index_dir)
+    else:
+        # built once, persisted for the stream's lifetime (eval sets
+        # are benchmark-sized); released when the stream ends
+        eval_index = minhash_band_buckets(
+            minhash_signatures(eval_docs, text_col, id_col), id_col=id_col
+        ).persist()
+    keep_dir = f"{out_dir}/kept"
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _fs.delete_dir(spark, f"{keep_dir}/batch={batch_id}")
+        if not batch_df.take(1):
+            return
+        kept = decontaminate_batch(
+            batch_df, eval_docs, eval_index=eval_index,
+            jaccard_threshold=jaccard_threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        # empty batch=N dirs break later multi-dir reads — write only
+        # when survivors exist (mirrors the banded core's contract)
+        if kept.take(1):
+            kept.write.parquet(f"{keep_dir}/batch={batch_id}")
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if eval_index_dir is None:
+        eval_index.unpersist()
+
+
 def stream_sessions(
     spark: SparkSession,
     source_dir: str,
