@@ -509,7 +509,11 @@ def test_cli_dedup_releases_all_caches(spark, tmp_path):
     """The dedup subcommand leaves ZERO net persisted frames: every
     loop intermediate and both result frames are unpersisted before
     it returns (repeated invocations in one session must not
-    accumulate executor storage)."""
+    accumulate executor storage).  Compared as an ID-SET DELTA, not
+    equality: earlier tests leave ContextCleaner-managed
+    localCheckpoint blocks that vanish asynchronously on GC, so old
+    ids may disappear mid-test (the equality form flaked on exactly
+    that race); only NEWLY-APPEARING ids are ours to assert."""
     from vcfdbr_spark.cli import main
 
     docs = _docs(spark).withColumn("n_chars", F.length("text"))
@@ -532,7 +536,7 @@ def test_cli_dedup_releases_all_caches(spark, tmp_path):
             ]
         )
         assert rc == 0
-    assert _cached_ids() == before
+    assert _cached_ids() - before == set()
 
 
 def _hot_corpus(spark, n_hot=1000):

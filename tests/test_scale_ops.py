@@ -1262,3 +1262,42 @@ def test_pack_shuffled_is_decorrelated_and_parallel(spark):
     assert srt != list(range(srt[0], srt[0] + len(srt)))
     with pytest.raises(ValueError):
         pack_shuffled(docs, n_buckets=12)
+
+
+def test_decontaminate_ops_leave_zero_net_cache(spark):
+    """Both decontamination operators materialize their leak list and
+    release every persist they made — the streaming twin calls
+    decontaminate_batch per micro-batch, so an un-released frame
+    would accumulate for the stream's lifetime.  Delta-form assert
+    (new ids only): older localCheckpoint blocks vanish on GC."""
+    from vcfdbr_spark.operators.pipeline import (
+        decontaminate_batch,
+        decontaminate_splits,
+    )
+
+    base = ("zero one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen")
+    docs = spark.createDataFrame(
+        [(i, base + f" d{i}", "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(900, base + " d0x")], "doc_id long, text string"
+    )
+
+    def cached():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = cached()
+    decontaminate_splits(docs).count()
+    decontaminate_batch(docs, eval_docs).count()
+    new = cached() - before
+    # the only entries allowed to survive are the two
+    # eager-checkpointed leak lists (one per op; GC-released
+    # localCheckpoint blocks, the module contract) — before the
+    # release fix this was 7+ (bands + two jaccard internals per op,
+    # never unpersisted)
+    assert len(new) <= 2, new

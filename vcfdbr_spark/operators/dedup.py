@@ -263,6 +263,7 @@ def ngram_jaccard_pairs(
     max_words: int = 50,
     threshold: float = 0.0,
     materialize: bool = True,
+    handles: list | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate (a, b) pairs.
 
@@ -285,10 +286,16 @@ def ngram_jaccard_pairs(
     used 2×).  Without it Catalyst re-executes the entire upstream
     LSH pipeline + corpus scan per use (measured 12 scans of the docs
     table in one query).  Both frames are post-LSH small — caching
-    them is the scale-correct trade.
+    them is the scale-correct trade.  ``handles``: optional list the
+    two persisted frames are appended to, so a caller that
+    materializes its OWN terminal result (e.g. the decontamination
+    operators' eager-checkpointed leak list) can release them and
+    leave zero net cache.
     """
     if materialize:
         candidates = candidates.persist()
+        if handles is not None:
+            handles.append(candidates)
     sets_ = docs.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
@@ -303,6 +310,8 @@ def ngram_jaccard_pairs(
     sets_needed = sets_.join(F.broadcast(cand_ids), "_id", "left_semi")
     if materialize:
         sets_needed = sets_needed.persist()
+        if handles is not None:
+            handles.append(sets_needed)
     out = (
         candidates.join(
             F.broadcast(

@@ -191,9 +191,10 @@ def decontaminate_splits(
     if train_split not in names:
         raise ValueError(f"train_split {train_split!r} not in fractions")
     cand = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
+    handles: list = []
     verified = ngram_jaccard_pairs(
         docs, cand, text_col=text_col, id_col=id_col,
-        threshold=jaccard_threshold,
+        threshold=jaccard_threshold, handles=handles,
     ).select("a", "b")
     edges = verified.unionByName(
         verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -207,6 +208,14 @@ def decontaminate_splits(
         .select(F.col("a").alias(id_col))
         .distinct()
     )
+    # materialize the (pair-bounded, tiny) leak list NOW and release
+    # every upstream persist — repeated invocations leave zero net
+    # cache (localCheckpoint blocks are GC-released, the module
+    # contract); without this the jaccard internals stay cached with
+    # no release handle
+    leaked = eager_checkpoint(leaked)
+    for h in handles:
+        h.unpersist()
     assigned = docs.select(
         id_col, *keep_cols,
         split_assign_col(F.col(id_col), fractions).alias("split"),
@@ -266,8 +275,10 @@ def decontaminate_batch(
     union_docs = batch.select(id_col, text_col).unionByName(
         eval_docs.select(id_col, text_col)
     )
+    handles: list = []
     verified = ngram_jaccard_pairs(
-        union_docs, cand, text_col, id_col, threshold=jaccard_threshold
+        union_docs, cand, text_col, id_col,
+        threshold=jaccard_threshold, handles=handles,
     ).select("a", "b")
     edges = verified.unionByName(
         verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -278,4 +289,12 @@ def decontaminate_batch(
         .select(F.col("a").alias(id_col))
         .distinct()
     )
+    # same zero-net-cache contract as decontaminate_splits: the leak
+    # list is materialized once, then every persist this call made is
+    # released (the streaming twin invokes this per micro-batch —
+    # un-released frames would accumulate for the stream's lifetime)
+    leaked = eager_checkpoint(leaked)
+    for h in handles:
+        h.unpersist()
+    batch_bands.unpersist()
     return batch.join(F.broadcast(leaked), id_col, "left_anti")
