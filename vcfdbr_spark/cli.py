@@ -73,6 +73,25 @@ def _write_reject_report(rejects, path: str) -> None:
     _fs.delete_dir(spark, tmp)
 
 
+def _parse_kv_floats(specs, flag: str) -> dict[str, float] | None:
+    """NAME=NUMBER spec list → dict; prints a styled error and returns
+    None on a malformed spec (missing '=', non-numeric value)."""
+    out: dict[str, float] = {}
+    for spec in specs:
+        name, _, val = spec.partition("=")
+        try:
+            out[name] = float(val)
+        except ValueError:
+            val = ""
+        if not val:
+            print(
+                f"ERROR: {flag} wants NAME=NUMBER, got {spec!r}",
+                file=sys.stderr,
+            )
+            return None
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vcfdb", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1151,14 +1170,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "domain-mix":
         from vcfdbr_spark.operators.sampling import domain_mix_sample
 
-        targets = {}
-        for spec in args.target:
-            dom, _, share = spec.partition("=")
-            if not share:
-                print(f"ERROR: --target wants DOMAIN=SHARE, got {spec!r}",
-                      file=sys.stderr)
-                return 1
-            targets[dom] = float(share)
+        targets = _parse_kv_floats(args.target, "--target")
+        if targets is None:
+            return 1
         docs = spark.read.parquet(args.docs)
         kept = domain_mix_sample(
             docs, targets, key_col=args.key_col,
@@ -1233,36 +1247,38 @@ def main(argv: list[str] | None = None) -> int:
         from vcfdbr_spark.operators.sampling import (
             domain_mix_sample,
             split_assign_col,
+            split_thresholds,
         )
 
-        fractions = []
-        for spec in args.splits.split(","):
-            name, _, frac = spec.partition("=")
-            if not frac:
-                print(f"ERROR: --splits wants NAME=FRACTION, got {spec!r}",
-                      file=sys.stderr)
+        # validate EVERY user spec before touching the corpus: the
+        # filter stage is the expensive one (hours at 100 TB), and a
+        # typo'd target must not error out after it has run
+        splits = _parse_kv_floats(args.splits.split(","), "--splits")
+        if splits is None:
+            return 1
+        fractions = list(splits.items())
+        try:
+            split_thresholds(tuple(fractions))
+        except ValueError as ex:
+            print(f"ERROR: --splits: {ex}", file=sys.stderr)
+            return 1
+        targets = None
+        if args.target:
+            targets = _parse_kv_floats(args.target, "--target")
+            if targets is None:
                 return 1
-            fractions.append((name, float(frac)))
         docs = spark.read.parquet(args.docs)
         surv = corpus_filter(
             docs, min_tokens=args.min_tokens, min_ttr=args.min_ttr,
             max_bits=args.max_bits,
         )
-        if args.target:
+        if targets is not None:
             from vcfdbr_spark.plans.checkpoints import eager_checkpoint
 
             # the mix re-reads the survivors for its token-sum
             # calibration pass; checkpoint so the filter's dedup
             # lineage runs once
             surv = eager_checkpoint(surv)
-            targets = {}
-            for spec in args.target:
-                dom, _, share = spec.partition("=")
-                if not share:
-                    print(f"ERROR: --target wants DOMAIN=SHARE, got {spec!r}",
-                          file=sys.stderr)
-                    return 1
-                targets[dom] = float(share)
             surv = domain_mix_sample(
                 surv, targets, key_col="doc_id",
                 domain_col=args.domain_col, weight_col="n_tokens",

@@ -27,7 +27,9 @@ def snapshot_delta(
     ``added`` (new only), ``removed`` (old only), ``changed`` (both,
     content hash differs), ``unchanged``.  ``content_hash`` is the
     md5 of the ``hash_cols`` concatenated with an ASCII unit
-    separator (the NEW side's hash when present) — downstream
+    separator, NULL columns replaced by a NUL-prefixed sentinel so a
+    value moving between columns (or NULL vs '') always reads as a
+    change (the NEW side's hash when present) — downstream
     incremental consumers key their probes on it.
 
     Scale shape: each side reduces to (key, hash) AT THE SCAN —
@@ -40,7 +42,19 @@ def snapshot_delta(
     filters on ``status`` prune to O(delta).
     """
     def side(df: DataFrame, alias: str):
-        h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in hash_cols]))
+        # NULL-safe: concat_ws SKIPS null columns, which would hash
+        # (title='a', text=NULL) and (title=NULL, text='a') — or NULL
+        # vs '' — identically; a \x00-prefixed sentinel (no real cast
+        # string starts with NUL) keeps every column position distinct
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00N"))
+                    for c in hash_cols
+                ],
+            )
+        )
         return df.select(
             F.col(key_col).alias("_k"), h.alias(alias)
         )

@@ -87,19 +87,17 @@ def pack_shuffled(
     shuffle on the bucket key.  Returns (id, bucket, order_key,
     n_tokens, offset, pack_id, straddles).
     """
-    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
-        raise ValueError("n_buckets must be a power of two")
-    from vcfdbr_spark.operators.sampling import _u32
-
-    u = _u32(
-        F.concat_ws(
-            ":", F.lit(seed), F.lit(str(epoch)), F.col(id_col).cast("string")
-        )
+    from vcfdbr_spark.operators.sampling import (
+        shuffle_bucket,
+        shuffle_order_key,
     )
-    width = 2**32 // n_buckets
+
+    # the SAME order-key/bucket definitions as epoch_shuffle — shared
+    # helpers, so the '(seed, epoch)-reproducible' claim cannot drift
+    u = shuffle_order_key(F.col(id_col), F.lit(epoch), seed)
     toks = docs.select(
         F.col(id_col),
-        F.floor(u / F.lit(width)).cast("long").alias("bucket"),
+        shuffle_bucket(u, n_buckets).alias("bucket"),
         u.alias("order_key"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )

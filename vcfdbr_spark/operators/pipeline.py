@@ -262,6 +262,19 @@ def decontaminate_batch(
         ngram_jaccard_pairs,
     )
 
+    # the probe's self-pair filter (x != y on ids) would silently hide
+    # a genuine leak between a batch doc and an eval doc SHARING an
+    # id, and duplicate ids in the union frame would attach the wrong
+    # text at verification — id spaces must be disjoint, loudly
+    overlap = batch.select(F.col(id_col)).join(
+        F.broadcast(eval_docs.select(F.col(id_col))), id_col, "left_semi"
+    )
+    if overlap.take(1):
+        raise ValueError(
+            f"batch and eval_docs share {id_col} values (e.g. "
+            f"{overlap.take(1)[0][0]!r}); decontamination needs "
+            f"disjoint id spaces — re-key one side"
+        )
     if eval_index is None:
         eval_index = minhash_band_buckets(
             minhash_signatures(eval_docs, text_col, id_col), id_col=id_col

@@ -284,6 +284,18 @@ def domain_mix_sample(
     for d, t in targets.items():
         if t <= 0:
             raise ValueError(f"target for domain {d!r} must be > 0")
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        # a float weight sum is partition-order-dependent, which would
+        # break the bit-exact threshold contract silently at the
+        # margin — require exact integer weights (pre-quantize floats)
+        raise ValueError(
+            f"weight_col {weight_col!r} must be an integral column for "
+            f"deterministic thresholds (got {wtype}); quantize float "
+            f"weights first, e.g. CAST(quality * 1000 AS BIGINT)"
+        )
     spark = df.sparkSession
     tgt = spark.createDataFrame(
         [(d, float(t)) for d, t in sorted(targets.items())],
@@ -311,6 +323,30 @@ def domain_mix_sample(
         .filter(u < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def _validate_n_buckets(n_buckets: int) -> None:
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0 or n_buckets > 2**32:
+        raise ValueError("n_buckets must be a power of two in [1, 2^32]")
+
+
+def shuffle_order_key(key: Column, epoch: Column, seed: str) -> Column:
+    """order_key of the deterministic shuffle: md5-u32 of
+    seed:epoch:key — THE single definition shared by
+    :func:`epoch_shuffle` and ``packing.pack_shuffled`` (a drift here
+    would silently desynchronize 'pack in epoch order' from the
+    actual epoch order)."""
+    return _u32(
+        F.concat_ws(":", F.lit(seed), epoch.cast("string"), key.cast("string"))
+    )
+
+
+def shuffle_bucket(order_key: Column, n_buckets: int) -> Column:
+    """Range bucket = the order_key's top bits (exact integer math in
+    IEEE doubles because the power-of-two width divides 2³²)."""
+    _validate_n_buckets(n_buckets)
+    width = 2**32 // n_buckets
+    return F.floor(order_key / F.lit(width)).cast("long")
 
 
 def epoch_shuffle(
@@ -345,24 +381,15 @@ def epoch_shuffle(
     """
     if epochs < 1:
         raise ValueError("epochs must be >= 1")
-    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0 or n_buckets > 2**32:
-        raise ValueError("n_buckets must be a power of two in [1, 2^32]")
-    width = 2**32 // n_buckets
+    _validate_n_buckets(n_buckets)
     ep = df.select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
     )
-    u = _u32(
-        F.concat_ws(
-            ":",
-            F.lit(seed),
-            F.col("epoch").cast("string"),
-            F.col(key_col).cast("string"),
-        )
-    )
+    u = shuffle_order_key(F.col(key_col), F.col("epoch"), seed)
     return ep.select(
         F.col("epoch").cast("long").alias("epoch"),
-        F.floor(u / F.lit(width)).cast("long").alias("bucket"),
+        shuffle_bucket(u, n_buckets).alias("bucket"),
         u.alias("order_key"),
         F.col(key_col),
     )

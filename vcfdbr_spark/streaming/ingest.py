@@ -981,9 +981,13 @@ def stream_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    if eval_index_dir is None:
-        eval_index.unpersist()
+    try:
+        q.awaitTermination()
+    finally:
+        # release even when a micro-batch fails — a long-lived driver
+        # restarting a failing stream must not accumulate eval indexes
+        if eval_index_dir is None:
+            eval_index.unpersist()
 
 
 def stream_sessions(
