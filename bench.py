@@ -53,6 +53,7 @@ DATA_QUERIES = [
     "events_rollup",
     "events_cube",
     "distinct_sketch",
+    "corpus_overlap",
     "dedup_exact",
     "text_stats",
     "minhash_pairs",
@@ -65,6 +66,7 @@ DATA_QUERIES = [
     "lm_score",
     "doc_repetition",
     "weighted_sample",
+    "quality_prune",
     "split_corpus",
     "domain_mix",
     "epoch_shuffle",

@@ -368,6 +368,9 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # three 1-row aggregates crossJoined into the single summary
         # row (cap-effect evidence query, r11) — each side broadcast
         "embedding_cap_skew",
+        # KMV sketch: 1-row stats x 1-row match-count x two 1-row
+        # exact aggregates (late r11) — each side broadcast
+        "corpus_overlap",
     }
     sf_dir = "/root/testdata/sf0.001"
     bad = {}

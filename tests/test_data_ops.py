@@ -289,6 +289,131 @@ def test_cap_per_group_partition_invariant(spark):
     assert all(1 <= rk <= 10 for _, _, rk in want)
 
 
+def _kmv_py(texts, k):
+    """Python replay of kmv_bottom_k: bottom-k distinct 60-bit md5s."""
+    import hashlib
+
+    hs = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in texts}
+    )
+    return hs[:k]
+
+
+def test_kmv_bottom_k_matches_python_and_prefilter_is_invisible(spark):
+    """The sketch is the bottom-k distinct hash set on any path:
+    naive, prefiltered (engaged: n̂ > oversample·k), and prefiltered
+    with a forced fallback (oversample so large the threshold math
+    still keeps everything — degenerate but exercises the branch)."""
+    from vcfdbr_spark.operators.sketch import kmv_bottom_k
+
+    texts = [f"doc {i % 97}" for i in range(400)]  # dups: 97 distinct
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = _kmv_py(texts, 16)
+    naive = [r["h"] for r in kmv_bottom_k(df, "text", 16).collect()]
+    assert naive == want
+    pre = [
+        r["h"]
+        for r in kmv_bottom_k(
+            df.repartition(7), "text", 16, prefilter=True, oversample=2
+        ).collect()
+    ]
+    assert pre == want
+    # fewer distinct values than k: the sketch IS the distinct set
+    small = [r["h"] for r in kmv_bottom_k(df, "text", 200).collect()]
+    assert small == _kmv_py(texts, 200)
+    assert len(small) == 97
+
+
+def test_kmv_overlap_identical_disjoint_and_estimator(spark):
+    """Identical corpora → jaccard exactly 1.0; disjoint → 0.0; a
+    partial overlap reproduces the python replay of the estimator
+    (deterministic bottom-k, so the replay is exact, not approximate)."""
+    import math
+
+    from vcfdbr_spark.operators.sketch import HASH_SPACE, kmv_overlap
+
+    a_texts = [f"a {i}" for i in range(120)]
+    b_texts = a_texts[:40] + [f"b {i}" for i in range(80)]
+    df_a = spark.createDataFrame([(t,) for t in a_texts], "text string")
+    df_b = spark.createDataFrame([(t,) for t in b_texts], "text string")
+
+    same = kmv_overlap(df_a, df_a, "text", k=32).first()
+    assert same["kmv_jaccard"] == 1.0
+    disj = kmv_overlap(
+        df_a,
+        spark.createDataFrame([("z zzz",)], "text string"),
+        "text",
+        k=32,
+    ).first()
+    assert disj["kmv_jaccard"] == 0.0
+
+    k = 32
+    got = kmv_overlap(df_a, df_b, "text", k=k).first()
+    ka, kb = set(_kmv_py(a_texts, k)), set(_kmv_py(b_texts, k))
+    merged = sorted(ka | kb)[:k]
+    n_both = sum(1 for h in merged if h in ka and h in kb)
+    want_j = round(n_both / len(merged), 6)
+    assert got["merged_k"] == k
+    assert got["kmv_jaccard"] == want_j
+    # mirror the engine's IEEE-double nesting exactly (the numerator
+    # exceeds 2^53, so integer // would drift from the double path)
+    want_union = math.floor(float((k - 1) * HASH_SPACE) / max(merged))
+    assert got["kmv_union"] == want_union
+    assert got["kmv_intersection"] == math.floor(want_j * want_union)
+
+
+def test_quality_prune_partition_invariant(spark):
+    """Two-phase per-group top-fraction prune returns the same rows
+    as the naive global window on any input partitioning, and the
+    integer-rational keep count is exact: 150 'en' rows at 1/4 keep
+    ceil(150/4)=38; 50 'fr' keep ceil(50/4)=13."""
+    from vcfdbr_spark.operators.sampling import quality_prune_per_group
+
+    rows = [(i, "en" if i % 4 else "fr", (i * 37) % 211) for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    want = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r["doc_id"], r["lang"], r["score"], r["keep_k"], r["rk"])
+            for r in quality_prune_per_group(
+                base.repartition(parts), "lang", "score", 1, 4
+            ).collect()
+        )
+        assert len(got) == 38 + 13
+        if want is None:
+            want = got
+        assert got == want
+    by_lang = {"en": [], "fr": []}
+    for _, lang, score, keep_k, rk in want:
+        by_lang[lang].append((rk, score))
+        assert keep_k == (38 if lang == "en" else 13)
+    for scores in by_lang.values():
+        ordered = sorted(scores)
+        assert [s for _, s in ordered] == sorted(
+            (s for _, s in scores), reverse=True
+        )
+
+
+def test_quality_prune_edges(spark):
+    """Fraction 1/1 is the identity (plus ranks), a one-row group
+    keeps its row (ceil of a positive fraction is >= 1), and invalid
+    fractions raise."""
+    import pytest as _pytest
+
+    from vcfdbr_spark.operators.sampling import quality_prune_per_group
+
+    rows = [(1, "en", 10), (2, "en", 20), (3, "fr", 5)]
+    base = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    full = quality_prune_per_group(base, "lang", "score", 1, 1)
+    assert full.count() == 3
+    tiny = quality_prune_per_group(base, "lang", "score", 1, 1000)
+    got = {(r["doc_id"], r["keep_k"]) for r in tiny.collect()}
+    assert got == {(2, 1), (3, 1)}  # best 'en' by score, the lone 'fr'
+    for num, den in ((0, 4), (5, 4), (1, 0), (-1, 4)):
+        with _pytest.raises(ValueError, match="keep fraction"):
+            quality_prune_per_group(base, "lang", "score", num, den)
+
+
 def test_dedup_edge_cases_empty_inputs(spark):
     """Empty candidate graphs and empty indexes degrade cleanly: no
     components from no pairs, cap larger than every group is the

@@ -215,6 +215,46 @@ def test_cap_per_group_matches_python_oracle(spark, rows, n):
     assert got == want
 
 
+def test_quality_prune_matches_python_oracle_seeded(spark):
+    """quality_prune_per_group ≡ per-group sort by (score desc, id)
+    truncated to ceil(n·num/den), over a seeded batch of fraction and
+    group shapes (one Spark job per case keeps this fast; the shapes
+    cover ties, singleton groups, and fraction extremes)."""
+    import random
+
+    from vcfdbr_spark.operators.sampling import quality_prune_per_group
+
+    rng = random.Random(1106)
+    cases = []
+    for num, den in ((1, 4), (1, 2), (3, 4), (1, 7), (9, 10)):
+        n_rows = rng.randint(1, 90)
+        rows = [
+            (i, rng.choice("abcd"), rng.randint(0, 9))  # heavy score ties
+            for i in range(n_rows)
+        ]
+        cases.append((num, den, rows))
+    for num, den, rows in cases:
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, score long"
+        )
+        got = {
+            (r["doc_id"], r["lang"], r["keep_k"], r["rk"])
+            for r in quality_prune_per_group(
+                df.repartition(5), "lang", "score", num, den
+            ).collect()
+        }
+        want = set()
+        by_group: dict[str, list[tuple[int, int]]] = {}
+        for i, g, s in rows:
+            by_group.setdefault(g, []).append((i, s))
+        for g, members in by_group.items():
+            k = (len(members) * num + den - 1) // den
+            order = sorted(members, key=lambda t: (-t[1], t[0]))
+            for rk, (i, _) in enumerate(order[:k], start=1):
+                want.add((i, g, k, rk))
+        assert got == want, (num, den)
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """asof_join vs pandas.merge_asof itself, over every
     (direction × allow_exact_matches × tolerance) combination on a

@@ -535,6 +535,20 @@ def main(argv: list[str] | None = None) -> int:
     dm.add_argument("--domain-col", default="lang")
     dm.add_argument("--weight-col", default="n_chars")
 
+    qp = sub.add_parser(
+        "quality-prune",
+        help="per-domain top-fraction curation: keep each domain's "
+        "best NUM/DEN of rows by a score column (exact integer "
+        "keep counts; skew-safe two-phase rank)",
+    )
+    qp.add_argument("--docs", required=True)
+    qp.add_argument("--out", required=True)
+    qp.add_argument("--score-col", required=True)
+    qp.add_argument("--keep-num", type=int, default=1)
+    qp.add_argument("--keep-den", type=int, default=4)
+    qp.add_argument("--key-col", default="doc_id")
+    qp.add_argument("--group-col", default="lang")
+
     es = sub.add_parser(
         "epoch-shuffle",
         help="materialize deterministic training order: bucket-"
@@ -1191,6 +1205,22 @@ def main(argv: list[str] | None = None) -> int:
             for r in sorted(mix, key=lambda r: r[args.domain_col])
         )
         print(f"mixed {args.docs} → {args.out} ({shares})")
+        return 0
+    if args.cmd == "quality-prune":
+        from vcfdbr_spark.operators.sampling import quality_prune_per_group
+
+        docs = spark.read.parquet(args.docs)
+        kept = quality_prune_per_group(
+            docs, args.group_col, args.score_col,
+            args.keep_num, args.keep_den, key_col=args.key_col,
+        )
+        kept.write.mode("overwrite").parquet(args.out)
+        n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+        print(
+            f"pruned {args.docs} → {args.out}: kept {n_out}/{n_in} "
+            f"(top {args.keep_num}/{args.keep_den} per "
+            f"{args.group_col} by {args.score_col})"
+        )
         return 0
     if args.cmd == "epoch-shuffle":
         from vcfdbr_spark.operators.sampling import epoch_shuffle

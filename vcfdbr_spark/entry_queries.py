@@ -1107,6 +1107,87 @@ FROM exact, kth
 """
 
 
+# KMV overlap sketch size, interpolated into BOTH plans
+_KMV_K = 64
+
+
+def q_corpus_overlap(spark, sf_dir):
+    """Corpus-overlap estimation (operators/sketch.py): deterministic
+    KMV bottom-k Jaccard/union/intersection estimates between two
+    corpus views (recrawl-vs-crawl, mixture double-count,
+    corpus-level contamination), exact values alongside for the
+    error check.  The sketch exchange is O(k) however large either
+    corpus — overlap between two 100 TB corpora moves kilobytes."""
+    from vcfdbr_spark.operators.sketch import kmv_overlap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 != 0).select("text")
+    b = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    est = kmv_overlap(a, b, "text", k=_KMV_K)
+    exact_union = a.union(b).agg(
+        F.countDistinct("text").alias("exact_union")
+    )
+    exact_both = a.intersect(b).agg(
+        F.count(F.lit(1)).alias("exact_both")
+    )
+    return (
+        est.crossJoin(exact_union)
+        .crossJoin(exact_both)
+        .withColumn(
+            "exact_jaccard",
+            F.round(F.col("exact_both") / F.col("exact_union"), 6),
+        )
+    )
+
+
+# 60-bit md5 hash of a column aliased `t` (the _HEX15 binding further
+# down aliases this one; defined here because this SQL literal is
+# built first)
+_T_HEX15 = "(" + "+".join(
+    f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+) + ")"
+
+SQL_CORPUS_OVERLAP = f"""
+WITH a_h AS (
+  SELECT DISTINCT {_T_HEX15} AS h
+  FROM (SELECT text AS t FROM documents WHERE doc_id % 3 <> 0)),
+b_h AS (
+  SELECT DISTINCT {_T_HEX15} AS h
+  FROM (SELECT text AS t FROM documents WHERE doc_id % 2 = 0)),
+ka AS (SELECT h FROM a_h ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM b_h ORDER BY h LIMIT {_KMV_K}),
+m AS (
+  SELECT DISTINCT h
+  FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+  ORDER BY h LIMIT {_KMV_K}),
+stats AS (SELECT COUNT(*) AS merged_k, MAX(h) AS h_max FROM m),
+nboth AS (
+  SELECT COUNT(*) AS n_both FROM m
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+est AS (
+  SELECT CAST(merged_k AS BIGINT) AS merged_k,
+         round(CAST(n_both AS DOUBLE) / merged_k, 6) AS kmv_jaccard,
+         CASE WHEN merged_k < {_KMV_K} THEN CAST(merged_k AS BIGINT)
+              ELSE CAST(floor({float((_KMV_K - 1) * 16**15)} / h_max)
+                        AS BIGINT) END AS kmv_union
+  FROM stats, nboth),
+exact_u AS (
+  SELECT COUNT(DISTINCT text) AS exact_union FROM documents
+  WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0),
+exact_b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_both FROM (
+    SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0
+    INTERSECT
+    SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0))
+SELECT merged_k, kmv_jaccard, kmv_union,
+       CAST(floor(kmv_jaccard * kmv_union) AS BIGINT) AS kmv_intersection,
+       exact_union, exact_both,
+       round(CAST(exact_both AS DOUBLE) / exact_union, 6) AS exact_jaccard
+FROM est, exact_u, exact_b
+"""
+
+
 def q_events_json(spark, sf_dir):
     """Semi-structured extraction: JSON props → typed column → agg."""
     ev = _events(spark, sf_dir)
@@ -2040,10 +2121,7 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
 FROM old_ o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id
 """
 
-_HEX15 = "(" + "+".join(
-    f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
-    for i in range(15)
-) + ")"
+_HEX15 = _T_HEX15  # same 60-bit md5-of-`t` expansion, earlier binding
 
 
 def q_simhash(spark, sf_dir):
@@ -2315,6 +2393,43 @@ SELECT doc_id, lang,
          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
 FROM documents
 QUALIFY rk <= 40
+"""
+
+
+# quality_prune fraction, interpolated into BOTH plans (exact-literal
+# rule): keep the top 1/4 of every source by doc length
+_QP_NUM, _QP_DEN = 1, 4
+
+
+def q_quality_prune(spark, sf_dir):
+    """Per-domain top-fraction curation (operators/sampling.py
+    quality_prune_per_group): keep each source's best 1/4 by score —
+    here n_chars as the score column — with an exact integer-rational
+    keep count, so no float-quantile drift between engines.  The
+    skew-safe two-phase rank bounds the big-domain sort."""
+    from vcfdbr_spark.operators.sampling import quality_prune_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quality_prune_per_group(
+        docs, "source", "n_chars", _QP_NUM, _QP_DEN
+    )
+
+
+SQL_QUALITY_PRUNE = f"""
+WITH counts AS (
+  SELECT source,
+         CAST((COUNT(*) * {_QP_NUM} + {_QP_DEN - 1}) // {_QP_DEN}
+              AS BIGINT) AS keep_k
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars, c.keep_k,
+         CAST(row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT) AS rk
+  FROM documents d JOIN counts c USING (source))
+SELECT source, doc_id, n_chars, keep_k, rk FROM ranked WHERE rk <= keep_k
 """
 
 
@@ -3837,10 +3952,13 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cap_skew": q_embedding_cap_skew,
     "corpus_filter": q_corpus_filter,
     "split_corpus": q_split_corpus,
+    # NEW (late-r11) per-domain top-fraction curation + KMV corpus
+    # overlap — first driver rows; they take the slots dedup_exact
+    # and dedup_clusters (both r10-green) held:
+    "quality_prune": q_quality_prune,
+    "corpus_overlap": q_corpus_overlap,
     # r10-green keys holding window slots (dedup/ANN family):
-    "dedup_exact": q_dedup_exact,
     "minhash_pairs": q_minhash_pairs,
-    "dedup_clusters": q_dedup_clusters,
     "corpus_dedup": q_corpus_dedup,
     "dedup_incremental": q_dedup_incremental,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
@@ -3853,7 +3971,9 @@ QUERIES: dict[str, QueryFn] = {
     "training_mix": q_training_mix,
     "pack_shuffled": q_pack_shuffled,
     # displaced to the tail for the late-r11/continuation first-row
-    # keys: all nine below are r10-driver-green
+    # keys: all below are r10-driver-green
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_sig": q_minhash_sig,
@@ -3967,6 +4087,8 @@ ORACLE: dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
     "corpus_balance": SQL_CORPUS_BALANCE,
+    "quality_prune": SQL_QUALITY_PRUNE,
+    "corpus_overlap": SQL_CORPUS_OVERLAP,
     "lsh_recall": SQL_LSH_RECALL,
     "user_event_history": SQL_USER_EVENT_HISTORY,
     "simhash": SQL_SIMHASH,

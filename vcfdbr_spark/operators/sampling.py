@@ -106,6 +106,75 @@ def cap_per_group(
     )
 
 
+def quality_prune_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_num: int,
+    keep_den: int,
+    key_col: str = "doc_id",
+    rank_col: str = "rk",
+    keep_k_col: str = "keep_k",
+) -> DataFrame:
+    """Per-group TOP-FRACTION quality pruning: keep the best
+    ``keep_num/keep_den`` of every ``group_col`` by ``score_col`` —
+    the per-domain curation cut of a training pipeline (one global
+    score cutoff lets a high-scoring domain crowd every other domain
+    out of the corpus; a per-domain fraction preserves the mixture
+    while still dropping each domain's worst tail).
+
+    The keep count is exact integer math over BIGINTs —
+    ``k_g = ceil(n_g·num/den) = (n_g·num + den − 1) div den`` — so
+    the same rows win on any engine: no float quantile, no
+    interpolation-mode drift between engines' percentile definitions
+    (cf. split_thresholds' exact-literal rule).  Ranking is
+    (score DESC, key ASC): deterministic under score ties.  Every
+    group keeps at least one row (ceil of a positive fraction).
+
+    Scale shape = :func:`cap_per_group`'s two phases plus one cheap
+    aggregate: (0) per-group counts → ``k_g``, a one-row-per-domain
+    frame broadcast back to the corpus (domains are few; the corpus
+    never shuffles for this); (1) a per-(group, input-partition)
+    local rank discards every row below its partition's top-``k_g``
+    — an exact superset of the global winners, since a global winner
+    is within the top-``k_g`` of any partition it can land in; (2)
+    the global per-group window ranks only survivors, bounding the
+    skewed-domain sort at ``k_g × num_partitions`` rows instead of
+    the domain's full size.  Recompute-safe despite
+    ``spark_partition_id``: pid only chooses which already-doomed
+    rows die early, never the result (ids.py rule).
+
+    Emits ``keep_k_col`` and ``rank_col`` (1-based, BIGINT) alongside
+    the input columns.
+    """
+    from pyspark.sql import Window
+
+    if keep_den <= 0 or keep_num <= 0 or keep_num > keep_den:
+        raise ValueError(
+            f"keep fraction must be in (0, 1]: got {keep_num}/{keep_den}"
+        )
+    counts = df.groupBy(group_col).agg(
+        F.expr(
+            f"(count(1) * {keep_num} + {keep_den - 1}) div {keep_den}"
+        ).alias(keep_k_col)
+    )
+    joined = df.join(F.broadcast(counts), group_col)
+    order = [F.col(score_col).desc(), F.col(key_col)]
+    local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
+        *order
+    )
+    pre = (
+        joined.withColumn("_lrk", F.row_number().over(local))
+        .filter(F.col("_lrk") <= F.col(keep_k_col))
+        .drop("_lrk")
+    )
+    glob = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        pre.withColumn(rank_col, F.row_number().over(glob).cast("long"))
+        .filter(F.col(rank_col) <= F.col(keep_k_col))
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, int]
 ) -> DataFrame:
