@@ -412,6 +412,19 @@ def test_quality_prune_edges(spark):
     for num, den in ((0, 4), (5, 4), (1, 0), (-1, 4)):
         with _pytest.raises(ValueError, match="keep fraction"):
             quality_prune_per_group(base, "lang", "score", num, den)
+    # NULL group is its own group (null-safe count attach), not
+    # silently dropped by the join
+    with_null = spark.createDataFrame(
+        [(1, None, 9), (2, None, 7), (3, "en", 1)],
+        "doc_id long, lang string, score long",
+    )
+    got_null = {
+        (r["doc_id"], r["keep_k"])
+        for r in quality_prune_per_group(
+            with_null, "lang", "score", 1, 2
+        ).collect()
+    }
+    assert got_null == {(1, 1), (3, 1)}  # top half of {1,2}, lone 'en'
 
 
 def test_dedup_edge_cases_empty_inputs(spark):

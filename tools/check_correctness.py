@@ -69,6 +69,16 @@ SF1_QUERIES = [
     # banding family above.
     "decontaminate_splits",
     "decontaminate_batch",
+    # quality_prune's keep counts are data-derived (ceil(n_g·num/den)
+    # over per-domain counts) — the sf1 row proves the integer-
+    # rational arithmetic and the two-phase rank agree with the
+    # oracle on 10x-larger domains.
+    "quality_prune",
+    # corpus_overlap's union estimate is floor(double((k−1)·H)/h_max)
+    # with a >2^53 numerator — the sf1 row proves the IEEE nesting
+    # stays bit-identical between engines when 10x more distinct
+    # hashes move h_max (and that the merged sketch stays full).
+    "corpus_overlap",
 ]
 
 #: streaming ops are outside the registry (no SQL oracle), so the

@@ -535,6 +535,22 @@ def main(argv: list[str] | None = None) -> int:
     dm.add_argument("--domain-col", default="lang")
     dm.add_argument("--weight-col", default="n_chars")
 
+    co = sub.add_parser(
+        "corpus-overlap",
+        help="estimate Jaccard/union/intersection overlap between "
+        "two corpora from deterministic KMV bottom-k sketches "
+        "(O(k) cross-corpus exchange)",
+    )
+    co.add_argument("--a", required=True, help="first corpus parquet")
+    co.add_argument("--b", required=True, help="second corpus parquet")
+    co.add_argument("--value-col", default="text")
+    co.add_argument("--k", type=int, default=1024)
+    co.add_argument(
+        "--prefilter", action="store_true",
+        help="threshold-prefiltered bottom-k scan (same answer, "
+        "smaller distinct+sort at large corpus sizes)",
+    )
+
     qp = sub.add_parser(
         "quality-prune",
         help="per-domain top-fraction curation: keep each domain's "
@@ -1205,6 +1221,20 @@ def main(argv: list[str] | None = None) -> int:
             for r in sorted(mix, key=lambda r: r[args.domain_col])
         )
         print(f"mixed {args.docs} → {args.out} ({shares})")
+        return 0
+    if args.cmd == "corpus-overlap":
+        from vcfdbr_spark.operators.sketch import kmv_overlap
+
+        a = spark.read.parquet(args.a)
+        b = spark.read.parquet(args.b)
+        row = kmv_overlap(
+            a, b, args.value_col, k=args.k, prefilter=args.prefilter
+        ).first()
+        print(
+            f"jaccard={row['kmv_jaccard']} union={row['kmv_union']} "
+            f"intersection={row['kmv_intersection']} "
+            f"(merged_k={row['merged_k']}/{args.k})"
+        )
         return 0
     if args.cmd == "quality-prune":
         from vcfdbr_spark.operators.sampling import quality_prune_per_group

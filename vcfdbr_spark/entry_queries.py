@@ -3912,9 +3912,9 @@ QUERIES: dict[str, QueryFn] = {
     # the seven continuation keys: domain_mix, epoch_shuffle,
     # decontaminate_splits, snapshot_delta, decontaminate_batch,
     # training_mix, pack_shuffled; dedup_keep_best joins the
-    # displaced set) is green in CORRECTNESS_r10.json, so all 90
+    # displaced set) is green in CORRECTNESS_r10.json, so all 92
     # registered queries hold a driver-artifact green row within the
-    # 2-round window.
+    # 2-round window once the r11 artifact lands.
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,

@@ -145,7 +145,10 @@ def quality_prune_per_group(
     rows die early, never the result (ids.py rule).
 
     Emits ``keep_k_col`` and ``rank_col`` (1-based, BIGINT) alongside
-    the input columns.
+    the input columns.  A NULL ``group_col`` is its own group (the
+    count attach is null-safe, matching the window's NULL-partition
+    semantics); a SQL oracle over NULL-group data must join with
+    ``IS NOT DISTINCT FROM`` to agree.
     """
     from pyspark.sql import Window
 
@@ -158,7 +161,10 @@ def quality_prune_per_group(
             f"(count(1) * {keep_num} + {keep_den - 1}) div {keep_den}"
         ).alias(keep_k_col)
     )
-    joined = df.join(F.broadcast(counts), group_col)
+    joined = df.join(
+        F.broadcast(counts.withColumnRenamed(group_col, "_qp_g")),
+        F.col(group_col).eqNullSafe(F.col("_qp_g")),
+    ).drop("_qp_g")
     order = [F.col(score_col).desc(), F.col(key_col)]
     local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
         *order
