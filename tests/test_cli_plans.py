@@ -343,6 +343,20 @@ def test_cli_dedup_index_probe_and_compact(spark, tmp_path):
     assert got2c == got2
 
 
+def test_quality_prune_counts_attach_is_broadcast(spark):
+    """quality_prune's per-domain keep-count attach must be a
+    broadcast join (the counts frame is one row per domain) — a
+    shuffled join here would move the whole corpus for a frame that
+    fits in a pocket.  The corpus-side movement is the rank window
+    alone."""
+    from vcfdbr_spark.entry_queries import QUERIES
+
+    df = QUERIES["quality_prune"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_every_registered_query_plan_is_scale_clean(spark):
     """Sweeping plan audit over EVERY queries() entry: no cartesian
     product anywhere (except the documented 1x1 sketch join).  Mostly

@@ -359,7 +359,16 @@ def test_kmv_overlap_identical_disjoint_and_estimator(spark):
     # exceeds 2^53, so integer // would drift from the double path)
     want_union = math.floor(float((k - 1) * HASH_SPACE) / max(merged))
     assert got["kmv_union"] == want_union
-    assert got["kmv_intersection"] == math.floor(want_j * want_union)
+    want_inter = math.floor(want_j * want_union)
+    assert got["kmv_intersection"] == want_inter
+    card_a = math.floor(float((k - 1) * HASH_SPACE) / max(sorted(ka)[:k]))
+    card_b = math.floor(float((k - 1) * HASH_SPACE) / max(sorted(kb)[:k]))
+    assert got["kmv_card_a"] == card_a
+    assert got["kmv_card_b"] == card_b
+    assert got["containment_a"] == round(want_inter / card_a, 6)
+    assert got["containment_b"] == round(want_inter / card_b, 6)
+    # sanity vs ground truth: A∩B = 40 of |A|=120, |B|=120
+    assert abs(got["containment_a"] - 40 / 120) < 0.25
 
 
 def test_quality_prune_partition_invariant(spark):

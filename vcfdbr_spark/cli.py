@@ -1233,6 +1233,8 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"jaccard={row['kmv_jaccard']} union={row['kmv_union']} "
             f"intersection={row['kmv_intersection']} "
+            f"containment_a={row['containment_a']} "
+            f"containment_b={row['containment_b']} "
             f"(merged_k={row['merged_k']}/{args.k})"
         )
         return 0

@@ -1165,13 +1165,30 @@ stats AS (SELECT COUNT(*) AS merged_k, MAX(h) AS h_max FROM m),
 nboth AS (
   SELECT COUNT(*) AS n_both FROM m
   WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+card_a AS (
+  SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+              ELSE CAST(floor({float((_KMV_K - 1) * 16**15)} / MAX(h))
+                        AS BIGINT) END AS kmv_card_a
+  FROM ka),
+card_b AS (
+  SELECT CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+              ELSE CAST(floor({float((_KMV_K - 1) * 16**15)} / MAX(h))
+                        AS BIGINT) END AS kmv_card_b
+  FROM kb),
 est AS (
   SELECT CAST(merged_k AS BIGINT) AS merged_k,
          round(CAST(n_both AS DOUBLE) / merged_k, 6) AS kmv_jaccard,
          CASE WHEN merged_k < {_KMV_K} THEN CAST(merged_k AS BIGINT)
               ELSE CAST(floor({float((_KMV_K - 1) * 16**15)} / h_max)
-                        AS BIGINT) END AS kmv_union
-  FROM stats, nboth),
+                        AS BIGINT) END AS kmv_union,
+         kmv_card_a, kmv_card_b
+  FROM stats, nboth, card_a, card_b),
+est2 AS (
+  SELECT merged_k, kmv_jaccard, kmv_union,
+         CAST(floor(kmv_jaccard * kmv_union) AS BIGINT)
+           AS kmv_intersection,
+         kmv_card_a, kmv_card_b
+  FROM est),
 exact_u AS (
   SELECT COUNT(DISTINCT text) AS exact_union FROM documents
   WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0),
@@ -1180,11 +1197,15 @@ exact_b AS (
     SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0
     INTERSECT
     SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0))
-SELECT merged_k, kmv_jaccard, kmv_union,
-       CAST(floor(kmv_jaccard * kmv_union) AS BIGINT) AS kmv_intersection,
+SELECT merged_k, kmv_jaccard, kmv_union, kmv_intersection,
+       kmv_card_a, kmv_card_b,
+       round(CAST(kmv_intersection AS DOUBLE) / kmv_card_a, 6)
+         AS containment_a,
+       round(CAST(kmv_intersection AS DOUBLE) / kmv_card_b, 6)
+         AS containment_b,
        exact_union, exact_both,
        round(CAST(exact_both AS DOUBLE) / exact_union, 6) AS exact_jaccard
-FROM est, exact_u, exact_b
+FROM est2, exact_u, exact_b
 """
 
 

@@ -90,16 +90,21 @@ def kmv_overlap(
     """One-row corpus-overlap estimate between the value sets of two
     frames: ``kmv_jaccard`` (the bottom-k Jaccard estimator),
     ``kmv_union`` (KMV cardinality of A∪B), ``kmv_intersection``
-    (their product, rounded down), and ``merged_k`` (how many merged
+    (their product, rounded down), ``merged_k`` (how many merged
     sketch slots were filled — the estimator's effective sample
-    size).
+    size), per-side cardinalities ``kmv_card_a``/``kmv_card_b``, and
+    the directional containments ``containment_a`` (share of A's
+    values also in B — "how much of my corpus does the other one
+    cover?") and ``containment_b`` (share of B in A — "how much of
+    the recrawl is NOT new?").
 
-    All four are deterministic: the merged sketch M is the bottom-k
-    of K_A ∪ K_B (itself the bottom-k of distinct(A ∪ B), since any
-    of the union's k smallest hashes is within the bottom-k of every
-    side that contains it), J = |M ∩ K_A ∩ K_B| / |M|, and
-    |A∪B| ≈ (|M|−1)·H/max(M) when the sketch filled (exact |M|
-    otherwise — a sketch smaller than k IS the full distinct set).
+    All deterministic: the merged sketch M is the bottom-k of
+    K_A ∪ K_B (itself the bottom-k of distinct(A ∪ B), since any of
+    the union's k smallest hashes is within the bottom-k of every
+    side that contains it), J = |M ∩ K_A ∩ K_B| / |M|, and every
+    cardinality is (|K|−1)·H/max(K) when its sketch filled (the
+    exact |K| otherwise — a sketch smaller than k IS the full
+    distinct set).
 
     Scale: each side moves at most its sketch (k rows) after its
     bottom-k pass (see :func:`kmv_bottom_k` for the prefiltered scan
@@ -109,6 +114,21 @@ def kmv_overlap(
     ka = kmv_bottom_k(a, value_col, k, prefilter=prefilter)
     kb = kmv_bottom_k(b, value_col, k, prefilter=prefilter)
     merged = ka.union(kb).distinct().orderBy("h").limit(k)
+
+    def _card(sketch: DataFrame, out: str) -> DataFrame:
+        """KMV cardinality of one sketch as a 1-row frame."""
+        return sketch.agg(
+            F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hm")
+        ).select(
+            F.when(F.col("_n") < k, F.col("_n").cast("long"))
+            .otherwise(
+                F.floor(
+                    F.lit(float((k - 1) * HASH_SPACE)) / F.col("_hm")
+                ).cast("long")
+            )
+            .alias(out)
+        )
+
     stats = merged.agg(
         F.count(F.lit(1)).alias("merged_k"),
         F.max("h").alias("h_max"),
@@ -118,23 +138,44 @@ def kmv_overlap(
         .join(kb, "h", "left_semi")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    return stats.crossJoin(in_both).select(
-        F.col("merged_k").cast("long").alias("merged_k"),
-        F.round(F.col("n_both") / F.col("merged_k"), 6).alias("kmv_jaccard"),
-        F.when(
-            F.col("merged_k") < k, F.col("merged_k").cast("long")
-        )
-        .otherwise(
-            F.floor(F.lit(float((k - 1) * HASH_SPACE)) / F.col("h_max")).cast(
-                "long"
+    return (
+        stats.crossJoin(in_both)
+        .crossJoin(_card(ka, "kmv_card_a"))
+        .crossJoin(_card(kb, "kmv_card_b"))
+        .select(
+            F.col("merged_k").cast("long").alias("merged_k"),
+            F.round(F.col("n_both") / F.col("merged_k"), 6).alias(
+                "kmv_jaccard"
+            ),
+            F.when(
+                F.col("merged_k") < k, F.col("merged_k").cast("long")
             )
+            .otherwise(
+                F.floor(
+                    F.lit(float((k - 1) * HASH_SPACE)) / F.col("h_max")
+                ).cast("long")
+            )
+            .alias("kmv_union"),
+            "kmv_card_a",
+            "kmv_card_b",
         )
-        .alias("kmv_union"),
-    ).select(
-        "merged_k",
-        "kmv_jaccard",
-        "kmv_union",
-        F.floor(F.col("kmv_jaccard") * F.col("kmv_union"))
-        .cast("long")
-        .alias("kmv_intersection"),
+        .select(
+            "merged_k",
+            "kmv_jaccard",
+            "kmv_union",
+            F.floor(F.col("kmv_jaccard") * F.col("kmv_union"))
+            .cast("long")
+            .alias("kmv_intersection"),
+            "kmv_card_a",
+            "kmv_card_b",
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("kmv_intersection") / F.col("kmv_card_a"), 6
+            ).alias("containment_a"),
+            F.round(
+                F.col("kmv_intersection") / F.col("kmv_card_b"), 6
+            ).alias("containment_b"),
+        )
     )
