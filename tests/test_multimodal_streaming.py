@@ -1211,3 +1211,84 @@ def test_stream_decontaminate_matches_batch_and_replays_clean(spark, tmp_path):
     assert got1 == want == got2
     assert 1 not in want and 4 not in want     # the planted leaks
     assert {2, 3, 5} <= want
+
+
+def test_stream_sketch_equals_batch_and_prunes(spark, tmp_path):
+    """Streaming KMV maintenance ≡ one-shot batch sketch over the
+    concatenated corpus (exact equality — the sketch is a
+    deterministic monotone fold), a restart with new files continues
+    from the persisted state, on-disk state stays ≤ 2 batch dirs,
+    and a k mismatch on restart is refused."""
+    import pytest as _pytest
+
+    from vcfdbr_spark.operators.sketch import (
+        kmv_bottom_k,
+        kmv_overlap,
+        kmv_overlap_sketches,
+    )
+    from vcfdbr_spark.streaming.ingest import (
+        read_stream_sketch,
+        stream_sketch,
+    )
+
+    src = tmp_path / "sk_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, f"alpha {i}") for i in range(40)],
+        [(100 + i, f"beta {i}") for i in range(40)],
+        [(200 + i, f"alpha {i}") for i in range(30)],  # dups of batch 0
+    ]
+    for n, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{n}")
+        )
+
+    out = tmp_path / "sk_out"
+    stream_sketch(
+        spark, str(src) + "/*", str(out), k=16, max_files_per_trigger=1
+    )
+    got, k = read_stream_sketch(spark, str(out))
+    assert k == 16
+    all_rows = [r for rows in batches for r in rows]
+    want = kmv_bottom_k(
+        spark.createDataFrame(all_rows, schema), "text", 16
+    )
+    assert [r["h"] for r in got.collect()] == [r["h"] for r in want.collect()]
+    # pruning: at most the last two batch dirs remain
+    from vcfdbr_spark import fs as _fs
+
+    assert len(_fs.list_subdirs(spark, str(out / "sketch"), "batch=")) <= 2
+
+    # restart with one more file continues from persisted state
+    extra = [(300 + i, f"gamma {i}") for i in range(25)]
+    spark.createDataFrame(extra, schema).coalesce(1).write.parquet(
+        str(src / "f3")
+    )
+    stream_sketch(
+        spark, str(src) + "/*", str(out), k=16, max_files_per_trigger=1
+    )
+    got2, _ = read_stream_sketch(spark, str(out))
+    want2 = kmv_bottom_k(
+        spark.createDataFrame(all_rows + extra, schema), "text", 16
+    )
+    assert [r["h"] for r in got2.collect()] == [
+        r["h"] for r in want2.collect()
+    ]
+
+    # k mismatch on restart is refused, not silently mixed
+    with _pytest.raises(ValueError, match="k=16"):
+        stream_sketch(spark, str(src) + "/*", str(out), k=8)
+
+    # overlap against a maintained sketch == overlap on the corpora
+    other_rows = [(i, f"alpha {i}") for i in range(20)] + [
+        (900 + i, f"delta {i}") for i in range(20)
+    ]
+    other = spark.createDataFrame(other_rows, schema)
+    via_sketch = kmv_overlap_sketches(
+        got2, kmv_bottom_k(other, "text", 16), 16
+    ).first()
+    via_corpus = kmv_overlap(
+        spark.createDataFrame(all_rows + extra, schema), other, "text", k=16
+    ).first()
+    assert via_sketch.asDict() == via_corpus.asDict()

@@ -550,6 +550,25 @@ def main(argv: list[str] | None = None) -> int:
         help="threshold-prefiltered bottom-k scan (same answer, "
         "smaller distinct+sort at large corpus sizes)",
     )
+    co.add_argument(
+        "--from-sketches", action="store_true",
+        help="treat --a/--b as stream-sketch state dirs instead of "
+        "corpus parquet (both must share one k; --k/--value-col/"
+        "--prefilter are ignored)",
+    )
+
+    sk = sub.add_parser(
+        "stream-sketch",
+        help="maintain a KMV bottom-k sketch of a growing corpus "
+        "under streaming ingest (O(k) state; overlap questions "
+        "answerable anytime without rescanning the stream)",
+    )
+    sk.add_argument("--source", required=True, help="parquet dir/glob to watch")
+    sk.add_argument("--out", required=True, help="sketch state dir")
+    sk.add_argument("--value-col", default="text")
+    sk.add_argument("--k", type=int, default=1024)
+    sk.add_argument("--schema", default="doc_id long, text string")
+    sk.add_argument("--max-files-per-trigger", type=int, default=None)
 
     qp = sub.add_parser(
         "quality-prune",
@@ -1223,13 +1242,27 @@ def main(argv: list[str] | None = None) -> int:
         print(f"mixed {args.docs} → {args.out} ({shares})")
         return 0
     if args.cmd == "corpus-overlap":
-        from vcfdbr_spark.operators.sketch import kmv_overlap
+        from vcfdbr_spark.operators.sketch import (
+            kmv_overlap,
+            kmv_overlap_sketches,
+        )
 
-        a = spark.read.parquet(args.a)
-        b = spark.read.parquet(args.b)
-        row = kmv_overlap(
-            a, b, args.value_col, k=args.k, prefilter=args.prefilter
-        ).first()
+        if args.from_sketches:
+            from vcfdbr_spark.streaming.ingest import read_stream_sketch
+
+            ka, k_a = read_stream_sketch(spark, args.a)
+            kb, k_b = read_stream_sketch(spark, args.b)
+            if k_a != k_b:
+                print(f"sketch k mismatch: {k_a} vs {k_b}")
+                return 1
+            args.k = k_a
+            row = kmv_overlap_sketches(ka, kb, k_a).first()
+        else:
+            a = spark.read.parquet(args.a)
+            b = spark.read.parquet(args.b)
+            row = kmv_overlap(
+                a, b, args.value_col, k=args.k, prefilter=args.prefilter
+            ).first()
         print(
             f"jaccard={row['kmv_jaccard']} union={row['kmv_union']} "
             f"intersection={row['kmv_intersection']} "
@@ -1237,6 +1270,20 @@ def main(argv: list[str] | None = None) -> int:
             f"containment_b={row['containment_b']} "
             f"(merged_k={row['merged_k']}/{args.k})"
         )
+        return 0
+    if args.cmd == "stream-sketch":
+        from vcfdbr_spark.streaming.ingest import (
+            read_stream_sketch,
+            stream_sketch,
+        )
+
+        stream_sketch(
+            spark, args.source, args.out, value_col=args.value_col,
+            k=args.k, schema=args.schema,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        sketch, k = read_stream_sketch(spark, args.out)
+        print(f"sketch at {args.out}: {sketch.count()}/{k} slots filled")
         return 0
     if args.cmd == "quality-prune":
         from vcfdbr_spark.operators.sampling import quality_prune_per_group

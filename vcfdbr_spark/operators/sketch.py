@@ -113,6 +113,17 @@ def kmv_overlap(
     """
     ka = kmv_bottom_k(a, value_col, k, prefilter=prefilter)
     kb = kmv_bottom_k(b, value_col, k, prefilter=prefilter)
+    return kmv_overlap_sketches(ka, kb, k)
+
+
+def kmv_overlap_sketches(ka: DataFrame, kb: DataFrame, k: int) -> DataFrame:
+    """:func:`kmv_overlap` over two ALREADY-BUILT bottom-k sketches
+    (``h`` frames from :func:`kmv_bottom_k` or a persisted
+    :func:`vcfdbr_spark.streaming.ingest.stream_sketch` state) — the
+    corpora themselves are never touched, so overlap questions
+    against a maintained sketch cost O(k) total.  Both sketches must
+    have been built with the same ``k`` (and the same hash, which is
+    fixed module-wide)."""
     merged = ka.union(kb).distinct().orderBy("h").limit(k)
 
     def _card(sketch: DataFrame, out: str) -> DataFrame:

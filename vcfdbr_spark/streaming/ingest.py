@@ -452,6 +452,95 @@ def stream_exact_dedup(
     q.awaitTermination()
 
 
+def stream_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    value_col: str = "text",
+    k: int = 1024,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain a KMV bottom-k sketch (operators/sketch.py) of a
+    GROWING corpus under streaming ingest — so "how much does the
+    incoming crawl overlap corpus X" (:func:`kmv_overlap_sketches`)
+    is answerable at any moment for O(k) cost, without ever
+    re-scanning the accumulated stream.
+
+    The state is ideal for streaming: the bottom-k of a union is the
+    bottom-k of (previous bottom-k ∪ batch's bottom-k), so the whole
+    per-batch update merges two ≤ k-row frames — per-batch cost is
+    one batch scan + an O(k) merge, independent of stream age.
+
+    Layout + exactly-once: ``out_dir/sketch/batch=N`` holds the FULL
+    merged sketch after batch N (≤ k rows).  Delete-before-write on
+    the batch's own dir, prior state = the largest EARLIER batch dir;
+    a replayed batch recomputes the identical merge (the sketch is a
+    deterministic monotone fold).  Only the latest batch can ever
+    replay under availableNow (offsets commit before the next batch
+    is handed out), so batches ≤ N−2 are pruned after each write —
+    state on disk stays at ≤ 2 × k rows however long the stream runs.
+
+    Read the current sketch with :func:`read_stream_sketch`.
+    """
+    from vcfdbr_spark import fs as _fs
+    from vcfdbr_spark.operators.sketch import kmv_bottom_k
+
+    sk_dir = f"{out_dir}/sketch"
+    stored = _fs.read_text(spark, f"{sk_dir}/_k")
+    if stored is not None and int(stored) != k:
+        raise ValueError(
+            f"stream sketch at {sk_dir} was built with k={stored}; "
+            f"restarting with k={k} would corrupt the estimator "
+            f"(a short sketch reads as an exact small corpus)"
+        )
+    if stored is None:
+        _fs.write_text(spark, f"{sk_dir}/_k", str(k))
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _fs.delete_dir(spark, f"{sk_dir}/batch={batch_id}")
+        fresh = kmv_bottom_k(batch_df, value_col, k)
+        prior_ids = sorted(
+            int(d.rsplit("=", 1)[1])
+            for d in _fs.list_subdirs(spark, sk_dir, "batch=")
+            if int(d.rsplit("=", 1)[1]) < batch_id
+        )
+        if prior_ids:
+            prev = spark.read.parquet(f"{sk_dir}/batch={prior_ids[-1]}")
+            fresh = fresh.union(prev).distinct().orderBy("h").limit(k)
+        fresh.coalesce(1).write.parquet(f"{sk_dir}/batch={batch_id}")
+        for old in prior_ids[:-1]:
+            _fs.delete_dir(spark, f"{sk_dir}/batch={old}")
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.load(source_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_stream_sketch(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:
+    """(latest sketch frame, its k) from a :func:`stream_sketch`
+    state dir."""
+    from vcfdbr_spark import fs as _fs
+
+    sk_dir = f"{out_dir}/sketch"
+    k = int(_fs.read_text(spark, f"{sk_dir}/_k"))
+    ids = sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in _fs.list_subdirs(spark, sk_dir, "batch=")
+    )
+    if not ids:
+        raise ValueError(f"no sketch batches under {sk_dir}")
+    return spark.read.parquet(f"{sk_dir}/batch={ids[-1]}"), k
+
+
 def stream_ivf_assign(
     spark: SparkSession,
     source_dir: str,
