@@ -93,6 +93,10 @@ SF1_STREAM_CHECKS = [
     "stream_fuzzy_dedup_vs_batch",
     "stream_semantic_dedup_vs_batch",
     "stream_corpus_filter_vs_replay",
+    # streaming KMV maintenance must equal the one-shot batch sketch
+    # EXACTLY (deterministic monotone fold) at sf1's distinct-text
+    # count — the unit fixture covers ~100 values; this covers 10^4
+    "stream_sketch_vs_batch",
 ]
 
 SF1_DEFAULT_DIR = "/tmp/sf1"
@@ -180,6 +184,47 @@ def _stream_vs_batch_record(spark, sf_dir: str, flavor: str) -> dict:
             "oracle_rows": len(batch_pairs),
             "err": err,
             "oracle": "property: one-shot batch banding",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_sketch_record(spark, sf_dir: str) -> dict:
+    """Stream the sf corpus in 4 micro-batches through stream_sketch
+    and require the persisted sketch to equal the one-shot
+    kmv_bottom_k of the whole corpus, hash for hash."""
+    import shutil
+    import tempfile
+
+    from vcfdbr_spark.operators.sketch import kmv_bottom_k
+    from vcfdbr_spark.streaming.ingest import (
+        read_stream_sketch,
+        stream_sketch,
+    )
+
+    k = 512
+    work = tempfile.mkdtemp(prefix="sf1_stream_sketch_")
+    try:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        docs.repartition(4).write.parquet(f"{work}/src")
+        stream_sketch(
+            spark, f"{work}/src/*.parquet", f"{work}/out",
+            k=k, max_files_per_trigger=1,
+        )
+        got, _ = read_stream_sketch(spark, f"{work}/out")
+        stream_hs = [r["h"] for r in got.collect()]
+        batch_hs = [r["h"] for r in kmv_bottom_k(docs, "text", k).collect()]
+        ok = stream_hs == batch_hs
+        return {
+            "rows_match": len(stream_hs) == len(batch_hs),
+            "schema_match": True,
+            "hash_match": ok,
+            "spark_rows": len(stream_hs),
+            "oracle_rows": len(batch_hs),
+            "err": None if ok else "sketch mismatch vs one-shot batch",
+            "oracle": "property: one-shot batch bottom-k",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -428,6 +473,8 @@ def main() -> int:
             try:
                 if name == "stream_corpus_filter_vs_replay":
                     rec = _stream_corpus_filter_record(spark, sf_dir)
+                elif name == "stream_sketch_vs_batch":
+                    rec = _stream_sketch_record(spark, sf_dir)
                 else:
                     flavor = "fuzzy" if "fuzzy" in name else "semantic"
                     rec = _stream_vs_batch_record(spark, sf_dir, flavor)
