@@ -436,6 +436,36 @@ def test_quality_prune_edges(spark):
     assert got_null == {(1, 1), (3, 1)}  # top half of {1,2}, lone 'en'
 
 
+def test_quality_prune_score_bucketed_rank_is_equivalent(spark):
+    """The ids.py-style score-bucketed rank path (no single-task
+    whole-domain sort) returns EXACTLY the plain-window result — any
+    partitioning, heavy score ties, ties straddling bucket
+    boundaries, NULL groups, coarse and fine bucket widths."""
+    from vcfdbr_spark.operators.sampling import quality_prune_per_group
+
+    rows = [
+        (i, None if i % 11 == 0 else ("en" if i % 3 else "fr"), (i * 7) % 40)
+        for i in range(300)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    want = sorted(
+        (r["doc_id"], r["lang"], r["keep_k"], r["rk"])
+        for r in quality_prune_per_group(
+            base, "lang", "score", 2, 3
+        ).collect()
+    )
+    for width in (1, 8, 64):
+        for parts in (1, 13):
+            got = sorted(
+                (r["doc_id"], r["lang"], r["keep_k"], r["rk"])
+                for r in quality_prune_per_group(
+                    base.repartition(parts), "lang", "score", 2, 3,
+                    score_bucket=F.floor(F.col("score") / width),
+                ).collect()
+            )
+            assert got == want, (width, parts)
+
+
 def test_dedup_edge_cases_empty_inputs(spark):
     """Empty candidate graphs and empty indexes degrade cleanly: no
     components from no pairs, cap larger than every group is the

@@ -2426,15 +2426,18 @@ def q_quality_prune(spark, sf_dir):
     """Per-domain top-fraction curation (operators/sampling.py
     quality_prune_per_group): keep each source's best 1/4 by score —
     here n_chars as the score column — with an exact integer-rational
-    keep count, so no float-quantile drift between engines.  The
-    skew-safe two-phase rank bounds the big-domain sort."""
+    keep count, so no float-quantile drift between engines.  Uses the
+    score-bucketed rank (ids.py two-level scheme): no whole-domain
+    single-task sort anywhere in the plan; answer independent of the
+    bucket width (equivalence tested)."""
     from vcfdbr_spark.operators.sampling import quality_prune_per_group
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
     return quality_prune_per_group(
-        docs, "source", "n_chars", _QP_NUM, _QP_DEN
+        docs, "source", "n_chars", _QP_NUM, _QP_DEN,
+        score_bucket=F.floor(F.col("n_chars") / 64),
     )
 
 

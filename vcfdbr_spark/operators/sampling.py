@@ -115,6 +115,7 @@ def quality_prune_per_group(
     key_col: str = "doc_id",
     rank_col: str = "rk",
     keep_k_col: str = "keep_k",
+    score_bucket: Column | None = None,
 ) -> DataFrame:
     """Per-group TOP-FRACTION quality pruning: keep the best
     ``keep_num/keep_den`` of every ``group_col`` by ``score_col`` —
@@ -138,11 +139,24 @@ def quality_prune_per_group(
     local rank discards every row below its partition's top-``k_g``
     — an exact superset of the global winners, since a global winner
     is within the top-``k_g`` of any partition it can land in; (2)
-    the global per-group window ranks only survivors, bounding the
-    skewed-domain sort at ``k_g × num_partitions`` rows instead of
-    the domain's full size.  Recompute-safe despite
-    ``spark_partition_id``: pid only chooses which already-doomed
-    rows die early, never the result (ids.py rule).
+    the global per-group window ranks only survivors, capping the
+    skewed-domain sort at ``min(n_g, k_g × num_partitions)`` rows.
+    Recompute-safe despite ``spark_partition_id``: pid only chooses
+    which already-doomed rows die early, never the result (ids.py
+    rule).
+
+    For a top-FRACTION prune the phase-1 bound is weak (``k_g`` is a
+    constant share of ``n_g``, so the surviving domain is still
+    ~``n_g·num/den`` rows in ONE window task).  ``score_bucket``
+    removes that last single-task sort with the ids.py two-level
+    scheme: pass a coarse MONOTONE function of the score alone (e.g.
+    ``F.floor(F.col("n_chars") / 64)``) and the global rank becomes
+    bucket-local rank + per-(group, bucket) broadcast prefix offsets
+    — every (domain, score-band) sorts independently in parallel and
+    the offsets frame is O(domains × bands), not O(rows).  Same
+    answer on any partitioning (the bucket is a pure function of the
+    data); equal scores always share a bucket, so the (score DESC,
+    key) order is preserved exactly.
 
     Emits ``keep_k_col`` and ``rank_col`` (1-based, BIGINT) alongside
     the input columns.  A NULL ``group_col`` is its own group (the
@@ -174,11 +188,48 @@ def quality_prune_per_group(
         .filter(F.col("_lrk") <= F.col(keep_k_col))
         .drop("_lrk")
     )
-    glob = Window.partitionBy(group_col).orderBy(*order)
-    return (
-        pre.withColumn(rank_col, F.row_number().over(glob).cast("long"))
-        .filter(F.col(rank_col) <= F.col(keep_k_col))
-    )
+    if score_bucket is None:
+        glob = Window.partitionBy(group_col).orderBy(*order)
+        ranked = pre.withColumn(
+            rank_col, F.row_number().over(glob).cast("long")
+        )
+    else:
+        # ids.py two-level rank, per group: bucket-local row_number +
+        # broadcast per-(group, bucket) prefix offsets.  The offsets
+        # cum-sum window orders buckets DESC to match the score DESC
+        # rank direction; its frame is one row per (group, bucket).
+        with_b = pre.withColumn("_sb", score_bucket)
+        w_off = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col("_sb").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            with_b.groupBy(group_col, "_sb")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn(
+                "_off",
+                F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long"),
+            )
+            .drop("_cnt")
+            .withColumnRenamed(group_col, "_qp_og")
+            .withColumnRenamed("_sb", "_qp_ob")
+        )
+        w_local = Window.partitionBy(group_col, "_sb").orderBy(*order)
+        ranked = (
+            with_b.join(
+                F.broadcast(offsets),
+                F.col(group_col).eqNullSafe(F.col("_qp_og"))
+                & F.col("_sb").eqNullSafe(F.col("_qp_ob")),
+            )
+            .drop("_qp_og", "_qp_ob")
+            .withColumn(
+                rank_col,
+                (F.row_number().over(w_local) + F.col("_off")).cast("long"),
+            )
+            .drop("_sb", "_off")
+        )
+    return ranked.filter(F.col(rank_col) <= F.col(keep_k_col))
 
 
 def stratified_sample(
