@@ -54,6 +54,7 @@ DATA_QUERIES = [
     "events_cube",
     "distinct_sketch",
     "corpus_overlap",
+    "source_overlap",
     "dedup_exact",
     "text_stats",
     "minhash_pairs",

@@ -1030,3 +1030,77 @@ def test_split_corpus_deterministic_and_stable_under_growth(spark):
     # 'test' split (ADVICE r10)
     with pytest.raises(ValueError):
         split_thresholds((("train", 0.5), ("val", 0.5), ("test", 0.0)))
+
+
+def test_passage_windows_keep_cols_passthrough(spark):
+    """keep_cols columns ride the explode unchanged, once per window."""
+    from vcfdbr_spark.operators.dedup import passage_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g", "web"), (2, "x y", "books")],
+        ["doc_id", "text", "source"],
+    )
+    rows = passage_windows(
+        docs, window=3, stride=2, keep_cols=("source",)
+    ).collect()
+    assert set(passage_windows(docs, window=3, stride=2).columns) == {
+        "doc_id", "w_start", "passage",
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["source"])
+    assert by_doc == {1: {"web"}, 2: {"books"}}
+
+
+def test_source_overlap_matrix_exact_counts(spark):
+    """Known 3-source corpus: the matrix's shared counts, totals, and
+    containment/jaccard arithmetic are exact, pairs are ordered
+    source_a < source_b, and disjoint pairs emit no row."""
+    from vcfdbr_spark.operators.dedup import source_overlap_matrix
+
+    p1 = " ".join(f"p{i}" for i in range(4))   # shared by A and B
+    p2 = " ".join(f"q{i}" for i in range(4))   # only in A
+    p3 = " ".join(f"r{i}" for i in range(4))   # only in B
+    p4 = " ".join(f"s{i}" for i in range(4))   # only in C (disjoint)
+    docs = spark.createDataFrame(
+        [
+            (1, p1, "A"), (2, p2, "A"),
+            (3, p1, "B"), (4, p3, "B"), (5, p3, "B"),  # dup within B
+            (6, p4, "C"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    # window >= doc length -> one passage per doc
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(docs, window=10, stride=5).collect()
+    }
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    # A has 2 distinct passages, B has 2 (p3 dup collapses), 1 shared
+    assert r["shared_passages"] == 1
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["containment_a"] == 0.5 and r["containment_b"] == 0.5
+    assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-12
+
+
+def test_source_overlap_matrix_lineage_truncated(spark):
+    """The returned frame's plan reads the checkpointed counts, not
+    the corpus: the heavy explode+aggregate lineage ran exactly once
+    at construction (deriving totals and matrix from separate
+    subtrees re-scanned the corpus 3x - measured, ReuseExchange does
+    not fire across the differently-pruned subtrees)."""
+    from vcfdbr_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "a b c", "B")], ["doc_id", "text", "source"]
+    )
+    df = source_overlap_matrix(docs, window=5, stride=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    # the passage explode (Generate) and the collect_set aggregate
+    # live BELOW the checkpoint: the returned plan must not replay them
+    assert "Generate" not in plan
+    assert "collect_set" not in plan

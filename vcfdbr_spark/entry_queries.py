@@ -2310,6 +2310,55 @@ HAVING COUNT(*) > 1
 """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Exact per-source-pair shared-passage matrix at the same 20/10
+    word-window granularity as ``repeated_passages``: which sources
+    syndicate each other, with exact directional containments — the
+    exact counterpart of ``corpus_overlap``'s KMV estimates.  One
+    passage groupBy collecting the bounded source set per passage
+    (never a hash self-join), pair expansion in-array, tiny final
+    aggs + broadcast total joins."""
+    from vcfdbr_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"),
+        window=_RP_WINDOW,
+        stride=_RP_STRIDE,
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH words AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  -- same stride-plus-clamped-tail start set as SQL_REPEATED_PASSAGES
+  SELECT source, s.s AS w_start,
+         array_to_string(list_slice(w, s.s, s.s + {_RP_WINDOW - 1}), ' ')
+           AS passage
+  FROM words,
+       LATERAL (SELECT unnest(list_distinct(list_append(
+                  generate_series(1, greatest(len(w) - {_RP_WINDOW - 1}, 1),
+                                  {_RP_STRIDE}),
+                  greatest(len(w) - {_RP_WINDOW - 1}, 1)))) AS s) s),
+per AS (SELECT DISTINCT md5(passage) AS h, source FROM wins),
+tot AS (SELECT source, COUNT(*) AS n FROM per GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS shared_passages
+  FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT s.source_a, s.source_b, s.shared_passages,
+       ta.n AS n_a, tb.n AS n_b,
+       round(CAST(s.shared_passages AS DOUBLE) / ta.n, 6) AS containment_a,
+       round(CAST(s.shared_passages AS DOUBLE) / tb.n, 6) AS containment_b,
+       round(CAST(s.shared_passages AS DOUBLE)
+             / (ta.n + tb.n - s.shared_passages), 6) AS jaccard
+FROM shared s
+JOIN tot ta ON ta.source = s.source_a
+JOIN tot tb ON tb.source = s.source_b
+"""
+
+
 def q_scrub_passages(spark, sf_dir):
     """Repeated-passage REMOVAL (the APPLY step to
     ``repeated_passages``' detection): cross-document boilerplate is
@@ -3981,8 +4030,11 @@ QUERIES: dict[str, QueryFn] = {
     # and dedup_clusters (both r10-green) held:
     "quality_prune": q_quality_prune,
     "corpus_overlap": q_corpus_overlap,
+    # NEW (continuation, this session): exact per-source-pair
+    # shared-passage matrix — first driver row; takes the slot
+    # minhash_pairs (r10-green) held:
+    "source_overlap": q_source_overlap,
     # r10-green keys holding window slots (dedup/ANN family):
-    "minhash_pairs": q_minhash_pairs,
     "corpus_dedup": q_corpus_dedup,
     "dedup_incremental": q_dedup_incremental,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
@@ -3996,6 +4048,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_shuffled": q_pack_shuffled,
     # displaced to the tail for the late-r11/continuation first-row
     # keys: all below are r10-driver-green
+    "minhash_pairs": q_minhash_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4137,4 +4190,5 @@ ORACLE: dict[str, str] = {
     "embedding_dedup_incremental": SQL_EMBEDDING_DEDUP_INCREMENTAL,
     "pii_scrub": SQL_PII_SCRUB,
     "repeated_passages": SQL_REPEATED_PASSAGES,
+    "source_overlap": SQL_SOURCE_OVERLAP,
 }

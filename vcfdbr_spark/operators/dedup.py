@@ -1070,9 +1070,12 @@ def passage_windows(
     stride: int = 15,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each document into overlapping ``window``-word passages
-    every ``stride`` words: (id, w_start, passage).
+    every ``stride`` words: (id, w_start, passage [, *keep_cols]).
+    ``keep_cols`` are carried through the explode unchanged (e.g. the
+    doc's source label for :func:`source_overlap_matrix`).
 
     This is the distributed stand-in for substring-level training-data
     dedup (the suffix-array approach of "Deduplicating Training Data
@@ -1097,6 +1100,7 @@ def passage_windows(
     )
     exploded = docs.select(
         id_col,
+        *keep_cols,
         words.alias("_w"),
         F.explode(starts).alias("w_start"),
     )
@@ -1106,6 +1110,7 @@ def passage_windows(
         F.concat_ws(
             " ", F.slice(F.col("_w"), F.col("w_start"), window)
         ).alias("passage"),
+        *keep_cols,
     )
 
 
@@ -1136,6 +1141,103 @@ def repeated_passages(
             F.min(F.col(id_col)).alias("first_doc"),
         )
         .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    window: int = 30,
+    stride: int = 15,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-source-pair shared-passage matrix — which corpus
+    sources syndicate/mirror each other, at word-window granularity.
+
+    The curation question this answers: "crawl B shares 40% of its
+    passages with crawl A — dedup them against each other (or drop B)
+    before mixing."  :func:`~vcfdbr_spark.operators.sketch.kmv_overlap`
+    ESTIMATES the same directional containments from two k-hash
+    sketches (the right tool when the corpora are separate tables /
+    snapshots); this operator computes them exactly, for all source
+    pairs at once, from one corpus with a source label.
+
+    One row per unordered source pair sharing >= 1 distinct passage:
+    (source_a, source_b, shared_passages, n_a, n_b, containment_a,
+    containment_b, jaccard), where n_x is source x's DISTINCT-passage
+    count, containment_a = shared/n_a (share of A's passages also in
+    B), and source_a < source_b (binary string order on both engines).
+
+    Plan shape: passage explode (linear, ~window/stride rows per doc)
+    → ONE hash groupBy on md5(passage) collecting the DISTINCT source
+    set per passage (set size is bounded by the number of sources, a
+    few dozen — never by corpus size, so a boilerplate passage in
+    millions of docs is one group with a tiny set, not a blowup) →
+    one in-array expansion emitting BOTH the per-source singletons
+    (for the distinct-passage totals) and the unordered pairs
+    (<= n_sources^2/2 structs per passage) → ONE tiny groupBy on
+    (source_a, source_b) where a NULL source_b row is source_a's
+    total.  That counts frame is O(n_sources^2) rows and gets an
+    :func:`~vcfdbr_spark.plans.checkpoints.eager_checkpoint` so the
+    heavy explode+aggregate lineage runs exactly once (deriving
+    totals and matrix as separate subtrees re-ran the corpus scan
+    3x — the lm_score r10 lesson; measured here too, Catalyst's
+    ReuseExchange does not fire across the differently-pruned
+    subtrees).  The final joins broadcast O(n_sources) rows.  No
+    self-join on passage hash: the classic `per JOIN per ON h`
+    pairing would square the hot-passage row count; the set
+    formulation caps it at the source-set size.
+    """
+    from vcfdbr_spark.plans.checkpoints import eager_checkpoint
+
+    wins = passage_windows(
+        docs, window, stride, id_col, text_col, keep_cols=(group_col,)
+    )
+    grouped = wins.groupBy(F.md5(F.col("passage")).alias("h")).agg(
+        F.sort_array(F.collect_set(F.col(group_col))).alias("_gs")
+    )
+    # singletons (a, NULL) count distinct passages per source; pairs
+    # (gs[i], gs[j]) i<j count passages shared by the pair
+    emit_expr = F.expr(
+        "concat("
+        "transform(_gs, a -> "
+        "struct(a AS source_a, CAST(NULL AS STRING) AS source_b)), "
+        "flatten(transform(_gs, (a, i) -> "
+        "transform(slice(_gs, i + 2, size(_gs)), "
+        "b -> struct(a AS source_a, b AS source_b)))))"
+    )
+    counts = eager_checkpoint(
+        grouped.select(F.explode(emit_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.filter(F.col("source_b").isNull())
+    matrix = counts.filter(F.col("source_b").isNotNull()).withColumnRenamed(
+        "c", "shared_passages"
+    )
+    ta = totals.select(F.col("source_a").alias("_sa"), F.col("c").alias("n_a"))
+    tb = totals.select(F.col("source_a").alias("_sb"), F.col("c").alias("n_b"))
+    joined = (
+        matrix.join(F.broadcast(ta), F.col("source_a") == F.col("_sa"))
+        .join(F.broadcast(tb), F.col("source_b") == F.col("_sb"))
+        .drop("_sa", "_sb")
+    )
+    shared_d = F.col("shared_passages").cast("double")
+    return joined.select(
+        "source_a",
+        "source_b",
+        "shared_passages",
+        "n_a",
+        "n_b",
+        F.round(shared_d / F.col("n_a"), 6).alias("containment_a"),
+        F.round(shared_d / F.col("n_b"), 6).alias("containment_b"),
+        F.round(
+            shared_d
+            / (F.col("n_a") + F.col("n_b") - F.col("shared_passages")),
+            6,
+        ).alias("jaccard"),
     )
 
 
