@@ -557,6 +557,24 @@ def main(argv: list[str] | None = None) -> int:
         "--prefilter are ignored)",
     )
 
+    so = sub.add_parser(
+        "source-overlap",
+        help="exact per-source-pair shared-passage matrix over one "
+        "labeled corpus: shared counts, directional containments, "
+        "jaccard (the exact counterpart of corpus-overlap's KMV "
+        "estimates)",
+    )
+    so.add_argument("--docs", required=True, help="corpus parquet")
+    so.add_argument("--group-col", default="source")
+    so.add_argument("--text-col", default="text")
+    so.add_argument("--id-col", default="doc_id")
+    so.add_argument("--window", type=int, default=30)
+    so.add_argument("--stride", type=int, default=15)
+    so.add_argument(
+        "--out", default=None,
+        help="write the matrix as parquet instead of printing it",
+    )
+
     sk = sub.add_parser(
         "stream-sketch",
         help="maintain a KMV bottom-k sketch of a growing corpus "
@@ -1270,6 +1288,35 @@ def main(argv: list[str] | None = None) -> int:
             f"containment_b={row['containment_b']} "
             f"(merged_k={row['merged_k']}/{args.k})"
         )
+        return 0
+    if args.cmd == "source-overlap":
+        from vcfdbr_spark.operators.dedup import source_overlap_matrix
+
+        docs = spark.read.parquet(args.docs)
+        mat = source_overlap_matrix(
+            docs, window=args.window, stride=args.stride,
+            group_col=args.group_col, id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        if args.out:
+            mat.write.mode("overwrite").parquet(args.out)
+            print(
+                f"wrote {spark.read.parquet(args.out).count()} "
+                f"source-pair rows to {args.out}"
+            )
+        else:
+            # top pairs by containment either way — the "drop or
+            # dedup B against A" shortlist
+            for r in mat.orderBy(
+                F.greatest("containment_a", "containment_b").desc()
+            ).limit(20).collect():
+                print(
+                    f"{r['source_a']} ~ {r['source_b']}: "
+                    f"shared={r['shared_passages']} "
+                    f"cont_a={r['containment_a']} "
+                    f"cont_b={r['containment_b']} "
+                    f"jaccard={r['jaccard']}"
+                )
         return 0
     if args.cmd == "stream-sketch":
         from vcfdbr_spark.streaming.ingest import (
