@@ -111,3 +111,37 @@ def test_sf1_gate_keys_are_registered_and_cover_iterative_family():
     }
     missing = required - set(SF1_QUERIES)
     assert not missing, f"iterative/adaptive family missing from sf1 gate: {missing}"
+
+
+def test_scale_py_cc_oracles_match_sql_closure_at_small_sf():
+    """The scale-tier python oracles (union-find + policy replay over
+    DuckDB's linear stages) must equal the registry's recursive-CTE
+    closure oracles wherever BOTH are feasible — pinned at sf0.01 so
+    a policy drift in either formulation fails CI, not the next
+    scale-tier incident.  (At scale tiers only the python form runs:
+    the closure materializes O(sum |comp|^2) reach rows and sat >100
+    CPU-minutes / 36 GB inside one sf5 component.)"""
+    import duckdb
+    import pandas as pd
+
+    from tools.check_correctness import (
+        SCALE_PY_CC_KEYS,
+        TABLES,
+        _py_cc_expected,
+        normalize,
+        table_scan,
+    )
+    from vcfdbr_spark.entry_queries import ORACLE
+
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan({table_scan(sf_dir, t)})"
+        )
+    for name in sorted(SCALE_PY_CC_KEYS):
+        want_sql = normalize(con.execute(ORACLE[name]).df())
+        want_py = normalize(_py_cc_expected(name, con))
+        pd.testing.assert_frame_equal(
+            want_py, want_sql, check_dtype=False, check_exact=True,
+        ), name

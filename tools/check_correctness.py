@@ -23,6 +23,18 @@ the queries whose answers depend on iteration/convergence behavior
 (:data:`SF1_QUERIES`) against the same DuckDB oracles at 10x the
 largest shipped sf.  The resulting CORRECTNESS_SF1_r*.json is a
 committed per-round artifact alongside BENCH_sf1.
+
+At scale tiers the doc-side connected-component keys
+(:data:`SCALE_PY_CC_KEYS`) swap the registry's recursive-CTE closure
+oracle for a python union-find + keep-policy replay over the SAME
+DuckDB linear stages — the closure itself is quadratic in component
+size and stops being a usable oracle exactly when the scale tier
+matters (sf5: >100 CPU-min / 36 GB inside one component).  The two
+oracle forms are pinned equal at sf0.01 by
+tests/test_registry_contract.py.  The gate dir honors
+$SPARK_GRAFT_SF1_DIR, so higher tiers run as e.g.
+``SPARK_GRAFT_SF1_DIR=/tmp/sf5 ... --sf1 --json CORRECTNESS_SF5_r*.json``
+(derive /tmp/sf5 via ``tools/make_sf1.py --out /tmp/sf5 --copies 50``).
 """
 
 from __future__ import annotations
@@ -100,6 +112,136 @@ SF1_STREAM_CHECKS = [
 ]
 
 SF1_DEFAULT_DIR = "/tmp/sf1"
+
+#: Doc-side connected-component keys whose REGISTRY oracle closes the
+#: candidate graph with a recursive transitive closure (reach(src,dst)
+#: materializes O(sum |comp|^2) rows).  Exact and cheap at sf0.01
+#: (components of a handful of docs), pathological at scale tiers:
+#: the derived corpora's jittered-copy families chain into
+#: thousand-member components (sf1's max is 558; sf5's ~5x that), and
+#: a single closure sat >100 CPU-minutes / 36 GB in DuckDB at sf5.
+#: At scale tiers these keys keep DuckDB for every LINEAR stage
+#: (shingle/sign/band SQL, hot-bucket caps, candidate pairs,
+#: quality/LM gates — the same fragments the registry oracle uses)
+#: and replace ONLY the closure with a pure-Python union-find +
+#: keep-policy replay: a genuinely independent algorithm, and the
+#: same oracle family the r10 CC rewrite was verified against at sf1.
+#: The embedding-side CC keys (semantic_dedup*) stay on the SQL
+#: closure — their components are shallow at every tested tier
+#: (sf5 measured: 73-93s in DuckDB, passing).
+SCALE_PY_CC_KEYS = {
+    "dedup_clusters",
+    "corpus_dedup",
+    "dedup_keep_best",
+    "corpus_filter",
+}
+
+
+def _uf_min_labels(pairs) -> dict:
+    """Union-find over (a, b) pairs → {node: min id of its component}."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    labels: dict = {}
+    for members in groups.values():
+        m = min(members)
+        for n in members:
+            labels[n] = m
+    return labels
+
+
+def _py_cc_expected(name: str, con) -> pd.DataFrame:
+    """Expected frame for a SCALE_PY_CC_KEYS key: DuckDB pairs (and
+    gates) + python union-find + the key's documented keep policy."""
+    from vcfdbr_spark.entry_queries import (
+        _BANDS_SQL,
+        _CF_MAX_BITS,
+        _CF_MIN_TOKENS,
+        _CF_MIN_TTR,
+        _PAIRS_SQL,
+        SQL_LM_SCORE,
+    )
+    from vcfdbr_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    if name == "corpus_filter":
+        passing_sql = f"""
+        WITH lm AS ({SQL_LM_SCORE}),
+        qual AS (
+          SELECT doc_id, lang, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+          FROM documents)
+        SELECT q.doc_id, q.lang, q.source, q.n_tokens, q.ttr,
+               lm.bits_per_bigram
+        FROM qual q JOIN lm USING (doc_id)
+        WHERE q.n_tokens >= {_CF_MIN_TOKENS}
+          AND q.ttr >= {_CF_MIN_TTR}
+          AND lm.bits_per_bigram <= {_CF_MAX_BITS}
+        """
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE _cf_passing AS " + passing_sql
+        )
+        passing = con.execute("SELECT * FROM _cf_passing").df()
+        pairs = con.execute(f"""
+        WITH surv_bands AS (
+          SELECT doc_id, band, bucket FROM ({_BANDS_SQL})
+          WHERE doc_id IN (SELECT doc_id FROM _cf_passing)),
+        surv_capped AS (
+          SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM surv_bands)
+          WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE})
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM surv_capped x JOIN surv_capped y
+          ON x.band = y.band AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+        """).fetchall()
+        labels = _uf_min_labels(pairs)
+        drops = {n for n, k in labels.items() if n != k}
+        return passing[~passing["doc_id"].isin(drops)].reset_index(drop=True)
+
+    pairs = con.execute(_PAIRS_SQL).fetchall()
+    labels = _uf_min_labels(pairs)
+    if name == "dedup_clusters":
+        return pd.DataFrame(
+            sorted(labels.items()), columns=["doc_id", "keep_id"]
+        )
+    if name == "corpus_dedup":
+        drops = {n for n, k in labels.items() if n != k}
+        docs = con.execute(
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+        ).df()
+        return docs[~docs["doc_id"].isin(drops)].reset_index(drop=True)
+    if name == "dedup_keep_best":
+        nchars = dict(
+            con.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+        )
+        groups: dict = {}
+        for n, root in labels.items():
+            groups.setdefault(root, []).append(n)
+        rows = []
+        for members in groups.values():
+            # ORDER BY n_chars DESC, doc_id ASC — ties keep the min id
+            best = max(members, key=lambda n: (nchars[n], -n))
+            rows.extend((n, best) for n in members)
+        return pd.DataFrame(sorted(rows), columns=["doc_id", "keep_id"])
+    raise KeyError(name)
 
 
 def _stream_vs_batch_record(spark, sf_dir: str, flavor: str) -> dict:
@@ -424,8 +566,12 @@ def main() -> int:
             }
             continue
         t0 = time.time()
+        py_oracle = sf1_mode and name in SCALE_PY_CC_KEYS
         try:
-            want = normalize(con.execute(oracles[name]).df())
+            if py_oracle:
+                want = normalize(_py_cc_expected(name, con))
+            else:
+                want = normalize(con.execute(oracles[name]).df())
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
             failures.append(name)
@@ -457,6 +603,11 @@ def main() -> int:
             "oracle_rows": len(want),
             "err": "; ".join(status) if status else None,
         }
+        if py_oracle:
+            records[name]["oracle"] = (
+                "python: union-find + policy replay over DuckDB "
+                "linear stages (closure-free at scale tiers)"
+            )
         if status:
             print(f"FAIL {name}: {'; '.join(status)}")
             failures.append(name)
