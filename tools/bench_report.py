@@ -244,6 +244,15 @@ def load_sf1() -> dict[str, dict]:
     return out
 
 
+def load_sf5() -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_sf5*.json"))):
+        doc = _payload(path)
+        if doc:
+            out[os.path.basename(path)] = doc
+    return out
+
+
 def load_local() -> dict[str, dict]:
     out: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_LOCAL_r*.json"))):
@@ -258,6 +267,7 @@ def render(
     sf1: dict[str, dict],
     local: dict[str, dict] | None = None,
     charts: list[str] | None = None,
+    sf5: dict[str, dict] | None = None,
 ) -> str:
     lines = [
         "# Bench report",
@@ -383,6 +393,44 @@ def render(
                 )
             lines.append("")
 
+    if sf5 and sf1:
+        # second tier step: sf1 -> sf5 (5x data) against the LATEST
+        # sf1 snapshot — a key that is linear shows ~5x ACROSS BOTH
+        # steps; a constant-overhead key flattens; the documented
+        # |Q|-grows-with-corpus baselines show ~25x here by design
+        def _rnum(name: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", name)
+            return int(m.group(1)) if m else -1
+
+        sf1_latest = sf1[max(sf1, key=_rnum)]["queries"]
+        lines += [
+            "## Scaling shape: sf1 → sf5 (5× data, second tier step)",
+            "",
+            "Ratio = sf5 time / latest sf1 time.  Linear scans ≈5×, "
+            "indexed/point lookups ≪5×; ≥8× is either a documented "
+            "definitional baseline (query set grows with the corpus) "
+            "or a plan that needs a look.",
+            "",
+        ]
+        for name, doc in sf5.items():
+            lines += [
+                f"### {name} (total {doc['value']:.1f}s)",
+                "",
+                "| query | sf1 (s) | sf5 (s) | ratio |",
+                "|---|---|---|---|",
+            ]
+            rows = []
+            for q, v in doc["queries"].items():
+                base = sf1_latest.get(q)
+                if base and base > 0:
+                    rows.append((v / base, q, base, v))
+            for ratio, q, base, v in sorted(rows, reverse=True):
+                flag = " ⚠" if ratio >= 8 else ""
+                lines.append(
+                    f"| {q} | {base:.3f} | {v:.3f} | {ratio:.1f}×{flag} |"
+                )
+            lines.append("")
+
     if local:
         lines += [
             "## Local snapshots (builder-run, sf0.1)",
@@ -432,7 +480,9 @@ def main() -> None:
     if not rounds:
         raise SystemExit("no BENCH_r*.json artifacts found")
     charts = write_charts(rounds, os.path.dirname(os.path.abspath(args.out)))
-    report = render(rounds, load_sf1(), load_local(), charts=charts)
+    report = render(
+        rounds, load_sf1(), load_local(), charts=charts, sf5=load_sf5()
+    )
     with open(args.out, "w") as fh:
         fh.write(report)
     print(f"wrote {args.out} ({len(rounds)} rounds, {len(charts)} charts)")
