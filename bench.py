@@ -79,6 +79,7 @@ DATA_QUERIES = [
     "repeated_passages",
     "scrub_passages",
     "top_ngrams",
+    "heavy_ngrams",
     "tfidf_keywords",
     "benchmark_contamination",
     "multimodal_frames",

@@ -2569,6 +2569,41 @@ ORDER BY n DESC, ngram LIMIT 50
 """
 
 
+def q_heavy_ngrams(spark, sf_dir):
+    """Deterministic two-pass heavy hitters (functions/text.py
+    ``heavy_ngrams``): md5-sampled candidate n-grams (4/16 of docs,
+    scan-pruned), then EXACT corpus counts for the broadcast
+    candidate list only — the shuffle carries <= 200 groups instead
+    of the whole vocabulary.  top_ngrams' 100-TB formulation; the
+    oracle mirrors both passes policy-exactly."""
+    from vcfdbr_spark.functions.text import heavy_ngrams
+
+    return heavy_ngrams(
+        _t(spark, sf_dir, "documents"),
+        n=2, top_k=50, sample_sixteenths=4, candidate_factor=4,
+    )
+
+
+SQL_HEAVY_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM documents),
+bi AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(w) - 1, 1)),
+      i -> array_to_string(w[i:i+1], ' '))) AS ngram
+  FROM toks),
+cand AS (
+  SELECT ngram FROM bi
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+  GROUP BY ngram
+  ORDER BY COUNT(*) DESC, ngram LIMIT 200)
+SELECT b.ngram, COUNT(*) AS n
+FROM bi b JOIN cand c ON c.ngram = b.ngram
+GROUP BY b.ngram
+ORDER BY n DESC, b.ngram LIMIT 50
+"""
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Decontamination probe: flag documents containing any of the
     probe n-grams (here: the corpus's 5 most frequent bigrams as a
@@ -4034,8 +4069,10 @@ QUERIES: dict[str, QueryFn] = {
     # shared-passage matrix — first driver row; takes the slot
     # minhash_pairs (r10-green) held:
     "source_overlap": q_source_overlap,
+    # NEW (continuation, this session): two-pass heavy hitters —
+    # first driver row; takes the slot corpus_dedup (r10-green) held:
+    "heavy_ngrams": q_heavy_ngrams,
     # r10-green keys holding window slots (dedup/ANN family):
-    "corpus_dedup": q_corpus_dedup,
     "dedup_incremental": q_dedup_incremental,
     "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
     "exact_k_sample": q_exact_k_sample,
@@ -4049,6 +4086,7 @@ QUERIES: dict[str, QueryFn] = {
     # displaced to the tail for the late-r11/continuation first-row
     # keys: all below are r10-driver-green
     "minhash_pairs": q_minhash_pairs,
+    "corpus_dedup": q_corpus_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
@@ -4173,6 +4211,7 @@ ORACLE: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "text_normalize_dedup": SQL_TEXT_NORMALIZE_DEDUP,
     "top_ngrams": SQL_TOP_NGRAMS,
+    "heavy_ngrams": SQL_HEAVY_NGRAMS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

@@ -299,3 +299,79 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "word", "tf", "df", "score", "rank")
     )
+
+
+def heavy_ngrams(
+    docs,
+    n: int = 2,
+    top_k: int = 50,
+    sample_sixteenths: int = 4,
+    candidate_factor: int = 4,
+    max_words: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Deterministic TWO-PASS heavy hitters over word n-grams: the
+    100-TB formulation of ``top_ngrams``-style vocabulary analysis.
+
+    A single corpus-wide ``groupBy(ngram)`` shuffles the ENTIRE
+    vocabulary — at pretraining scale the bigram vocabulary is itself
+    a multi-TB frame, and all of it moves to reducers to answer a
+    top-50 question.  The classic fix is candidate-then-verify:
+
+    - pass 1 (candidates): count n-grams over an md5-sampled
+      subcorpus (``sample_sixteenths``/16 of docs — deterministic and
+      engine-portable; the row predicate does not skip IO, but it
+      shrinks the pass's SHUFFLE to the sample's vocabulary) and take
+      the sample's top ``top_k * candidate_factor`` by (count DESC,
+      ngram) — a TakeOrderedAndProject, never a full sort;
+    - pass 2 (verify): broadcast the O(top_k) candidate list, join
+      the full corpus's n-grams against it, and count EXACTLY — this
+      shuffle carries at most ``top_k * candidate_factor`` groups of
+      partial counts instead of the vocabulary.
+
+    Net trade: two corpus scans with tiny shuffles instead of one
+    scan with a vocabulary-sized shuffle — at pretraining scale the
+    bigram vocabulary is the same order as the corpus itself, so the
+    shuffle, not the scan, is the term that stops fitting.
+
+    Counts in the result are EXACT corpus counts; the sampling only
+    chooses WHICH n-grams are counted.  The documented approximation:
+    a true heavy hitter missing from the sample's top candidates is
+    absent from the output — by Chernoff a uniformly-sampled doc set
+    sees any corpus-wide heavy n-gram w.h.p., and ``candidate_factor``
+    is the safety margin (raising it is linear cost).  The guarantee
+    presumes a frequency GAP: on a near-uniform vocabulary (every
+    n-gram count within sampling noise of the rank-``top_k`` boundary)
+    there are no heavy hitters to find and the selected tail is
+    boundary noise — counts stay exact either way.  Both passes are
+    mirrored policy-exactly by the SQL oracle (same md5 predicate,
+    same tiebreaks), so the correctness gate value-checks the policy,
+    like the capped-dedup keys.
+
+    Returns ``(ngram, n)``: the candidates' exact-count top ``top_k``
+    by (n DESC, ngram) — a total order, deterministic everywhere.
+    """
+    from vcfdbr_spark.operators.sampling import md5_bernoulli
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            word_shingles(F.col(text_col), n=n, max_words=max_words)
+        ).alias("ngram"),
+    )
+    cand = (
+        grams.filter(md5_bernoulli(F.col(id_col), sample_sixteenths))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("_sc"))
+        .orderBy(F.col("_sc").desc(), F.col("ngram"))
+        .limit(top_k * candidate_factor)
+        .select("ngram")
+    )
+    return (
+        grams.join(F.broadcast(cand), "ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(top_k)
+    )
