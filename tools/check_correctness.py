@@ -91,6 +91,13 @@ SF1_QUERIES = [
     # stays bit-identical between engines when 10x more distinct
     # hashes move h_max (and that the merged sketch stays full).
     "corpus_overlap",
+    # heavy_ngrams' candidate set is the md5-sampled subcorpus's
+    # top-200 — a corpus-size-dependent boundary (which near-ties
+    # clear the cut changes with the sample), the same class of
+    # scale-dependent answer as the capped/banded keys above; the
+    # scale rows prove the two-pass policy mirrors exactly when the
+    # sample is 10-50x bigger.
+    "heavy_ngrams",
 ]
 
 #: streaming ops are outside the registry (no SQL oracle), so the
