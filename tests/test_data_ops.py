@@ -324,6 +324,32 @@ def test_kmv_bottom_k_matches_python_and_prefilter_is_invisible(spark):
     assert len(small) == 97
 
 
+def test_kmv_bottom_k_ignores_nulls(spark):
+    """A NULL value hashes to NULL and Spark's ascending sort puts
+    NULLs FIRST — unfiltered it would occupy the top sketch slot and
+    bias the estimator while the DuckDB oracle (NULLS LAST) drops it.
+    The sketch must match countDistinct's NULL-ignoring semantics:
+    identical with and without NULL rows, and never containing NULL."""
+    from vcfdbr_spark.operators.sketch import kmv_bottom_k
+
+    texts = [f"doc {i}" for i in range(60)]
+    clean = spark.createDataFrame([(t,) for t in texts], "text string")
+    dirty = spark.createDataFrame(
+        [(t,) for t in texts] + [(None,)] * 5, "text string"
+    )
+    want = [r["h"] for r in kmv_bottom_k(clean, "text", 16).collect()]
+    assert want == _kmv_py(texts, 16)
+    for pf in (False, True):
+        got = [
+            r["h"]
+            for r in kmv_bottom_k(
+                dirty, "text", 16, prefilter=pf, oversample=2
+            ).collect()
+        ]
+        assert got == want
+        assert None not in got
+
+
 def test_kmv_overlap_identical_disjoint_and_estimator(spark):
     """Identical corpora → jaccard exactly 1.0; disjoint → 0.0; a
     partial overlap reproduces the python replay of the estimator

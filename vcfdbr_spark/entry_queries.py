@@ -2569,6 +2569,15 @@ ORDER BY n DESC, ngram LIMIT 50
 """
 
 
+# heavy_ngrams policy constants — interpolated into BOTH the Spark
+# query and SQL_HEAVY_NGRAMS (the repo's exact-literal rule: changing a
+# default here re-derives engine and oracle together, never one side).
+_HN_TOP_K = 50
+_HN_SAMPLE_SIXTEENTHS = 4
+_HN_CANDIDATE_FACTOR = 4
+_HN_SAMPLE_HEX = ", ".join(f"'{x:x}'" for x in range(_HN_SAMPLE_SIXTEENTHS))
+
+
 def q_heavy_ngrams(spark, sf_dir):
     """Deterministic two-pass heavy hitters (functions/text.py
     ``heavy_ngrams``): md5-sampled candidate n-grams (4/16 of docs,
@@ -2580,11 +2589,14 @@ def q_heavy_ngrams(spark, sf_dir):
 
     return heavy_ngrams(
         _t(spark, sf_dir, "documents"),
-        n=2, top_k=50, sample_sixteenths=4, candidate_factor=4,
+        n=2,
+        top_k=_HN_TOP_K,
+        sample_sixteenths=_HN_SAMPLE_SIXTEENTHS,
+        candidate_factor=_HN_CANDIDATE_FACTOR,
     )
 
 
-SQL_HEAVY_NGRAMS = """
+SQL_HEAVY_NGRAMS = f"""
 WITH toks AS (
   SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM documents),
 bi AS (
@@ -2594,13 +2606,13 @@ bi AS (
   FROM toks),
 cand AS (
   SELECT ngram FROM bi
-  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({_HN_SAMPLE_HEX})
   GROUP BY ngram
-  ORDER BY COUNT(*) DESC, ngram LIMIT 200)
+  ORDER BY COUNT(*) DESC, ngram LIMIT {_HN_TOP_K * _HN_CANDIDATE_FACTOR})
 SELECT b.ngram, COUNT(*) AS n
 FROM bi b JOIN cand c ON c.ngram = b.ngram
 GROUP BY b.ngram
-ORDER BY n DESC, b.ngram LIMIT 50
+ORDER BY n DESC, b.ngram LIMIT {_HN_TOP_K}
 """
 
 

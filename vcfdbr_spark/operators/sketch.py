@@ -66,15 +66,24 @@ def kmv_bottom_k(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    hs = df.select(md5_hash60(F.col(value_col)).alias("h"))
+    # NULL values hash to NULL, and ascending orderBy puts NULLs FIRST
+    # in Spark — an unfiltered NULL would occupy a sketch slot and bias
+    # the (k-1)*H/h_max estimator.  Match countDistinct's NULL-ignoring
+    # semantics (and the DuckDB oracle's NULLS LAST) by dropping them.
+    hs = df.select(md5_hash60(F.col(value_col)).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     if prefilter:
         n_hat = hs.agg(F.approx_count_distinct("h").alias("n")).first()["n"]
         if n_hat > oversample * k:
             thr = int(HASH_SPACE * oversample * k / n_hat)
-            cand = hs.filter(F.col("h") < thr).distinct()
-            got = cand.orderBy("h").limit(k)
-            if got.count() >= k:
-                return got
+            # ~oversample*k expected survivors: small enough to collect,
+            # so the filtered distinct+sort runs ONCE (the count check
+            # and the returned frame share the collected rows) instead
+            # of twice (once for .count(), again at consumption).
+            rows = hs.filter(F.col("h") < thr).distinct().orderBy("h").limit(k).collect()
+            if len(rows) >= k:
+                return df.sparkSession.createDataFrame(rows, "h long")
             # fewer than k distinct survivors: threshold too tight OR
             # genuinely sparse corpus — re-run exact either way
     return hs.distinct().orderBy("h").limit(k)
