@@ -1196,3 +1196,24 @@ def test_heavy_ngrams_agrees_with_full_groupby_on_shipped_corpora(spark):
             ("heavy zzqq", 800),
             ("zzqq heavy", 800),
         ], sf_dir
+
+
+def test_heavy_ngrams_planted_query_recovers_full_gapped_head(spark):
+    """The REGISTERED planted-ladder query (q_heavy_ngrams_planted)
+    must prove the full head-recovery claim, not just policy parity:
+    with every top-k slot occupied by a gapped planted bigram, the
+    two-pass top-k equals the exhaustive top-k everywhere
+    (n_top_agree == top_k), all planted heads are recovered, and the
+    sample pass genuinely pruned (candidates < vocabulary).  The
+    driver row hash-checks these numbers vs DuckDB; this test pins the
+    semantic inequalities the hashes alone don't express."""
+    from vcfdbr_spark.entry_queries import (
+        _HN_TOP_K,
+        _HNP_HEADS,
+        q_heavy_ngrams_planted,
+    )
+
+    row = q_heavy_ngrams_planted(spark, "/root/testdata/sf0.01").first()
+    assert row["n_top_agree"] == _HN_TOP_K
+    assert row["n_planted_in_top"] == _HNP_HEADS == _HN_TOP_K
+    assert row["n_candidates"] < row["vocab_size"]

@@ -2616,6 +2616,247 @@ ORDER BY n DESC, b.ngram LIMIT {_HN_TOP_K}
 """
 
 
+# Planted heavy-hitter population (q_heavy_ngrams_planted): the
+# shipped corpora have near-uniform bigram distributions (natural max
+# count 39 at sf0.01, 278 at sf0.1 — no true heavy hitters), so the
+# plain heavy_ngrams row proves two-pass POLICY parity only.  These
+# constants plant a GRADED frequency ladder: head h (1.._HNP_HEADS,
+# with _HNP_HEADS == the query's top_k) occurs exactly
+# _HNP_BASE + _HNP_STEP·(_HNP_HEADS − h) times — every planted count
+# above the natural maximum at every evidence scale (min 300 > 278 at
+# sf0.1) and gapped _HNP_STEP apart, so the exhaustive top-k is
+# EXACTLY the planted ladder and full two-pass agreement is the
+# testable claim (an ungapped tail would reduce the check to boundary
+# noise).  Interpolated into both plans.
+_HNP_HEADS = _HN_TOP_K
+_HNP_BASE = 300
+_HNP_STEP = 5
+_HNP_ID_BASE = 900_000_000
+
+
+def _planted_heavy_docs(spark, sf_dir):
+    """documents ∪ the planted heavy-hitter docs: one 2-word doc per
+    (head, repeat) so head h's bigram 'zzplantHH zzheavy' occurs
+    exactly _HNP_BASE + _HNP_STEP·(_HNP_HEADS − h) times (the zz
+    prefix cannot collide with the natural vocabulary).  Pure column
+    algebra over read-only inputs — same inline-union shape as
+    _skewed_embeddings."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        spark.range(1, _HNP_HEADS + 1)
+        .select(F.col("id").alias("h"))
+        .select(
+            "h",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.lit(_HNP_BASE)
+                    + F.lit(_HNP_STEP) * (F.lit(_HNP_HEADS) - F.col("h")),
+                )
+            ).alias("r"),
+        )
+        .select(
+            (F.lit(_HNP_ID_BASE) + F.col("h") * 10_000 + F.col("r"))
+            .cast("long")
+            .alias("doc_id"),
+            F.format_string("zzplant%02d zzheavy", F.col("h")).alias("text"),
+        )
+    )
+    return docs.unionByName(planted)
+
+
+def q_heavy_ngrams_planted(spark, sf_dir):
+    """Heavy-hitter HEAD-RECOVERY evidence (the cap_skew precedent
+    applied to heavy_ngrams): plant a frequency-gapped bigram
+    population and value-check, in ONE summary row, that the two-pass
+    policy actually recovers the head where a gap exists —
+    ``n_top_agree`` (two-pass exact top-k ∩ exhaustive top-k on
+    (ngram, n); == top_k means the passes agree everywhere),
+    ``n_planted_in_top`` (all _HNP_HEADS planted heads recovered),
+    ``n_candidates`` and ``vocab_size`` (the sample pass PRUNED:
+    candidates ≪ vocabulary) — all four vs the DuckDB oracle running
+    the identical two plans.  Scale shape: the exhaustive side is the
+    evidence baseline (vocabulary shuffle, sf0.01-sized here); the
+    engine path under test is the candidate-then-verify pair whose
+    shuffle carries O(top_k · factor) groups.  The 1-row aggregates
+    attach as broadcast scalar crossJoins (documented 1×1
+    exemption)."""
+    from vcfdbr_spark.functions.text import (
+        heavy_ngram_candidates,
+        word_ngram_frame,
+    )
+
+    grams = word_ngram_frame(_planted_heavy_docs(spark, sf_dir), n=2)
+    cand = heavy_ngram_candidates(
+        grams, _HN_TOP_K, _HN_SAMPLE_SIXTEENTHS, _HN_CANDIDATE_FACTOR
+    )
+    two_pass = (
+        grams.join(F.broadcast(cand), "ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(_HN_TOP_K)
+    )
+    exhaustive = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(_HN_TOP_K)
+    )
+    agree = two_pass.join(exhaustive, ["ngram", "n"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_top_agree")
+    )
+    planted_top = two_pass.filter(
+        F.col("ngram").startswith("zzplant")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_planted_in_top"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    vocab = grams.agg(
+        F.countDistinct("ngram").cast("long").alias("vocab_size")
+    )
+    return (
+        agree.crossJoin(F.broadcast(planted_top))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(vocab))
+    )
+
+
+_HNP_DOCS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {_HNP_ID_BASE} + h.h * 10000 + r.r AS doc_id,
+         'zzplant' || lpad(CAST(h.h AS VARCHAR), 2, '0') || ' zzheavy' AS text
+  FROM (SELECT unnest(generate_series(1, {_HNP_HEADS})) AS h) h,
+       LATERAL (SELECT unnest(generate_series(
+           1, {_HNP_BASE} + {_HNP_STEP} * ({_HNP_HEADS} - h.h))) AS r) r"""
+
+SQL_HEAVY_NGRAMS_PLANTED = f"""
+WITH all_docs AS ({_HNP_DOCS_SQL}),
+toks AS (
+  SELECT doc_id, (string_split(text, ' '))[1:50] AS w FROM all_docs),
+bi AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(len(w) - 1, 1)),
+      i -> array_to_string(w[i:i+1], ' '))) AS ngram
+  FROM toks),
+cand AS (
+  SELECT ngram FROM bi
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({_HN_SAMPLE_HEX})
+  GROUP BY ngram
+  ORDER BY COUNT(*) DESC, ngram LIMIT {_HN_TOP_K * _HN_CANDIDATE_FACTOR}),
+twop AS (
+  SELECT b.ngram, COUNT(*) AS n
+  FROM bi b JOIN cand c ON c.ngram = b.ngram
+  GROUP BY b.ngram
+  ORDER BY n DESC, b.ngram LIMIT {_HN_TOP_K}),
+exh AS (
+  SELECT ngram, COUNT(*) AS n FROM bi GROUP BY ngram
+  ORDER BY n DESC, ngram LIMIT {_HN_TOP_K})
+SELECT
+  (SELECT COUNT(*) FROM twop JOIN exh USING (ngram, n)) AS n_top_agree,
+  (SELECT COUNT(*) FROM twop WHERE ngram LIKE 'zzplant%') AS n_planted_in_top,
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  (SELECT COUNT(DISTINCT ngram) FROM bi) AS vocab_size
+"""
+
+
+# --------------------------------------------------------------------
+# Streaming paths as driver-artifact queries: each runs a real
+# Structured Streaming job (availableNow, maxFilesPerTrigger=1 over a
+# 4-file copy of the sf corpus → 4 micro-batches) INSIDE the callable
+# and returns the accumulated state as a bounded local frame, so the
+# driver's DuckDB oracle value-checks the streaming code path itself —
+# previously these had only the sf1/sf5 property gates
+# (tools/check_correctness.py SF1_STREAM_CHECKS), no registry row.
+# --------------------------------------------------------------------
+
+_STREAM_BATCHES = 4
+_STREAM_KMV_K = 256
+
+
+def _stream_src(spark, sf_dir, work, cols):
+    """Write the sf documents table as _STREAM_BATCHES parquet files
+    under ``work/src`` — the micro-batch source."""
+    docs = _t(spark, sf_dir, "documents").select(*cols)
+    docs.repartition(_STREAM_BATCHES).write.parquet(f"{work}/src")
+    return f"{work}/src/*.parquet"
+
+
+def q_stream_dedup_pairs(spark, sf_dir):
+    """Streaming incremental fuzzy dedup (streaming/ingest.py
+    ``stream_fuzzy_dedup``) as a driver-checked query: stream the
+    corpus in 4 micro-batches (each batch MinHash-signed once, probed
+    against the band index accumulated from prior batches, then
+    appended), and return the stream's full accumulated candidate-pair
+    set.  The oracle is the ONE-SHOT batch banding SQL
+    (SQL_MINHASH_PAIRS) — the streaming pair set must equal it exactly
+    at any batch split.  Cap regime note: the stream caps hot buckets
+    per probe side, the batch oracle globally; identical whenever no
+    bucket reaches the cap (true at every sf tier tested — sf1's max
+    bucket is 102 vs cap 500; the sf1/sf5 gates pin the same equality
+    at 10-50x this corpus).  The pair set is near-dup-bounded, so the
+    collect is O(duplicates), never corpus-sized."""
+    import shutil
+    import tempfile
+
+    from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
+
+    work = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    try:
+        src = _stream_src(spark, sf_dir, work, ["doc_id", "text"])
+        stream_fuzzy_dedup(
+            spark, src, f"{work}/out", max_files_per_trigger=1
+        )
+        rows = (
+            spark.read.parquet(f"{work}/out/pairs")
+            .select("a", "b")
+            .distinct()
+            .collect()
+        )
+        return spark.createDataFrame(rows, "a long, b long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_stream_sketch_kmv(spark, sf_dir):
+    """Streaming KMV sketch maintenance (streaming/ingest.py
+    ``stream_sketch``) as a driver-checked query: fold the corpus
+    through 4 micro-batches (per batch: bottom-k of (prior sketch ∪
+    batch bottom-k) — O(k) state however long the stream runs) and
+    return the final sketch's hash values.  The oracle recomputes the
+    one-shot bottom-k of the WHOLE corpus in SQL — the monotone fold
+    must equal it hash for hash at any batch split."""
+    import shutil
+    import tempfile
+
+    from vcfdbr_spark.streaming.ingest import (
+        read_stream_sketch,
+        stream_sketch,
+    )
+
+    work = tempfile.mkdtemp(prefix="q_stream_sketch_")
+    try:
+        src = _stream_src(spark, sf_dir, work, ["doc_id", "text"])
+        stream_sketch(
+            spark, src, f"{work}/out",
+            k=_STREAM_KMV_K, max_files_per_trigger=1,
+        )
+        got, _ = read_stream_sketch(spark, f"{work}/out")
+        return spark.createDataFrame(got.collect(), "h long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the streaming pair set is DEFINED as equal to one-shot batch banding
+SQL_STREAM_DEDUP_PAIRS = SQL_MINHASH_PAIRS
+
+SQL_STREAM_SKETCH_KMV = f"""
+SELECT h FROM (
+  SELECT DISTINCT {_T_HEX15} AS h
+  FROM (SELECT text AS t FROM documents WHERE text IS NOT NULL))
+ORDER BY h LIMIT {_STREAM_KMV_K}
+"""
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Decontamination probe: flag documents containing any of the
     probe n-grams (here: the corpus's 5 most frequent bigrams as a
@@ -4001,102 +4242,23 @@ def q_vcf_ingest_rejects(spark, sf_dir):
 # --------------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
-    # --- rotation block (r11) --------------------------------------
+    # --- rotation block (r12) --------------------------------------
     # The grading driver's artifact caps at the FIRST 50 registry
-    # entries; the policy (see git history of this comment) is that no
-    # registered query sits past the cap for 2+ rounds (enforced by
-    # tests/test_registry_contract.py).  This round the 28 r9-tail
-    # keys (vcfsim_*/vcf_ingest_*/tpch_*/… — last driver rows:
-    # CORRECTNESS_r09.json, exactly at the staleness trigger) rotate
-    # back to the front.  They are joined by the keys whose code
-    # changed this round and therefore need fresh driver rows:
-    # embedding_dup_pairs + semantic_dedup + semantic_dedup_capped
-    # (adaptive band-bits — candidate sets change at every sf),
-    # corpus_filter (lm auto-gate + eager_checkpoint; values
-    # unchanged, executed code is new), split_corpus (full fraction
-    # validation; values unchanged), the NEW embedding_cap_skew
-    # (planted-cluster cap-EFFECT evidence, first driver row), and
-    # the NEW embedding_dup_pairs_recall (recall-targeted band
-    # count, first driver row), and the NEW (late-r11)
-    # embedding_ivf_indexed_topk (persisted partition-pruned IVF
-    # layout, first driver row) + exact_k_sample
-    # (TakeOrderedAndProject exact-size sample, first driver row),
-    # and the NEW (continuation-session) domain_mix (target-mixture
-    # corpus resampling, first driver row) + epoch_shuffle
-    # (deterministic global training-order shuffle, first driver
-    # row) + decontaminate_splits (cross-split near-dup leak
-    # removal, first driver row).  The remaining slots keep r10-green
-    # keys from the dedup/ANN family.  Every key displaced to the
-    # tail (incl. doc_repetition + deterministic_sample + simhash +
-    # simhash_dup_pairs + minhash_sig + ngram_jaccard, displaced for
-    # the seven continuation keys: domain_mix, epoch_shuffle,
-    # decontaminate_splits, snapshot_delta, decontaminate_batch,
-    # training_mix, pack_shuffled; dedup_keep_best joins the
-    # displaced set) is green in CORRECTNESS_r10.json, so all 92
-    # registered queries hold a driver-artifact green row within the
-    # 2-round window once the r11 artifact lands.
-    "vcfsim_info_rare": q_vcfsim_info_rare,
-    "vcfsim_impact_flags": q_vcfsim_impact_flags,
-    "vcfsim_gt_recode": q_vcfsim_gt_recode,
-    "vcfsim_filter_test": q_vcfsim_filter_test,
-    "vcfsim_geno_pull": q_vcfsim_geno_pull,
-    "vcfsim_gene_map": q_vcfsim_gene_map,
-    "vcfsim_interval": q_vcfsim_interval,
-    "vcfsim_interval_join": q_vcfsim_interval_join,
-    "vcf_ingest_info": q_vcf_ingest_info,
-    "vcf_ingest_impact": q_vcf_ingest_impact,
-    "vcf_ingest_geno": q_vcf_ingest_geno,
-    "vcf_ingest_rejects": q_vcf_ingest_rejects,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q18": q_tpch_q18,
-    "filter_distinct_join_count": q_filter_distinct_join_count,
-    "dim_scan_distinct": q_dim_scan_distinct,
-    "per_key_count_binned": q_per_key_count_binned,
-    "chunk_documents": q_chunk_documents,
-    "lm_score": q_lm_score,
-    "scrub_passages": q_scrub_passages,
-    "events_asof": q_events_asof,
-    "events_asof_fwd": q_events_asof_fwd,
-    "events_asof_nearest": q_events_asof_nearest,
-    "repeated_passages": q_repeated_passages,
-    "weighted_sample": q_weighted_sample,
-    # code changed this round / new (see rotation comment above):
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "embedding_dup_pairs_recall": q_embedding_dup_pairs_recall,
-    "embedding_dedup_incremental": q_embedding_dedup_incremental,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_capped": q_semantic_dedup_capped,
-    "embedding_cap_skew": q_embedding_cap_skew,
-    "corpus_filter": q_corpus_filter,
-    "split_corpus": q_split_corpus,
-    # NEW (late-r11) per-domain top-fraction curation + KMV corpus
-    # overlap — first driver rows; they take the slots dedup_exact
-    # and dedup_clusters (both r10-green) held:
-    "quality_prune": q_quality_prune,
-    "corpus_overlap": q_corpus_overlap,
-    # NEW (continuation, this session): exact per-source-pair
-    # shared-passage matrix — first driver row; takes the slot
-    # minhash_pairs (r10-green) held:
-    "source_overlap": q_source_overlap,
-    # NEW (continuation, this session): two-pass heavy hitters —
-    # first driver row; takes the slot corpus_dedup (r10-green) held:
-    "heavy_ngrams": q_heavy_ngrams,
-    # r10-green keys holding window slots (dedup/ANN family):
-    "dedup_incremental": q_dedup_incremental,
-    "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
-    "exact_k_sample": q_exact_k_sample,
-    "domain_mix": q_domain_mix,
-    "epoch_shuffle": q_epoch_shuffle,
-    "decontaminate_splits": q_decontaminate_splits,
-    "snapshot_delta": q_snapshot_delta,
-    "decontaminate_batch": q_decontaminate_batch,
-    "training_mix": q_training_mix,
-    "pack_shuffled": q_pack_shuffled,
-    # displaced to the tail for the late-r11/continuation first-row
-    # keys: all below are r10-driver-green
+    # entries; no registered query may sit past the cap for 2+ rounds
+    # (CI: tests/test_registry_contract.py).  r11's driver artifact
+    # covered exactly the then-first-50 keys, so when the r12 artifact
+    # lands the 2-round window is {r11, r12}: every key whose LAST
+    # driver row is r10 (the 44 keys the r11 rotation displaced to the
+    # tail) must be in this round's window or it starves.  The r12
+    # window is therefore: those 44 r10-only keys, the 3 NEW keys
+    # needing first driver rows (heavy_ngrams_planted — planted
+    # frequency-gap head-recovery evidence; stream_dedup_pairs +
+    # stream_sketch_kmv — the streaming paths' first registry
+    # presence), and the 3 keys whose executed code changed this round
+    # (heavy_ngrams — candidate pass refactored into
+    # word_ngram_frame/heavy_ngram_candidates; corpus_overlap — KMV
+    # NULL-hash filter; lm_score — vocabulary frequency floor).
+    # Every displaced key is green in CORRECTNESS_r11.json.
     "minhash_pairs": q_minhash_pairs,
     "corpus_dedup": q_corpus_dedup,
     "dedup_exact": q_dedup_exact,
@@ -4112,8 +4274,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "multimodal_codec": q_multimodal_codec,
-    # --- end rotation block / tail (driver-green in
-    # CORRECTNESS_r10.json; code unchanged this round) ---------------
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "anti_join_orders": q_anti_join_orders,
@@ -4143,6 +4303,61 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_frames": q_multimodal_frames,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
+    "heavy_ngrams_planted": q_heavy_ngrams_planted,
+    "stream_dedup_pairs": q_stream_dedup_pairs,
+    "stream_sketch_kmv": q_stream_sketch_kmv,
+    "heavy_ngrams": q_heavy_ngrams,
+    "corpus_overlap": q_corpus_overlap,
+    "lm_score": q_lm_score,
+    # --- end rotation block / tail (all driver-green in
+    # CORRECTNESS_r11.json) ------------------------------------------
+    "vcfsim_info_rare": q_vcfsim_info_rare,
+    "vcfsim_impact_flags": q_vcfsim_impact_flags,
+    "vcfsim_gt_recode": q_vcfsim_gt_recode,
+    "vcfsim_filter_test": q_vcfsim_filter_test,
+    "vcfsim_geno_pull": q_vcfsim_geno_pull,
+    "vcfsim_gene_map": q_vcfsim_gene_map,
+    "vcfsim_interval": q_vcfsim_interval,
+    "vcfsim_interval_join": q_vcfsim_interval_join,
+    "vcf_ingest_info": q_vcf_ingest_info,
+    "vcf_ingest_impact": q_vcf_ingest_impact,
+    "vcf_ingest_geno": q_vcf_ingest_geno,
+    "vcf_ingest_rejects": q_vcf_ingest_rejects,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
+    "filter_distinct_join_count": q_filter_distinct_join_count,
+    "dim_scan_distinct": q_dim_scan_distinct,
+    "per_key_count_binned": q_per_key_count_binned,
+    "chunk_documents": q_chunk_documents,
+    "scrub_passages": q_scrub_passages,
+    "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
+    "events_asof_nearest": q_events_asof_nearest,
+    "repeated_passages": q_repeated_passages,
+    "weighted_sample": q_weighted_sample,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_recall": q_embedding_dup_pairs_recall,
+    "embedding_dedup_incremental": q_embedding_dedup_incremental,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_capped": q_semantic_dedup_capped,
+    "embedding_cap_skew": q_embedding_cap_skew,
+    "corpus_filter": q_corpus_filter,
+    "split_corpus": q_split_corpus,
+    "quality_prune": q_quality_prune,
+    "source_overlap": q_source_overlap,
+    "dedup_incremental": q_dedup_incremental,
+    "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
+    "exact_k_sample": q_exact_k_sample,
+    "domain_mix": q_domain_mix,
+    "epoch_shuffle": q_epoch_shuffle,
+    "decontaminate_splits": q_decontaminate_splits,
+    "snapshot_delta": q_snapshot_delta,
+    "decontaminate_batch": q_decontaminate_batch,
+    "training_mix": q_training_mix,
+    "pack_shuffled": q_pack_shuffled,
 }
 
 ORACLE: dict[str, str] = {
@@ -4224,6 +4439,9 @@ ORACLE: dict[str, str] = {
     "text_normalize_dedup": SQL_TEXT_NORMALIZE_DEDUP,
     "top_ngrams": SQL_TOP_NGRAMS,
     "heavy_ngrams": SQL_HEAVY_NGRAMS,
+    "heavy_ngrams_planted": SQL_HEAVY_NGRAMS_PLANTED,
+    "stream_dedup_pairs": SQL_STREAM_DEDUP_PAIRS,
+    "stream_sketch_kmv": SQL_STREAM_SKETCH_KMV,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

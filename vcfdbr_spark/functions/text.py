@@ -352,21 +352,9 @@ def heavy_ngrams(
     Returns ``(ngram, n)``: the candidates' exact-count top ``top_k``
     by (n DESC, ngram) — a total order, deterministic everywhere.
     """
-    from vcfdbr_spark.operators.sampling import md5_bernoulli
-
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            word_shingles(F.col(text_col), n=n, max_words=max_words)
-        ).alias("ngram"),
-    )
-    cand = (
-        grams.filter(md5_bernoulli(F.col(id_col), sample_sixteenths))
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("_sc"))
-        .orderBy(F.col("_sc").desc(), F.col("ngram"))
-        .limit(top_k * candidate_factor)
-        .select("ngram")
+    grams = word_ngram_frame(docs, n, max_words, id_col, text_col)
+    cand = heavy_ngram_candidates(
+        grams, top_k, sample_sixteenths, candidate_factor, id_col
     )
     return (
         grams.join(F.broadcast(cand), "ngram")
@@ -374,4 +362,46 @@ def heavy_ngrams(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("ngram"))
         .limit(top_k)
+    )
+
+
+def word_ngram_frame(
+    docs,
+    n: int = 2,
+    max_words: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """One row per (id, word n-gram) — the shared explode that both
+    :func:`heavy_ngrams` passes (and any caller wanting to compose the
+    candidate pass with its own verify/report stage) run over."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            word_shingles(F.col(text_col), n=n, max_words=max_words)
+        ).alias("ngram"),
+    )
+
+
+def heavy_ngram_candidates(
+    grams,
+    top_k: int = 50,
+    sample_sixteenths: int = 4,
+    candidate_factor: int = 4,
+    id_col: str = "doc_id",
+):
+    """Pass 1 of :func:`heavy_ngrams` as a standalone frame: the
+    md5-sampled subcorpus's top ``top_k * candidate_factor`` n-grams
+    by (sample count DESC, ngram) — exposed so evidence queries can
+    value-check the candidate set itself (how much the sample pass
+    pruned) alongside the final top-k."""
+    from vcfdbr_spark.operators.sampling import md5_bernoulli
+
+    return (
+        grams.filter(md5_bernoulli(F.col(id_col), sample_sixteenths))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("_sc"))
+        .orderBy(F.col("_sc").desc(), F.col("ngram"))
+        .limit(top_k * candidate_factor)
+        .select("ngram")
     )
