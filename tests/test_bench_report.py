@@ -121,6 +121,11 @@ def test_bench_compact_line_fits_driver_tail_window():
     assert compact["omitted"] == 120 - len(compact["queries"])
     assert compact["value"] == full["value"]
     assert "iqr" not in compact
+    # the split ground-truth-baseline total (r11 verdict item 6) rides
+    # along in the compact line, defaulting to 0 when absent upstream
+    assert compact["baseline_queries_total"] == 0.0
+    split = dict(full, baseline_queries_total=42.5)
+    assert bench.compact_line(split)["baseline_queries_total"] == 42.5
 
     # small run: nothing omitted, line still tiny
     small = dict(full, queries={"q1": 1.0, "q2": 2.0})

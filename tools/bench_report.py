@@ -282,9 +282,26 @@ def render(
     ]
     totals = {r: rounds[r]["value"] for r in sorted(rounds)}
     vmax = max(totals.values())
-    lines += ["| round | total (s) | |", "|---|---|---|"]
+    lines += [
+        "Since r12 the headline `value` EXCLUDES the four definitional "
+        "ground-truth baselines (`embedding_topk`, `lsh_recall`, "
+        "`embedding_ivf_topk`, `embedding_lsh_topk`): their query sets "
+        "grow with the corpus by construction — they time the |Q|·|C| "
+        "exact answers the recall checks need, not the engine — and at "
+        "sf5 they were 45% of the old combined total.  They still run "
+        "every round; their sum rides in `baseline_queries_total` "
+        "(shown when present).  Pre-r12 rows are the old combined "
+        "totals.",
+        "",
+        "| round | total (s) | baseline (s) | |",
+        "|---|---|---|---|",
+    ]
     for r, v in totals.items():
-        lines.append(f"| r{r:02d} | {v:.2f} | `{_bar(v, vmax)}` |")
+        bt = rounds[r].get("baseline_queries_total")
+        bt_cell = "—" if bt is None else f"{bt:.2f}"
+        lines.append(
+            f"| r{r:02d} | {v:.2f} | {bt_cell} | `{_bar(v, vmax)}` |"
+        )
     lines.append("")
 
     if charts:
