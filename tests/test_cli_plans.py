@@ -611,6 +611,110 @@ def test_cli_ivf_index_search_and_stream_assign(spark, tmp_path, capsys):
     assert out1 == out2
 
 
+def test_ivf_drift_signal_and_reindex(spark, tmp_path, capsys):
+    """IVF index lifecycle under corpus drift (r11 verdict item 7):
+    appends are pinned to the frozen centroids (the sidecar guard),
+    so a drifted append concentrates into few lists.  Pins that (1) a
+    planted drift cluster fires the DOCUMENTED imbalance signal
+    (ivf_imbalance >= IVF_REINDEX_RATIO), (2) queries on the drifted
+    index remain exact vs the non-indexed operator under the SAME
+    pinned centroids (drift degrades pruning, never correctness),
+    (3) the ivf-reindex CLI verb rewrites the layout transactionally
+    (fresh centroids, signal cleared, no vectors lost) and queries
+    again match the non-indexed operator under the NEW centroids."""
+    import math
+
+    from vcfdbr_spark.operators.similarity import (
+        IVF_REINDEX_RATIO,
+        ivf_imbalance,
+        ivf_topk,
+        ivf_topk_indexed,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    # cosine space: clusters must differ in DIRECTION, not scale —
+    # region r points along dims {2r, 2r+1}
+    def vec(seed, region):
+        return [
+            round(
+                (1.0 if d // 2 == region else 0.0)
+                + math.sin(seed * 7.3 + d) * 0.05,
+                3,
+            )
+            for d in range(8)
+        ]
+
+    # base corpus: 4 well-separated regions, 10 vectors each
+    base_rows = [(i, vec(i, i % 4)) for i in range(40)]
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(base_rows, schema)
+    idx = str(tmp_path / "ivf_drift_idx")
+    write_ivf_index(base, idx, nlist=4, n_iter=2)
+
+    healthy = ivf_imbalance(spark, idx).first()
+    assert not healthy["reindex_signal"]
+
+    # drifted append: 120 vectors over a NEW internally-spread region
+    # (a cone over dims 0-2 the training never saw) — each decisively
+    # nearest region 0's frozen centroid, so the drift piles into one
+    # list; the internal spread is what lets the retrain SPLIT it
+    # (k-means correctly refuses to split a point mass)
+    def dvec(i):
+        w = [1.0, 0.5 + (i % 3) * 0.5, 0.5 + ((i // 3) % 3) * 0.5] + [0.0] * 5
+        return [
+            round(w[d] + math.sin(i * 7.3 + d) * 0.05, 3) for d in range(8)
+        ]
+
+    drift = spark.createDataFrame(
+        [(100 + i, dvec(i)) for i in range(120)], schema
+    )
+    write_ivf_index(
+        drift, idx,
+        centroids=read_ivf_centroids(spark, idx),
+        mode="append",
+    )
+    drifted = ivf_imbalance(spark, idx).first()
+    assert drifted["reindex_signal"]
+    assert drifted["imbalance"] >= IVF_REINDEX_RATIO
+    assert drifted["n_lists"] <= 4
+
+    # correctness is undamaged by drift: indexed results == the
+    # non-indexed operator under the same pinned centroids
+    full = base.unionByName(drift)
+    q = full.filter("vec_id % 20 = 0")
+    pinned = read_ivf_centroids(spark, idx)
+    want = sorted(map(tuple, ivf_topk(
+        full, q, k=3, centroids=pinned
+    ).collect()))
+    got = sorted(map(tuple, ivf_topk_indexed(
+        spark, idx, q, k=3
+    ).collect()))
+    assert got == want
+
+    # transactional reindex via the CLI verb: signal clears, all 160
+    # vectors survive, queries match the non-indexed op under the
+    # FRESH centroids
+    # nlist grows with the corpus (40 → 160 vectors): retraining at
+    # a larger list budget lets k-means split the drift cluster
+    assert cli_main(["ivf-reindex", "--index", idx, "--nlist", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "signal: REINDEX" in out and "ivf-reindexed" in out
+    after = ivf_imbalance(spark, idx).first()
+    assert not after["reindex_signal"]
+    assert spark.read.parquet(idx).count() == 160
+    want2 = sorted(map(tuple, ivf_topk(
+        full, q, k=3, centroids=read_ivf_centroids(spark, idx)
+    ).collect()))
+    got2 = sorted(map(tuple, ivf_topk_indexed(
+        spark, idx, q, k=3
+    ).collect()))
+    assert got2 == want2
+    # --if-signaled on a healthy index reports and exits without work
+    assert cli_main(["ivf-reindex", "--index", idx, "--if-signaled"]) == 0
+    assert "healthy" in capsys.readouterr().out
+
+
 def test_cli_stream_dedup_empty_source(spark, tmp_path, capsys):
     """ADVICE r7: a fresh/empty source dir fires zero batches, so
     pairs/ is never created — the CLI must report zero pairs, not die

@@ -332,6 +332,24 @@ def main(argv: list[str] | None = None) -> int:
     isr.add_argument("--k", type=int, default=5)
     isr.add_argument("--nprobe", type=int, default=3)
 
+    irx = sub.add_parser(
+        "ivf-reindex",
+        help="retrain + reassign a DRIFTED ivf-index in place "
+        "(write-to-side + atomic swap; readers only ever see a "
+        "complete layout): appends keep centroids frozen, so once "
+        "ivf_imbalance fires the documented signal (hottest list "
+        ">= IVF_REINDEX_RATIO x median) this rebuilds the lists "
+        "under fresh k-means centroids trained on the stored corpus",
+    )
+    irx.add_argument("--index", required=True, help="ivf-index directory")
+    irx.add_argument("--nlist", type=int, default=None,
+                     help="new centroid count (default: keep stored)")
+    irx.add_argument("--n-iter", type=int, default=2,
+                     help="Lloyd rounds for the retrain")
+    irx.add_argument("--if-signaled", action="store_true",
+                     help="only reindex when the imbalance signal "
+                     "fires; otherwise report the stat and exit 0")
+
     sia = sub.add_parser(
         "stream-ivf-assign",
         help="streaming IVF index maintenance: assign each parquet "
@@ -828,6 +846,32 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"ivf-searched {args.queries} (k={args.k}, "
             f"nprobe={args.nprobe}): {n} result rows → {args.out}"
+        )
+        return 0
+
+    if args.cmd == "ivf-reindex":
+        from vcfdbr_spark.operators.similarity import (
+            ivf_imbalance,
+            reindex_ivf,
+        )
+
+        before = ivf_imbalance(spark, args.index).first()
+        print(
+            f"ivf-imbalance {args.index}: max {before['max_n']} / "
+            f"median {before['median_n']:.0f} = {before['imbalance']}x "
+            f"across {before['n_lists']} lists — signal: "
+            f"{'REINDEX' if before['reindex_signal'] else 'healthy'}"
+        )
+        if args.if_signaled and not before["reindex_signal"]:
+            return 0
+        reindex_ivf(
+            spark, args.index, nlist=args.nlist, n_iter=args.n_iter
+        )
+        after = ivf_imbalance(spark, args.index).first()
+        print(
+            f"ivf-reindexed {args.index}: imbalance "
+            f"{before['imbalance']}x → {after['imbalance']}x "
+            f"({after['n_lists']} lists)"
         )
         return 0
 

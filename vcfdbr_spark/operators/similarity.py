@@ -609,6 +609,92 @@ def ivf_list_stats(spark, path: str) -> DataFrame:
     )
 
 
+#: documented re-index signal for a persisted IVF layout: when the
+#: hottest inverted list outgrows the median by this ratio, appended
+#: drift has re-concentrated the probe scan onto a few huge
+#: partitions and the pruning win (nprobe/nlist) is gone — retrain
+#: (reindex_ivf).  An order of magnitude is the textbook heuristic;
+#: the stat itself is exact, measure-don't-guess (ivf_imbalance).
+IVF_REINDEX_RATIO = 8.0
+
+
+def ivf_imbalance(spark, path: str) -> DataFrame:
+    """One-row list-balance summary of a :func:`write_ivf_index`
+    layout: ``n_lists``, ``max_n``, ``median_n``, ``imbalance``
+    (max/median) and ``reindex_signal`` (imbalance ≥
+    :data:`IVF_REINDEX_RATIO`) — the documented retrain trigger for
+    drifted incremental corpora.  Same partition-column-only scan as
+    :func:`ivf_list_stats` (reads no data columns)."""
+    return ivf_list_stats(spark, path).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("median_n"),
+    ).select(
+        "n_lists",
+        "max_n",
+        "median_n",
+        F.round(F.col("max_n") / F.col("median_n"), 3).alias("imbalance"),
+        (F.col("max_n") / F.col("median_n") >= IVF_REINDEX_RATIO).alias(
+            "reindex_signal"
+        ),
+    )
+
+
+def reindex_ivf(
+    spark,
+    path: str,
+    nlist: int | None = None,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Retrain + reassign a DRIFTED :func:`write_ivf_index` layout in
+    place, transactionally: incremental appends keep the centroids
+    frozen (the sidecar guard demands it — mixed assignments probe
+    the wrong lists), so a corpus whose distribution drifts away from
+    the original training sample accumulates hot lists; once
+    :func:`ivf_imbalance` fires the documented signal, this rewrites
+    the whole layout under FRESH k-means centroids trained on the
+    stored corpus itself.
+
+    Swap protocol (each rename atomic on HDFS — same class as the
+    stream index compaction): write the re-trained layout to
+    ``<path>__reindex_tmp`` → rename current → ``__reindex_old`` →
+    rename tmp → current → delete old.  A crash between the renames
+    leaves the old layout recoverable; the next call heals it (renames
+    ``__reindex_old`` back) before re-indexing, and readers only ever
+    see a complete layout at ``path``.
+
+    ``nlist`` defaults to the stored centroid count (re-balance under
+    the same list budget); pass a larger value when the corpus has
+    outgrown it (lists should stay ~|C|/nlist sized).
+    """
+    from vcfdbr_spark import fs as _fs
+
+    tmp, old = f"{path}__reindex_tmp", f"{path}__reindex_old"
+    if not _fs.exists(spark, path) and _fs.exists(spark, old):
+        _fs.rename(spark, old, path)  # heal a half-finished swap
+    if nlist is None:
+        nlist = read_ivf_centroids(spark, path, id_col=id_col).count()
+    corpus = spark.read.parquet(path).select(id_col, vec_col)
+    _fs.delete_dir(spark, tmp)
+    write_ivf_index(
+        corpus, tmp, nlist=nlist, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col, mode="overwrite",
+    )
+    _fs.delete_dir(spark, old)
+    _fs.rename(spark, path, old)
+    _fs.rename(spark, tmp, path)
+    _fs.delete_dir(spark, old)
+    # Invalidate every cached plan rooted at the swapped path: callers
+    # that persisted frames over the OLD layout (ivf_topk's amortized
+    # centroid/assignment caches are the documented instance) would
+    # otherwise be served the pre-reindex rows for reads of the SAME
+    # path string — Spark's overwrite-a-cached-path gotcha.  Covers
+    # the _centroids sidecar too (prefix match).
+    spark.catalog.refreshByPath(path)
+
+
 def ivf_topk_indexed(
     spark,
     path: str,
