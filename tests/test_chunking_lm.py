@@ -173,6 +173,50 @@ def test_lm_score_pretrained_model_context_aware_miss(spark):
     assert out[10]["bits_per_bigram"] < out[12]["bits_per_bigram"]
 
 
+def test_lm_score_min_count_floor_semantics(spark):
+    """The vocabulary floor (min_count): (1) the smoothing
+    denominators keep the FULL mass — a kept bigram's score is
+    IDENTICAL with and without the floor; (2) a pruned (singleton)
+    bigram scores through the add-1/2 miss formula 1/(2·ctx + V) of
+    its FULL context, strictly below every kept bigram of that
+    context; (3) min_count=1/None are exact no-ops."""
+    # counts: (a,b)=3, (a,c)=1 → ctx(a)=4, V=2
+    docs = _docs(
+        spark, [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")]
+    )
+    plain = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    floored = {
+        r["doc_id"]: r for r in lm_score(docs, min_count=2).collect()
+    }
+
+    def bits(p):
+        return round(round(-math.log2(p) * LM_QUANT) / LM_QUANT, 6)
+
+    # kept bigram (a,b): same smoothed p = (2*3+1)/(2*4+2) both ways
+    assert floored[1]["bits_per_bigram"] == plain[1]["bits_per_bigram"]
+    assert floored[1]["bits_per_bigram"] == pytest.approx(
+        bits(7 / 10), abs=1e-9
+    )
+    # pruned singleton (a,c): plain scores (2*1+1)/10, floored takes
+    # the miss 1/(2*ctx + V) = 1/10 — strictly more bits
+    assert plain[4]["bits_per_bigram"] == pytest.approx(
+        bits(3 / 10), abs=1e-9
+    )
+    assert floored[4]["bits_per_bigram"] == pytest.approx(
+        bits(1 / 10), abs=1e-9
+    )
+    assert floored[4]["bits_per_bigram"] > floored[1]["bits_per_bigram"]
+    # no-op floors
+    for mc in (None, 1):
+        same = {
+            r["doc_id"]: r["bits_per_bigram"]
+            for r in lm_score(docs, min_count=mc).collect()
+        }
+        assert same == {
+            k: v["bits_per_bigram"] for k, v in plain.items()
+        }
+
+
 def test_lm_train_materialize_releases_intermediates(spark):
     """materialize=True leaves exactly ONE net cache — the returned
     model (the reusable index; caller releases) — not the counts

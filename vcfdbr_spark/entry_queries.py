@@ -3122,6 +3122,77 @@ FROM sums
 """
 
 
+# frequency floor for the floored-LM evidence query — interpolated
+# into BOTH plans (exact-literal rule)
+_LM_MIN_COUNT = 2
+
+
+def q_lm_score_floored(spark, sf_dir):
+    """``lm_score`` on the VOCABULARY-BOUNDED path (min_count floor,
+    operators/lm.py): bigrams observed fewer than _LM_MIN_COUNT times
+    are pruned from the model AFTER the smoothing denominators take the
+    full mass, and a pruned doc bigram scores through the same
+    add-1/2 miss formula as an unseen one.  This is the standard
+    public fix for the model table growing with observed vocabulary
+    (on Zipf corpora ~half the bigram types are singletons); the
+    shipped sf0.01 corpus has exactly 10 singleton bigrams, so this
+    row value-checks the FLOORED semantics against the oracle (they
+    genuinely differ from plain lm_score there).  Scoring switches to
+    the left-join + miss-coalesce path — the same one the pre-trained
+    model path uses."""
+    from vcfdbr_spark.operators.lm import lm_score
+
+    return lm_score(
+        _t(spark, sf_dir, "documents"), min_count=_LM_MIN_COUNT
+    )
+
+
+SQL_LM_SCORE_FLOORED = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+counts AS (SELECT prev, cur, COUNT(*) AS c FROM big GROUP BY prev, cur),
+-- smoothing denominators keep the FULL mass (taken before the floor)
+ctx AS (SELECT prev, SUM(c) AS ctx_c FROM counts GROUP BY prev),
+v AS (SELECT COUNT(DISTINCT cur) AS vocab FROM counts),
+kept AS (SELECT prev, cur, c FROM counts WHERE c >= {_LM_MIN_COUNT}),
+model AS (
+  SELECT prev, cur,
+         CAST(round(log2(CAST(2 * c + 1 AS DOUBLE)
+                         / CAST(2 * ctx_c + vocab AS DOUBLE)) * {_LM_QUANT})
+              AS BIGINT) AS q,
+         ctx_c
+  FROM kept JOIN ctx USING (prev) CROSS JOIN v),
+-- the engine's ctx table is distinct over MODEL rows: a context whose
+-- every bigram was pruned falls back to the unseen-context miss (1/V)
+mctx AS (SELECT prev, MAX(ctx_c) AS ctx_c FROM model GROUP BY prev),
+db AS (
+  SELECT doc_id, prev, cur, COUNT(*) AS k
+  FROM big GROUP BY doc_id, prev, cur),
+scored AS (
+  SELECT db.doc_id, db.k,
+         COALESCE(model.q,
+                  CAST(round(-log2(CAST(2 * COALESCE(mctx.ctx_c, 0)
+                                        + v.vocab AS DOUBLE))
+                             * {_LM_QUANT}) AS BIGINT)) AS q
+  FROM db LEFT JOIN model USING (prev, cur)
+          LEFT JOIN mctx USING (prev)
+          CROSS JOIN v),
+sums AS (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(k * q) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       CAST((2 * s + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+         / {_LM_QUANT}.0 AS bits_per_bigram
+FROM sums
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -4308,9 +4379,13 @@ QUERIES: dict[str, QueryFn] = {
     "stream_sketch_kmv": q_stream_sketch_kmv,
     "heavy_ngrams": q_heavy_ngrams,
     "corpus_overlap": q_corpus_overlap,
-    "lm_score": q_lm_score,
+    # NEW (r12): vocabulary-floored LM — first driver row; plain
+    # lm_score's executed code is unchanged (min_count defaults off)
+    # and r11-green, so it yields its window slot to the new variant
+    "lm_score_floored": q_lm_score_floored,
     # --- end rotation block / tail (all driver-green in
     # CORRECTNESS_r11.json) ------------------------------------------
+    "lm_score": q_lm_score,
     "vcfsim_info_rare": q_vcfsim_info_rare,
     "vcfsim_impact_flags": q_vcfsim_impact_flags,
     "vcfsim_gt_recode": q_vcfsim_gt_recode,
@@ -4386,6 +4461,7 @@ ORACLE: dict[str, str] = {
     "per_key_count_binned": SQL_PER_KEY_COUNT_BINNED,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "lm_score": SQL_LM_SCORE,
+    "lm_score_floored": SQL_LM_SCORE_FLOORED,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_dedup_capped": SQL_SEMANTIC_DEDUP_CAPPED,
     "split_corpus": SQL_SPLIT_CORPUS,

@@ -131,6 +131,7 @@ def train_bigram_model(
     bigrams: DataFrame,
     materialize: bool = True,
     checkpoint_counts: bool = True,
+    min_count: int | None = None,
 ) -> DataFrame:
     """(prev, cur, q, ctx_c, vocab) — the smoothed model: ``q`` is
     the per-bigram log2-probability in integer micro-bits,
@@ -163,7 +164,25 @@ def train_bigram_model(
     the BLOCKING materialization costs wall-clock (measured +22% at
     sf1 on local[32]).  ``checkpoint_counts=False`` keeps the plan
     fully lazy (three overlapping scans); ``lm_score``'s ``"auto"``
-    gate picks by corpus input size (``LM_COUNTS_GATE_BYTES``)."""
+    gate picks by corpus input size (``LM_COUNTS_GATE_BYTES``).
+
+    ``min_count`` frequency-floors the MODEL: bigrams observed fewer
+    than ``min_count`` times are pruned from the model table AFTER
+    the context totals and vocabulary are taken (so the smoothing
+    denominators keep the FULL mass), and a pruned bigram scores
+    exactly like an unseen one — the add-1/2 miss probability
+    ``1/(2·ctx + V)``, which the smoothing already reserves below
+    every kept bigram of the same context.  This is the standard
+    public n-gram-LM vocabulary bound: on a Zipf corpus ~half the
+    bigram TYPES are singletons carrying ~none of the mass, so the
+    model table (the join/broadcast side of every scoring batch — the
+    term that grows with observed vocabulary rather than with the
+    corpus scan) shrinks ~2× at min_count=2 with a bounded, smoothed
+    score change.  ``None`` keeps every observed bigram (exact parity
+    with the unfloored oracle).  NOTE: the shipped sf corpora have a
+    near-constant ~950 bigram vocabulary (0 singletons at sf0.1+), so
+    there the floor is a 100-TB-readiness knob, not a local speedup —
+    measured in BENCH_NOTES r12."""
     counts = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
     if materialize:
         counts = counts.persist()
@@ -171,10 +190,13 @@ def train_bigram_model(
         from vcfdbr_spark.plans.checkpoints import eager_checkpoint
 
         counts = eager_checkpoint(counts)
+    cached_counts = counts  # unpersist handle (the floor rebinds counts)
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("ctx_c"))
     vocab = counts.agg(
         F.count_distinct("cur").cast("long").alias("vocab")
     )
+    if min_count is not None and min_count > 1:
+        counts = counts.filter(F.col("c") >= min_count)
     p = (2 * F.col("c") + 1).cast("double") / (
         2 * F.col("ctx_c") + F.col("vocab")
     ).cast("double")
@@ -192,7 +214,7 @@ def train_bigram_model(
     if materialize:
         model = model.persist()
         model.count()  # eager: safe to drop the counts cache now
-        counts.unpersist()
+        cached_counts.unpersist()
     return model
 
 
@@ -202,6 +224,7 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_counts: bool | str = "auto",
+    min_count: int | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, bits_per_bigram) — per-document cross-entropy
     under the bigram model (lower = more predictable text; extreme
@@ -230,9 +253,17 @@ def lm_score(
     join — this is MONOTONE below every seen bigram of the same
     context (a seen bigram has ``(2c+1) >= 3`` over the same
     denominator), so never-seen gibberish can't out-score
-    rare-but-valid text."""
+    rare-but-valid text.
+
+    ``min_count`` (self-trained path only) frequency-floors the
+    model (see :func:`train_bigram_model`): a pruned doc bigram then
+    scores through the SAME miss formula as an unseen one, so the
+    scoring join switches from the inner-join shortcut (every doc
+    bigram is in an unfloored self-trained model by construction) to
+    the pre-trained path's left-join + miss coalesce."""
     big = doc_bigrams(docs, text_col=text_col, id_col=id_col)
     trained_here = model is None
+    floored = min_count is not None and min_count > 1
     if trained_here:
         if materialize_counts == "auto":
             nbytes = _local_input_bytes(docs)
@@ -240,12 +271,15 @@ def lm_score(
                 nbytes is None or nbytes >= LM_COUNTS_GATE_BYTES
             )
         model = train_bigram_model(
-            big, materialize=False, checkpoint_counts=bool(materialize_counts)
+            big,
+            materialize=False,
+            checkpoint_counts=bool(materialize_counts),
+            min_count=min_count,
         )
     per_doc = big.groupBy(id_col, "prev", "cur").agg(
         F.count(F.lit(1)).alias("k")
     )
-    if trained_here:
+    if trained_here and not floored:
         joined = per_doc.join(
             model.select("prev", "cur", "q"), ["prev", "cur"]
         )
