@@ -16,13 +16,17 @@ Spark shape (all built-in column algebra, no UDFs):
    shuffle 2 over the already-small model); vocabulary size attached
    as a 1×1 broadcast scalar (same documented cartesian-free
    exemption pattern as tf-idf's n_docs);
-3. scoring: doc bigrams pre-aggregated per (doc, prev, cur) [shuffle
-   3, map-side combine] then joined to the model [shuffle 4 — AQE
-   broadcasts the model when it fits, shuffles otherwise] and
-   reduced per doc [shuffle 5, tiny].
+3. scoring (default shape): bigram INSTANCE rows join the broadcast
+   model map-side, then ONE per-doc reduction whose shuffle carries
+   |docs| map-side-combined partials — scoring adds no corpus-sized
+   shuffle (r12; the former per-(doc, prev, cur) pre-agg shuffled
+   ~every instance and was the heaviest lm stage at sf1/sf5).  When
+   the model outgrows the broadcast threshold, ``preaggregate=True``
+   restores the pre-agg so repeated doc bigrams dedup before they
+   cross the join shuffle.
 
-At 100 TB the corpus-sized stages are the two map-side-combined
-aggregations; the model table scales with *observed vocabulary*²,
+At 100 TB the corpus-sized stages are the counts aggregation and the
+scoring scan; the model table scales with *observed vocabulary*²,
 not corpus size, so the join side stays comparatively small.
 
 Caching contract (mirrors ``dedup_components``): with ``materialize``
@@ -225,6 +229,7 @@ def lm_score(
     id_col: str = "doc_id",
     materialize_counts: bool | str = "auto",
     min_count: int | None = None,
+    preaggregate: bool = False,
 ) -> DataFrame:
     """(id, n_bigrams, bits_per_bigram) — per-document cross-entropy
     under the bigram model (lower = more predictable text; extreme
@@ -260,7 +265,21 @@ def lm_score(
     scores through the SAME miss formula as an unseen one, so the
     scoring join switches from the inner-join shortcut (every doc
     bigram is in an unfloored self-trained model by construction) to
-    the pre-trained path's left-join + miss coalesce."""
+    the pre-trained path's left-join + miss coalesce.
+
+    ``preaggregate`` picks the scoring-join shape.  ``False``
+    (default — the BROADCAST-MODEL regime, which the 64 MB threshold
+    covers up to multi-million-type vocabularies): bigram INSTANCE
+    rows join the model map-side and the per-doc reduction shuffles
+    only |docs| map-side-combined partials — no corpus-sized shuffle
+    anywhere in scoring (measured r12: the per-type pre-agg was the
+    single heaviest lm stage at sf1/sf5, 7.9 of 11.9 s, while its
+    shuffle carried ~every bigram instance as a (doc, prev, cur)
+    group).  ``True`` pre-aggregates per (doc, prev, cur) BEFORE the
+    join — worth it only when the model CANNOT broadcast and the join
+    itself shuffles: the pre-agg then dedups each doc's repeated
+    bigrams before they cross the wire.  Identical results either way
+    (integer micro-bit sums commute)."""
     big = doc_bigrams(docs, text_col=text_col, id_col=id_col)
     trained_here = model is None
     floored = min_count is not None and min_count > 1
@@ -276,18 +295,21 @@ def lm_score(
             checkpoint_counts=bool(materialize_counts),
             min_count=min_count,
         )
-    per_doc = big.groupBy(id_col, "prev", "cur").agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    if preaggregate:
+        scored_in = big.groupBy(id_col, "prev", "cur").agg(
+            F.count(F.lit(1)).alias("k")
+        )
+    else:
+        scored_in = big.withColumn("k", F.lit(1))
     if trained_here and not floored:
-        joined = per_doc.join(
+        joined = scored_in.join(
             model.select("prev", "cur", "q"), ["prev", "cur"]
         )
     else:
         ctx_tbl = model.select("prev", "ctx_c").distinct()
         scalars = model.agg(F.max("vocab").alias("_v"))
         joined = (
-            per_doc.join(
+            scored_in.join(
                 model.select("prev", "cur", "q"), ["prev", "cur"], "left"
             )
             .join(ctx_tbl, "prev", "left")
