@@ -4321,15 +4321,18 @@ QUERIES: dict[str, QueryFn] = {
     # lands the 2-round window is {r11, r12}: every key whose LAST
     # driver row is r10 (the 44 keys the r11 rotation displaced to the
     # tail) must be in this round's window or it starves.  The r12
-    # window is therefore: those 44 r10-only keys, the 3 NEW keys
+    # window is therefore: those 44 r10-only keys, the 4 NEW keys
     # needing first driver rows (heavy_ngrams_planted — planted
     # frequency-gap head-recovery evidence; stream_dedup_pairs +
     # stream_sketch_kmv — the streaming paths' first registry
-    # presence), and the 3 keys whose executed code changed this round
+    # presence; lm_score_floored — the min_count vocabulary-floor
+    # variant), and the 2 keys whose executed code changed this round
     # (heavy_ngrams — candidate pass refactored into
     # word_ngram_frame/heavy_ngram_candidates; corpus_overlap — KMV
-    # NULL-hash filter; lm_score — vocabulary frequency floor).
-    # Every displaced key is green in CORRECTNESS_r11.json.
+    # NULL-hash filter).  Plain lm_score's scoring join was reshaped
+    # this round too; it sits first in the tail (r11-green row, full
+    # local check at HEAD, and the sf1/sf5 gates re-verify it at
+    # scale).  Every displaced key is green in CORRECTNESS_r11.json.
     "minhash_pairs": q_minhash_pairs,
     "corpus_dedup": q_corpus_dedup,
     "dedup_exact": q_dedup_exact,
