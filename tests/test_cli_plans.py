@@ -385,6 +385,12 @@ def test_every_registered_query_plan_is_scale_clean(spark):
         # KMV sketch: 1-row stats x 1-row match-count x two 1-row
         # exact aggregates (late r11) — each side broadcast
         "corpus_overlap",
+        # planted heavy-hitter evidence (r12): four 1-row aggregates
+        # crossJoined into the single summary row — each broadcast
+        "heavy_ngrams_planted",
+        # floored LM (r12): inherits lm_score's 1x1 vocab attach plus
+        # the miss path's 1-row scalars attach
+        "lm_score_floored",
     }
     sf_dir = "/root/testdata/sf0.001"
     bad = {}
