@@ -99,7 +99,24 @@ DATA_QUERIES = [
     "doc_len_quantiles",
     "user_event_history",
     "lsh_recall",
+    # evidence keys (r12/r13) tracked since r13 so their cost has a
+    # round-over-round history (SCALE.md "evidence queries")
+    "heavy_ngrams_planted",
+    "lm_score_floored",
+    "lm_zipf_floor",
+    "stream_dedup_pairs",
+    "stream_sketch_kmv",
+    "stream_batch_parity",
 ]
+
+# Streaming evidence keys rebuild a temp source corpus and run real
+# micro-batch jobs per invocation — a measured PIPELINE, not a lazy
+# plan.  Single-shot like the build/ingest keys: the first run IS the
+# cost (and 3x-running three streams per bench would dominate the
+# wall clock for a fixed-cost number).
+SINGLE_SHOT_QUERIES = frozenset(
+    ["stream_dedup_pairs", "stream_sketch_kmv", "stream_batch_parity"]
+)
 
 GENE_SWEEP = [f"G{i:03d}" for i in range(1, 201, 10)]  # 20 genes
 
@@ -484,6 +501,7 @@ def main() -> None:
         timed(
             name,
             lambda fn=fn: _noop(fn(spark, sf_dir)),
+            repeats=1 if name in SINGLE_SHOT_QUERIES else BENCH_REPEATS,
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -71,6 +71,25 @@ def test_no_query_starves_past_the_cap():
     )
 
 
+def test_next_window_can_cover_the_tail():
+    """Forward-looking satisfiability at HEAD (r12 verdict item 7):
+    after THIS round's artifact lands, the following round's window
+    must still be able to cover every key it will owe a row — i.e.
+    the keys currently in the window (they rotate to the tail next
+    round) plus any tail key whose only recent row would expire.
+    With a 50-key cap and a 2-round window that bound is
+    |QUERIES| <= 2 * cap; at exactly 2 * cap the next round must be
+    net-zero on registry size (fold new evidence into existing keys)
+    or retire keys first.  This fails AT HEAD — when the over-sized
+    registry is authored — not at artifact-commit time when the
+    starvation is already baked."""
+    assert len(QUERIES) <= 2 * DRIVER_CAP, (
+        f"{len(QUERIES)} registered queries cannot rotate through a "
+        f"{DRIVER_CAP}-key driver window within 2 rounds: retire or "
+        f"fold keys before adding more"
+    )
+
+
 def test_committed_artifacts_only_name_registered_queries():
     """The LATEST committed artifact's keys are all present-tense
     registry members: a rename/removal that orphans driver evidence

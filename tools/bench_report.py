@@ -23,8 +23,12 @@ import glob
 import json
 import os
 import re
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from bench import BASELINE_QUERIES  # noqa: E402  (constants only)
 
 # Reference numbers transcribed from BASELINE.md (the reference's
 # published benchmark CSVs); the mapping to our bench keys is the one
@@ -231,8 +235,31 @@ def load_rounds() -> dict[int, dict]:
                 continue
             doc = _payload(path)
             if doc:
-                rounds[int(m.group(1))] = doc
+                rounds[int(m.group(1))] = _normalize_split(doc)
     return rounds
+
+
+def _normalize_split(doc: dict) -> dict:
+    """One consistent headline series across the r12 metric split
+    (ADVICE r12): pre-r12 payloads carry COMBINED totals, r12+ carry
+    engine-only `value` + `baseline_queries_total`.  When a pre-r12
+    payload retains full per-key detail, recompute the same split
+    from its `queries` dict; a truncated compact artifact (driver
+    tail-window rows with `omitted` keys) stays combined and renders
+    '—' in the baseline column — disclosed per-row, never silently
+    mixed."""
+    if doc.get("baseline_queries_total") is not None:
+        return doc
+    qs = doc.get("queries", {})
+    present = [k for k in BASELINE_QUERIES if k in qs]
+    if doc.get("omitted") or len(present) < len(BASELINE_QUERIES):
+        return doc
+    bt = round(sum(qs[k] for k in present), 3)
+    doc = dict(doc)
+    doc["baseline_queries_total"] = bt
+    doc["value"] = round(doc["value"] - bt, 3)
+    doc["_split_recomputed"] = True
+    return doc
 
 
 def load_sf1() -> dict[str, dict]:
@@ -240,7 +267,7 @@ def load_sf1() -> dict[str, dict]:
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_sf1*.json"))):
         doc = _payload(path)
         if doc:
-            out[os.path.basename(path)] = doc
+            out[os.path.basename(path)] = _normalize_split(doc)
     return out
 
 
@@ -249,7 +276,7 @@ def load_sf5() -> dict[str, dict]:
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_sf5*.json"))):
         doc = _payload(path)
         if doc:
-            out[os.path.basename(path)] = doc
+            out[os.path.basename(path)] = _normalize_split(doc)
     return out
 
 
@@ -258,7 +285,7 @@ def load_local() -> dict[str, dict]:
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_LOCAL_r*.json"))):
         doc = _payload(path)
         if doc:
-            out[os.path.basename(path)] = doc
+            out[os.path.basename(path)] = _normalize_split(doc)
     return out
 
 
@@ -283,24 +310,28 @@ def render(
     totals = {r: rounds[r]["value"] for r in sorted(rounds)}
     vmax = max(totals.values())
     lines += [
-        "Since r12 the headline `value` EXCLUDES the four definitional "
+        "The headline `value` EXCLUDES the four definitional "
         "ground-truth baselines (`embedding_topk`, `lsh_recall`, "
         "`embedding_ivf_topk`, `embedding_lsh_topk`): their query sets "
         "grow with the corpus by construction — they time the |Q|·|C| "
         "exact answers the recall checks need, not the engine — and at "
         "sf5 they were 45% of the old combined total.  They still run "
-        "every round; their sum rides in `baseline_queries_total` "
-        "(shown when present).  Pre-r12 rows are the old combined "
-        "totals.",
+        "every round; their sum rides in `baseline_queries_total`.  "
+        "Rows marked `*` predate the r12 split and are recomputed into "
+        "the SAME split from their retained per-query snapshots, so "
+        "the whole column is one comparable series; `—` appears only "
+        "where a driver artifact truncated per-key timings and the "
+        "total stays combined.",
         "",
-        "| round | total (s) | baseline (s) | |",
+        "| round | engine total (s) | baseline (s) | |",
         "|---|---|---|---|",
     ]
     for r, v in totals.items():
         bt = rounds[r].get("baseline_queries_total")
         bt_cell = "—" if bt is None else f"{bt:.2f}"
+        mark = "\\*" if rounds[r].get("_split_recomputed") else ""
         lines.append(
-            f"| r{r:02d} | {v:.2f} | {bt_cell} | `{_bar(v, vmax)}` |"
+            f"| r{r:02d} | {v:.2f}{mark} | {bt_cell} | `{_bar(v, vmax)}` |"
         )
     lines.append("")
 

@@ -118,6 +118,17 @@ SF1_STREAM_CHECKS = [
     "stream_sketch_vs_batch",
 ]
 
+#: persisted-IVF-index lifecycle under drift at TIER scale (r12
+#: verdict item 4): the unit drift test (tests/test_cli_plans.py::
+#: test_ivf_drift_signal_and_reindex) is 160 vectors; this gate row
+#: drives the sf-tier embeddings corpus (20k at sf1 / 100k at sf5)
+#: through build → healthy → planted off-distribution append →
+#: signal fires → queries still exact vs the non-indexed operator
+#: under the FROZEN centroids → `ivf-reindex --if-signaled` retrains
+#: transactionally → queries exact under the FRESH centroids, no
+#: vectors lost.
+SF1_LIFECYCLE_CHECKS = ["ivf_drift_reindex"]
+
 SF1_DEFAULT_DIR = "/tmp/sf1"
 
 #: Doc-side connected-component keys whose REGISTRY oracle closes the
@@ -379,6 +390,148 @@ def _stream_sketch_record(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _ivf_drift_record(spark, sf_dir: str) -> dict:
+    """See :data:`SF1_LIFECYCLE_CHECKS`.  The planted drift is the
+    hottest stored centroid's direction scaled 10x with +-0.05
+    deterministic jitter — decisively nearest that one frozen
+    centroid, so |corpus|/8 appended vectors pile into a single
+    inverted list and max/median crosses the documented 8x signal by
+    construction.  Post-reindex the gate asserts CORRECTNESS (the
+    lifecycle's contract: drift and retrain may change pruning
+    economics, never answers) plus full vector survival; it does NOT
+    assert the signal clears — whether k-means can re-balance a
+    point-mass hot region is a corpus property, pinned at unit scale
+    on a deliberately splittable corpus."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from vcfdbr_spark.cli import main as cli_main
+    from vcfdbr_spark.operators.similarity import (
+        ivf_imbalance,
+        ivf_topk,
+        ivf_topk_indexed,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    nlist, jitter_mod = 64, 101
+    work = tempfile.mkdtemp(prefix="sf1_ivf_drift_")
+    path = f"{work}/index"
+    try:
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+        n = emb.count()
+        write_ivf_index(emb, path, nlist=nlist, n_iter=2)
+        healthy = ivf_imbalance(spark, path).first()
+        if healthy["reindex_signal"]:
+            return {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"index unhealthy before drift: {healthy}",
+                "oracle": "property: lifecycle pre/post reindex",
+            }
+        # hottest list's centroid = the drift target
+        hot_list = (
+            spark.read.parquet(path).groupBy("cent_id")
+            .count().orderBy(F.desc("count"), "cent_id").first()["cent_id"]
+        )
+        cstar = [
+            float(x)
+            for x in read_ivf_centroids(spark, path)
+            .filter(F.col("vec_id") == hot_list)
+            .first()["embedding"]
+        ]
+        base_arr = F.array(*[F.lit(10.0 * x) for x in cstar])
+        drift = spark.range(n // 8).select(
+            (F.lit(800_000_000) + F.col("id")).cast("long").alias("vec_id"),
+            F.transform(
+                base_arr,
+                lambda x, i: (
+                    x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("id"), i), F.lit(jitter_mod)
+                        )
+                        - F.lit(jitter_mod // 2)
+                    ).cast("double")
+                    / F.lit(1000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        write_ivf_index(
+            drift, path,
+            centroids=read_ivf_centroids(spark, path), mode="append",
+        )
+        drifted = ivf_imbalance(spark, path).first()
+        if not drifted["reindex_signal"]:
+            return {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"planted drift did not fire the signal: {drifted}",
+                "oracle": "property: lifecycle pre/post reindex",
+            }
+        full = emb.unionByName(drift)
+        queries = emb.filter(
+            (F.col("vec_id") % 2_000 == 0) & (F.col("vec_id") < 20_000)
+        )
+
+        def topk_pair():
+            want = sorted(map(tuple, ivf_topk(
+                full, queries, k=5, nprobe=3,
+                centroids=read_ivf_centroids(spark, path),
+            ).collect()))
+            got = sorted(map(tuple, ivf_topk_indexed(
+                spark, path, queries, k=5, nprobe=3,
+            ).collect()))
+            return want, got
+
+        want_pre, got_pre = topk_pair()
+        if want_pre != got_pre:
+            return {
+                "rows_match": len(got_pre) == len(want_pre),
+                "schema_match": True, "hash_match": False,
+                "spark_rows": len(got_pre), "oracle_rows": len(want_pre),
+                "err": "drifted index answers != non-indexed operator",
+                "oracle": "property: lifecycle pre/post reindex",
+            }
+        # the signal-gated CLI path IS the production trigger
+        rc = cli_main(
+            ["ivf-reindex", "--index", path, "--if-signaled",
+             "--nlist", str(2 * nlist)]
+        )
+        n_after = spark.read.parquet(path).count()
+        want_post, got_post = topk_pair()
+        ok = (
+            rc == 0
+            and n_after == n + n // 8
+            and want_post == got_post
+        )
+        return {
+            "rows_match": n_after == n + n // 8,
+            "schema_match": True,
+            "hash_match": ok,
+            "spark_rows": len(got_post),
+            "oracle_rows": len(want_post),
+            "err": None if ok else (
+                f"post-reindex: rc={rc}, vectors {n_after} vs "
+                f"{n + n // 8}, topk match={want_post == got_post}"
+            ),
+            "oracle": "property: lifecycle pre/post reindex "
+                      f"(imbalance {drifted['imbalance']} -> "
+                      f"{ivf_imbalance(spark, path).first()['imbalance']})",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def ensure_sf1_dir() -> str:
     """Deterministic sf1 derivation (make_sf1.py is pure in its
     inputs, so a rebuild reproduces the dataset bit-for-bit)."""
@@ -532,7 +685,11 @@ def main() -> int:
             argv = argv[1:]
     if sf1_mode:
         sf_dir = ensure_sf1_dir()
-        only = set(argv) or set(SF1_QUERIES) | set(SF1_STREAM_CHECKS)
+        only = set(argv) or (
+            set(SF1_QUERIES)
+            | set(SF1_STREAM_CHECKS)
+            | set(SF1_LIFECYCLE_CHECKS)
+        )
     else:
         sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
         only = set(argv[1:])
@@ -647,6 +804,28 @@ def main() -> int:
             if rec["hash_match"]:
                 print(
                     f"PASS {name}: pairs={rec['spark_rows']} == batch "
+                    f"[{time.time() - t0:.1f}s]"
+                )
+            else:
+                print(f"FAIL {name}: {rec['err']}")
+                failures.append(name)
+        for name in SF1_LIFECYCLE_CHECKS:
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            try:
+                rec = _ivf_drift_record(spark, sf_dir)
+            except Exception as ex:
+                rec = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": None,
+                    "oracle_rows": None, "err": f"lifecycle: {ex}"[:300],
+                    "oracle": "property: lifecycle pre/post reindex",
+                }
+            records[name] = rec
+            if rec["hash_match"]:
+                print(
+                    f"PASS {name}: {rec['oracle']} "
                     f"[{time.time() - t0:.1f}s]"
                 )
             else:

@@ -335,8 +335,9 @@ def main(argv: list[str] | None = None) -> int:
     irx = sub.add_parser(
         "ivf-reindex",
         help="retrain + reassign a DRIFTED ivf-index in place "
-        "(write-to-side + atomic swap; readers only ever see a "
-        "complete layout): appends keep centroids frozen, so once "
+        "(write-to-side + rename swap; readers never see a PARTIAL "
+        "layout — a read during the brief swap window fails loudly "
+        "and should be retried): appends keep centroids frozen, so once "
         "ivf_imbalance fires the documented signal (hottest list "
         ">= IVF_REINDEX_RATIO x median) this rebuilds the lists "
         "under fresh k-means centroids trained on the stored corpus",

