@@ -30,11 +30,10 @@ def _sorted_rows(rows):
 def test_lm_preaggregate_shapes_agree_and_auto_resolves(spark):
     """The three scoring-join shapes (instance-level, per-type
     pre-agg, auto) are value-identical (integer micro-bit sums
-    commute), and "auto" keys on Catalyst's own broadcastability
-    signal: a persisted pre-trained model under the default threshold
-    broadcasts (-> instance shape); with the threshold forced below
-    the model's real size it does not (-> pre-agg shape) — and the
-    answers still agree."""
+    commute); "auto" resolves to the instance shape in every regime
+    (the measured rule — see lm_score's docstring and BENCH_NOTES
+    r13) including the no-broadcast one, and the companion
+    model_would_broadcast diagnostic tracks Catalyst's threshold."""
     from vcfdbr_spark.operators.lm import (
         doc_bigrams,
         lm_score,
@@ -57,6 +56,8 @@ def test_lm_preaggregate_shapes_agree_and_auto_resolves(spark):
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
         try:
+            # the diagnostic flips with the threshold; auto's RESULT
+            # stays correct either way
             assert not model_would_broadcast(model)
             e = _sorted_rows(lm_score(docs, model=model).collect())
         finally:

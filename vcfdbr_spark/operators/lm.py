@@ -316,26 +316,28 @@ def lm_score(
     scoring (measured r12: the per-type pre-agg was the single
     heaviest lm stage at sf1/sf5, 7.9 of 11.9 s, while its shuffle
     carried ~every bigram instance as a (doc, prev, cur) group).
-    ``True`` pre-aggregates per (doc, prev, cur) BEFORE the join —
-    worth it only when the model CANNOT broadcast and the join itself
-    shuffles: the pre-agg then dedups each doc's repeated bigrams
-    before they cross the wire (measured r13, BENCH_NOTES: with the
-    broadcast disabled it wins ~25% at sf1).  ``"auto"`` (default)
-    keys the choice on the SAME estimated-model-size-vs-broadcast-
-    threshold comparison Catalyst makes for the join side
-    (:func:`model_would_broadcast`): a pre-trained model whose
-    estimate exceeds the threshold pre-aggregates; a self-trained
-    model stays instance-level — its lazy estimate is the corpus
-    scan wearing the aggregate's hat (never trustworthy upward), the
-    vocab²-sized real model is what the threshold covers, and AQE
-    re-plans the join to broadcast from the runtime size anyway.
-    Identical results whichever shape runs (integer micro-bit sums
-    commute)."""
+    ``True`` pre-aggregates per (doc, prev, cur) BEFORE the join.
+    ``"auto"`` (default) resolves to the instance shape in EVERY
+    regime — measured, not assumed (BENCH_NOTES r13): the ADVICE-r12
+    suggestion of keying the choice on the model-size-vs-broadcast-
+    threshold signal was implemented and A/B-measured with broadcast
+    DISABLED, and the instance shape still won 1.8× at sf1 — the
+    pre-agg adds a SECOND instance-sized shuffle (its groupBy) before
+    the join shuffle, so non-broadcastability alone never justifies
+    it.  What does is per-doc bigram REPETITION: the pre-agg's
+    groupBy shrinks the join input by the mean per-doc repetition
+    factor k, so it wins when k ≳ 2 (measured: 1.6× faster on a
+    k≈199 boilerplate corpus, same no-broadcast conf).  k is a
+    corpus property the engine cannot see before training, so the
+    high-repetition regime is an explicit caller opt-in
+    (``preaggregate=True``), with :func:`model_would_broadcast`
+    exposed as the companion diagnostic.  Identical results
+    whichever shape runs (integer micro-bit sums commute)."""
     big = doc_bigrams(docs, text_col=text_col, id_col=id_col)
     trained_here = model is None
     floored = min_count is not None and min_count > 1
     if preaggregate == "auto":
-        preaggregate = not (trained_here or model_would_broadcast(model))
+        preaggregate = False
     if trained_here:
         if materialize_counts == "auto":
             nbytes = _local_input_bytes(docs)
