@@ -28,7 +28,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-from bench import BASELINE_QUERIES  # noqa: E402  (constants only)
+from bench import BASELINE_QUERIES, EVIDENCE_QUERIES  # noqa: E402  (constants only)
 
 # Reference numbers transcribed from BASELINE.md (the reference's
 # published benchmark CSVs); the mapping to our bench keys is the one
@@ -248,17 +248,27 @@ def _normalize_split(doc: dict) -> dict:
     tail-window rows with `omitted` keys) stays combined and renders
     '—' in the baseline column — disclosed per-row, never silently
     mixed."""
-    if doc.get("baseline_queries_total") is not None:
-        return doc
     qs = doc.get("queries", {})
-    present = [k for k in BASELINE_QUERIES if k in qs]
-    if doc.get("omitted") or len(present) < len(BASELINE_QUERIES):
-        return doc
-    bt = round(sum(qs[k] for k in present), 3)
-    doc = dict(doc)
-    doc["baseline_queries_total"] = bt
-    doc["value"] = round(doc["value"] - bt, 3)
-    doc["_split_recomputed"] = True
+    if doc.get("baseline_queries_total") is None:
+        present = [k for k in BASELINE_QUERIES if k in qs]
+        if doc.get("omitted") or len(present) < len(BASELINE_QUERIES):
+            return doc
+        bt = round(sum(qs[k] for k in present), 3)
+        doc = dict(doc)
+        doc["baseline_queries_total"] = bt
+        doc["value"] = round(doc["value"] - bt, 3)
+        doc["_split_recomputed"] = True
+    # same treatment for the r13 evidence-pipeline split (only
+    # artifacts that RAN evidence keys get the field; older rounds
+    # simply have no such keys to subtract)
+    if doc.get("evidence_queries_total") is None:
+        ev = [k for k in EVIDENCE_QUERIES if k in qs]
+        if ev and not doc.get("omitted"):
+            et = round(sum(qs[k] for k in ev), 3)
+            doc = dict(doc)
+            doc["evidence_queries_total"] = et
+            doc["value"] = round(doc["value"] - et, 3)
+            doc["_split_recomputed"] = True
     return doc
 
 
@@ -317,21 +327,27 @@ def render(
         "exact answers the recall checks need, not the engine — and at "
         "sf5 they were 45% of the old combined total.  They still run "
         "every round; their sum rides in `baseline_queries_total`.  "
-        "Rows marked `*` predate the r12 split and are recomputed into "
-        "the SAME split from their retained per-query snapshots, so "
-        "the whole column is one comparable series; `—` appears only "
-        "where a driver artifact truncated per-key timings and the "
-        "total stays combined.",
+        "Since r13 the streaming EVIDENCE pipelines (stream_dedup_pairs, "
+        "stream_sketch_kmv, stream_batch_parity — single-shot jobs that "
+        "rebuild a temp corpus per run; SCALE.md 'Evidence queries') are "
+        "likewise split into `evidence_queries_total`.  Rows marked `*` "
+        "predate a split and are recomputed into the SAME split from "
+        "their retained per-query snapshots, so the whole column is one "
+        "comparable series; `—` appears only where a driver artifact "
+        "truncated per-key timings and the total stays combined.",
         "",
-        "| round | engine total (s) | baseline (s) | |",
-        "|---|---|---|---|",
+        "| round | engine total (s) | baseline (s) | evidence (s) | |",
+        "|---|---|---|---|---|",
     ]
     for r, v in totals.items():
         bt = rounds[r].get("baseline_queries_total")
         bt_cell = "—" if bt is None else f"{bt:.2f}"
+        et = rounds[r].get("evidence_queries_total")
+        et_cell = "—" if et is None else f"{et:.2f}"
         mark = "\\*" if rounds[r].get("_split_recomputed") else ""
         lines.append(
-            f"| r{r:02d} | {v:.2f}{mark} | {bt_cell} | `{_bar(v, vmax)}` |"
+            f"| r{r:02d} | {v:.2f}{mark} | {bt_cell} | {et_cell} "
+            f"| `{_bar(v, vmax)}` |"
         )
     lines.append("")
 
