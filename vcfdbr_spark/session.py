@@ -52,6 +52,15 @@ def get_spark(
         # disk-throughput-bound windows.  Readers are codec-agnostic
         # (footer metadata), so existing snappy stores stay readable.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Same trade for shuffle/broadcast blocks (default lz4):
+        # interleaved 2x2-session A/B at sf1 on the four most
+        # shuffle-heavy keys (BENCH_NOTES r13) measured -51% shuffle
+        # bytes (122.0 -> 59.9 MB, deterministic) at wall-times
+        # inside window noise.  local[32] shuffles through the page
+        # cache, so equal local time means the compression CPU is
+        # absorbed; on a real cluster those bytes cross the network
+        # and the win is proportional to the byte cut.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # PySpark 4 walks the Python stack on EVERY DataFrame API call
