@@ -162,7 +162,20 @@ def minhash_signatures(
 
     min() over the shingle multiset == min over the set, so no
     distinct pass is needed before aggregation.
+
+    The input is :func:`~vcfdbr_spark.operators.skew.spread_scan`-
+    spread first: the shingle explode + per-shingle md5s are the
+    dominant CPU of the whole LSH pipeline, and a small-file scan
+    otherwise runs them in ONE task (no-op at scale).  This is the
+    ONE expansion operator where the spread won its interleaved A/B
+    (minhash_pairs 0.74× at sf0.1); the cheaper token/bigram
+    expansions (simhash, doc_bigrams, tfidf, repetition) measured
+    1.4-1.6× WORSE with it — the extra text shuffle and broken
+    scan→agg fusion outweigh the parallelism — so they stay unspread.
     """
+    from vcfdbr_spark.operators.skew import spread_scan
+
+    docs = spread_scan(docs)
     n_src = -(-num_hashes // 4)  # ceil: md5 sources needed
     sh = docs.select(
         F.col(id_col),

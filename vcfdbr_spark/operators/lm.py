@@ -159,7 +159,13 @@ def doc_bigrams(
 ) -> DataFrame:
     """(id, prev, cur) — one row per bigram instance, lowercased
     whitespace tokens.  Documents with fewer than 2 tokens emit no
-    rows (a 1-token doc has no bigram to score)."""
+    rows (a 1-token doc has no bigram to score).
+
+    (r14 note: a ``spread_scan`` of the input was tried here and
+    REVERTED — interleaved A/B at sf0.1 measured lm_score 1.46× slower
+    with it: the tokenize+zip_with expansion is too cheap per row for
+    the extra text shuffle + broken scan/agg fusion to pay off, unlike
+    the minhash shingle+md5 path where it stays.)"""
     toks = ws_tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     pairs = F.zip_with(
