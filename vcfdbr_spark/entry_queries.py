@@ -2970,9 +2970,19 @@ def q_stream_batch_parity(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="q_stream_parity_")
-    rows = []
-    try:
-        # --- decon: frozen eval index -> batch-split-invariant ------
+
+    # The three sections are INDEPENDENT pipelines over disjoint work
+    # dirs — run them as concurrent driver-thread jobs (§2.6: overlap
+    # independent jobs so one stream's micro-batch barriers back-fill
+    # the others' idle executors).  Each section is self-contained
+    # (writes its own sources, runs its stream, reduces to one digest
+    # row); the result frame's row ORDER stays pinned by assembling
+    # in the fixed part order after all three complete.  Measured at
+    # sf0.1 the serial form spent ~35 s of wall in driver/stream
+    # barrier gaps alone; overlapping hides most of it.
+
+    def _part_decon():
+        # frozen eval index -> batch-split-invariant
         sc = split_assign_col(F.col("doc_id"), _SPLIT_FRACTIONS)
         docs.filter(sc != "train").select("doc_id", "text").write.parquet(
             f"{work}/eval"
@@ -2991,9 +3001,10 @@ def q_stream_batch_parity(spark, sf_dir):
         de_kept = _read_parquet_or_empty(
             spark, f"{work}/de_out/kept", "doc_id long, text string"
         ).select("doc_id")
-        rows.append(("decon", *_id_set_digest(de_kept, "doc_id").first()))
+        return ("decon", *_id_set_digest(de_kept, "doc_id").first())
 
-        # --- semantic: pinned adaptive banding, split-invariant -----
+    def _part_semantic():
+        # pinned adaptive banding, split-invariant
         emb = _t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
         )
@@ -3012,9 +3023,10 @@ def q_stream_batch_parity(spark, sf_dir):
             .select("a", "b")
             .distinct()
         )
-        rows.append(("semantic", *_pair_set_digest(se_pairs).first()))
+        return ("semantic", *_pair_set_digest(se_pairs).first())
 
-        # --- cfilter: order-dependent -> pinned batch assignment ----
+    def _part_cfilter():
+        # order-dependent -> pinned batch assignment
         cf = docs.select("doc_id", "text", "lang", "source")
         for i in range(_STREAM_BATCHES):
             (
@@ -3035,7 +3047,17 @@ def q_stream_batch_parity(spark, sf_dir):
         cf_kept = _read_parquet_or_empty(
             spark, f"{work}/cf_out/kept", "doc_id long"
         ).select("doc_id")
-        rows.append(("cfilter", *_id_set_digest(cf_kept, "doc_id").first()))
+        return ("cfilter", *_id_set_digest(cf_kept, "doc_id").first())
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(p)
+                for p in (_part_decon, _part_semantic, _part_cfilter)
+            ]
+            rows = [f.result() for f in futs]
         return spark.createDataFrame(
             rows, "part string, n long, digest string"
         )

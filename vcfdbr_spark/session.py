@@ -47,10 +47,12 @@ def get_spark(
         # zstd over the default snappy for every Parquet the engine
         # writes: measured on the sf1 geno store (BENCH_NOTES r13),
         # 24% smaller files at equal-or-faster write AND equal scan
-        # time.  At the 100 TB target that is 24% less store/shuffle
-        # spill footprint, and the write path degrades 24% less on
-        # disk-throughput-bound windows.  Readers are codec-agnostic
-        # (footer metadata), so existing snappy stores stay readable.
+        # time.  At the 100 TB target that is 24% less store
+        # footprint, and the write path degrades 24% less on
+        # disk-throughput-bound windows.  (Shuffle/spill compression
+        # is governed by spark.io.compression.codec below, not by
+        # this writer codec.)  Readers are codec-agnostic (footer
+        # metadata), so existing snappy stores stay readable.
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Same trade for shuffle/broadcast blocks (default lz4):
         # interleaved 2x2-session A/B at sf1 on the four most
