@@ -3446,12 +3446,29 @@ def q_lm_zipf_floor(spark, sf_dir):
       through the unseen-context 1/V branch).
 
     The 1-row aggregates attach as broadcast scalar crossJoins
-    (documented 1×1 exemption)."""
-    from vcfdbr_spark.operators.lm import doc_bigrams, lm_score
+    (documented 1×1 exemption).
+
+    Plan shape (r14): the bigram-count table is computed ONCE and
+    checkpointed (it is vocab²-bounded, far below corpus size), then
+    consumed by BOTH the type/singleton census and the model build
+    (``model_from_counts``) — previously the census and
+    ``lm_score``'s self-training each re-derived counts from the
+    corpus (22 parquet scans / 56 Exchanges in the before-plan;
+    interleaved A/B 0.62×, values identical).  Scoring goes through
+    the pre-trained-model path, which is the same left-join + miss
+    coalesce the floored self-trained path uses."""
+    from vcfdbr_spark.operators.lm import (
+        doc_bigrams,
+        lm_score,
+        model_from_counts,
+    )
+    from vcfdbr_spark.plans.checkpoints import eager_checkpoint
 
     docs_all = _zipf_floor_docs(spark, sf_dir)
-    counts = doc_bigrams(docs_all).groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).alias("c")
+    counts = eager_checkpoint(
+        doc_bigrams(docs_all).groupBy("prev", "cur").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
     types_agg = counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
@@ -3462,7 +3479,9 @@ def q_lm_zipf_floor(spark, sf_dir):
         .cast("long")
         .alias("n_singleton_types"),
     )
-    scored = lm_score(docs_all, min_count=_LM_MIN_COUNT)
+    scored = lm_score(
+        docs_all, model=model_from_counts(counts, min_count=_LM_MIN_COUNT)
+    )
     score_agg = scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
         F.sum("n_bigrams").cast("long").alias("sum_bigrams"),

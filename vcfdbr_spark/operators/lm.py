@@ -241,7 +241,30 @@ def train_bigram_model(
         from vcfdbr_spark.plans.checkpoints import eager_checkpoint
 
         counts = eager_checkpoint(counts)
-    cached_counts = counts  # unpersist handle (the floor rebinds counts)
+    model = model_from_counts(counts, min_count=min_count)
+    if materialize:
+        model = model.persist()
+        model.count()  # eager: safe to drop the counts cache now
+        counts.unpersist()
+    return model
+
+
+def model_from_counts(
+    counts: DataFrame, min_count: int | None = None
+) -> DataFrame:
+    """Build the smoothed model directly from a ``(prev, cur, c)``
+    bigram-count table — the post-aggregation half of
+    :func:`train_bigram_model`, factored out so a caller that already
+    HAS the counts (because it derives other statistics from the same
+    table — e.g. the zipf-floor evidence row's type/singleton census)
+    can train without a second corpus bigram+aggregation pass.  The
+    smoothing denominators (context totals, vocabulary) are taken
+    from the FULL counts before any ``min_count`` pruning, exactly as
+    in :func:`train_bigram_model` — pass the unpruned table.
+
+    The caller owns the counts frame's lifetime: checkpoint or
+    persist it if it feeds multiple consumers (the model subtree
+    reads it three ways: model join, context totals, vocabulary)."""
     ctx = counts.groupBy("prev").agg(F.sum("c").alias("ctx_c"))
     vocab = counts.agg(
         F.count_distinct("cur").cast("long").alias("vocab")
@@ -251,7 +274,7 @@ def train_bigram_model(
     p = (2 * F.col("c") + 1).cast("double") / (
         2 * F.col("ctx_c") + F.col("vocab")
     ).cast("double")
-    model = (
+    return (
         counts.join(ctx, "prev")
         .crossJoin(F.broadcast(vocab))  # 1x1 scalar attach (documented)
         .select(
@@ -262,11 +285,6 @@ def train_bigram_model(
             "vocab",
         )
     )
-    if materialize:
-        model = model.persist()
-        model.count()  # eager: safe to drop the counts cache now
-        cached_counts.unpersist()
-    return model
 
 
 def lm_score(

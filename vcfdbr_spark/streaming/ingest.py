@@ -887,6 +887,12 @@ def _stream_banded_dedup(
     comp_dir = f"{out_dir}/band_index_compacted"
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch frames hide their file list, so the signing
+        # operators' own spread_scan cannot fire — spread here, where
+        # the micro-batch size contract is known (see spread_batch)
+        from vcfdbr_spark.operators.skew import spread_batch
+
+        batch_df = spread_batch(batch_df)
         bands = make_bands(batch_df).persist()
         if not bands.take(1):
             # A bandless batch (empty file, or every doc gated out by
@@ -1050,6 +1056,12 @@ def stream_decontaminate(
         _fs.delete_dir(spark, f"{keep_dir}/batch={batch_id}")
         if not batch_df.take(1):
             return
+        # spread AFTER the emptiness guard (no exchange for a husk);
+        # the probe-side signing below is the per-batch CPU heavy
+        # stage the foreachBatch frame otherwise runs on one task
+        from vcfdbr_spark.operators.skew import spread_batch
+
+        batch_df = spread_batch(batch_df)
         kept = decontaminate_batch(
             batch_df, eval_docs, eval_index=eval_index,
             jaccard_threshold=jaccard_threshold,
