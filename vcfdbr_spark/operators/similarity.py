@@ -344,7 +344,13 @@ def ivf_assign(
     """
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, nlist_mod, nlist)
-    qc = _quantized_vectors(corpus, id_col, vec_col)
+    # spread a small-file corpus scan before the per-row O(nlist·dim)
+    # scoring (skew.spread_scan: no-op at scale, where the scan
+    # range-splits on its own; r14 — the whole assignment otherwise
+    # ran as ONE task on a single-file corpus)
+    from vcfdbr_spark.operators.skew import spread_scan
+
+    qc = _quantized_vectors(spread_scan(corpus), id_col, vec_col)
     cents = with_quantized(centroids, vec_col).select(
         F.col(id_col).alias("cent_id"),
         F.col("_qv").alias("cv"),
@@ -387,8 +393,15 @@ def ivf_train(
     cents = ivf_centroids(corpus, id_col, vec_col, nlist=nlist)
     # One quantization of the corpus, persisted, reused by EVERY
     # iteration's assignment and mean step — without this each Lloyd
-    # round re-scans and re-quantizes the corpus from source.
-    qcorp = _quantized_vectors(corpus, id_col, vec_col).persist()
+    # round re-scans and re-quantizes the corpus from source.  The
+    # corpus is spread first (skew.spread_scan, no-op at scale): a
+    # single-file corpus otherwise persists as ONE partition, and
+    # every Lloyd round's assignment + posexplode mean then runs as a
+    # single 5-9 s task with the rest of the cores idle (event-log
+    # profile, r14).
+    from vcfdbr_spark.operators.skew import spread_scan
+
+    qcorp = _quantized_vectors(spread_scan(corpus), id_col, vec_col).persist()
     for _ in range(n_iter):
         cents = cents.persist()
         cq = with_quantized(cents, vec_col).select(
@@ -571,6 +584,15 @@ def write_ivf_index(
     (
         corpus.select(id_col, vec_col)
         .join(assign, id_col)
+        # one task per inverted list before the dynamic-partition
+        # write: without this every upstream task opens a writer per
+        # cent_id dir it touches (T×nlist small files per build, and
+        # every probe re-lists and re-opens them — the same §6 shape
+        # fixed for the band index in r14).  cent_id is a
+        # deterministic function of the vector, so retried map tasks
+        # reproduce the assignment; at scale size nlist so one list
+        # ≈ one healthy file.
+        .repartition("cent_id")
         .write.mode(mode)
         .partitionBy("cent_id")
         .parquet(path)
