@@ -690,6 +690,50 @@ def test_band_index_pfx_mismatch_is_detected(spark, tmp_path):
     assert all(0 <= next(iter(v)) < 16 for v in by_bucket.values())
 
 
+def test_dedup_components_local_path_matches_distributed(spark):
+    """r14 optimization: below ``local_edges_max`` edges the labeling
+    is solved by driver-side union-find — it must produce EXACTLY the
+    distributed contraction loop's output (one row per paired vertex,
+    keep_id = component min) on a mixed graph (chain + star + clique
+    + duplicate/reversed/self pairs), for long AND string ids."""
+    from vcfdbr_spark.operators.dedup import dedup_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]  # chain
+        + [(50, j) for j in (51, 52, 53)]  # star
+        + [(70, 71), (71, 72), (70, 72)]  # clique
+        + [(71, 70), (5, 5), (51, 50)]  # reversed / self / dup
+    )
+    for ids in (
+        lambda v: v,
+        lambda v: f"d{v:04d}",
+    ):
+        pairs = spark.createDataFrame(
+            [(ids(a), ids(b)) for a, b in edges],
+            (
+                "a long, b long"
+                if ids(0) == 0
+                else "a string, b string"
+            ),
+        )
+        stats_l: dict = {}
+        local = dedup_components(
+            pairs, materialize=False, stats=stats_l
+        )
+        stats_d: dict = {}
+        dist = dedup_components(
+            pairs, materialize=False, stats=stats_d, local_edges_max=0
+        )
+        assert stats_l.get("local_edges") is not None
+        assert "local_edges" not in stats_d and stats_d["rounds"] > 0
+        got_l = {(r[0], r[1]) for r in local.collect()}
+        got_d = {(r[0], r[1]) for r in dist.collect()}
+        assert got_l == got_d, (got_l, got_d)
+        # self-paired-only doc 5 appears in neither
+        assert ids(5) not in {a for a, _ in got_l}
+        assert local.schema["doc_id"].dataType == dist.schema["doc_id"].dataType
+
+
 def test_dedup_components_chain_logarithmic_rounds(spark):
     """Label-edge acceleration: a 40-link chain (diameter 40) must
     converge well under 40 neighbor-min rounds (plain propagation
@@ -701,7 +745,7 @@ def test_dedup_components_chain_logarithmic_rounds(spark):
         [(i, i + 1) for i in range(100, 140)], "a long, b long"
     )
     stats: dict = {}
-    out = dedup_components(chain, stats=stats)
+    out = dedup_components(chain, stats=stats, local_edges_max=0)
     got = {r["doc_id"]: r["keep_id"] for r in out.collect()}
     out.unpersist()
     assert got == {i: 100 for i in range(100, 141)}
@@ -1011,7 +1055,7 @@ def test_dedup_components_raises_instead_of_truncating(spark):
         [(i, i + 1) for i in range(100, 160)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="uncontracted"):
-        dedup_components(chain, max_iter=2)
+        dedup_components(chain, max_iter=2, local_edges_max=0)
     # and the same graph converges fine with the default budget
     out = dedup_components(chain, materialize=False)
     assert {r["keep_id"] for r in out.collect()} == {100}

@@ -917,7 +917,9 @@ def test_dedup_components_10k_chain_converges_in_log_rounds(spark):
         [(i, i + 1) for i in range(links)], "a long, b long"
     )
     stats: dict = {}
-    out = dedup_components(chain, stats=stats, materialize=False)
+    out = dedup_components(
+        chain, stats=stats, materialize=False, local_edges_max=0
+    )
     agg = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("keep_id") != 0).cast("long")).alias("bad"),
