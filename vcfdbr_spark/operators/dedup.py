@@ -553,12 +553,20 @@ def dedup_components(
         if stats is not None:
             stats["rounds"] = 0
             stats["local_edges"] = n_edges
+        import pandas as pd
         from pyspark.sql.types import StructField, StructType
 
         xt = edges_ck.schema["x"].dataType
         spark = edges_ck.sparkSession
+        # pandas + Arrow → a JVM LocalRelation: evaluated without
+        # Python workers (a plain list-of-tuples createDataFrame is a
+        # parallelize() RDD that pays a Python-worker round trip on
+        # EVERY downstream action — measured 0.5-5 s per action vs
+        # 0.2 s here) and carrying ACCURATE size stats, so consumers'
+        # joins see a broadcastable few-KB relation, not
+        # defaultSizeInBytes.
         out = spark.createDataFrame(
-            label_rows,
+            pd.DataFrame(label_rows, columns=["doc_id", "keep_id"]),
             StructType(
                 [
                     StructField("doc_id", xt, False),
