@@ -37,7 +37,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(

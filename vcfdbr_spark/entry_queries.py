@@ -3057,6 +3057,21 @@ def q_stream_batch_parity(spark, sf_dir):
                 pool.submit(p)
                 for p in (_part_decon, _part_semantic, _part_cfilter)
             ]
+            # gather EVERY part's failure before raising: `[f.result()
+            # for f in futs]` would surface only the first-listed
+            # part's exception and swallow concurrent stream failures
+            errs = [f.exception() for f in futs]
+            if any(errs):
+                raise RuntimeError(
+                    "stream_batch_parity part failures: "
+                    + "; ".join(
+                        f"{name}: {e!r}"
+                        for name, e in zip(
+                            ("decon", "semantic", "cfilter"), errs
+                        )
+                        if e is not None
+                    )
+                ) from next(e for e in errs if e is not None)
             rows = [f.result() for f in futs]
         return spark.createDataFrame(
             rows, "part string, n long, digest string"

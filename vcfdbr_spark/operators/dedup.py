@@ -546,7 +546,10 @@ def dedup_components(
     # O(small) driver materializations (band prefixes, KMV survivors),
     # not a corpus collect.  Measured at sf0.1 (interleaved A/B, warm
     # reps): semantic_dedup-shaped keys drop ~30-45 Spark jobs each.
-    if n_edges <= local_edges_max:
+    # local_edges_max=0 documents "force distributed" — gate on it
+    # explicitly so an EMPTY canonical edge set (0 <= 0) honors the
+    # forced-distributed contract instead of silently short-circuiting
+    if local_edges_max > 0 and n_edges <= local_edges_max:
         edge_rows = [(r[0], r[1]) for r in edges_ck.collect()]
         _release(edges_ck)
         label_rows = _union_find_min_labels(edge_rows)
@@ -569,8 +572,13 @@ def dedup_components(
             pd.DataFrame(label_rows, columns=["doc_id", "keep_id"]),
             StructType(
                 [
-                    StructField("doc_id", xt, False),
-                    StructField("keep_id", xt, False),
+                    # nullable=True matches the distributed loop's
+                    # output schema exactly (its label columns come
+                    # through joins/least() and are nullable); a
+                    # strict schema comparison or a union of frames
+                    # from the two paths must see ONE schema
+                    StructField("doc_id", xt, True),
+                    StructField("keep_id", xt, True),
                 ]
             ),
         )

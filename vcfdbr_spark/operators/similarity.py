@@ -329,6 +329,7 @@ def ivf_assign(
     nlist_mod: int = 25,
     nlist: int | None = None,
     centroids: DataFrame | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """IVF inverted-list assignment: every vector → its nearest
     centroid.  Centroids come from ``centroids`` (externally trained —
@@ -341,16 +342,26 @@ def ivf_assign(
     argmin is a partial-aggregated ``max(struct)``, so the exchange
     carries |C| rows, not |C|·|centroids|.  The output is the
     inverted index, built once and reused across queries.
+
+    ``spread``: opt-in ``skew.spread_scan`` of the corpus before the
+    per-row O(nlist·dim) scoring.  ONLY the amortized build paths
+    (``write_ivf_index``; ``ivf_train`` spreads its own persisted
+    corpus) set it: r14 shipped the spread unconditionally and the
+    driver measured the per-QUERY assign path (``ivf_topk``) at
+    0.31× with anti-scaling ratio 0.34 — on a small corpus the extra
+    round-robin exchange plus defaultParallelism near-empty tasks per
+    action cost more than the one-task scan they replace, and the
+    cost grows with core count.  Default off restores the r13 probe
+    plan; a one-shot index build amortizes the exchange over the
+    whole build and keeps it.
     """
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, nlist_mod, nlist)
-    # spread a small-file corpus scan before the per-row O(nlist·dim)
-    # scoring (skew.spread_scan: no-op at scale, where the scan
-    # range-splits on its own; r14 — the whole assignment otherwise
-    # ran as ONE task on a single-file corpus)
-    from vcfdbr_spark.operators.skew import spread_scan
+    if spread:
+        from vcfdbr_spark.operators.skew import spread_scan
 
-    qc = _quantized_vectors(spread_scan(corpus), id_col, vec_col)
+        corpus = spread_scan(corpus)
+    qc = _quantized_vectors(corpus, id_col, vec_col)
     cents = with_quantized(centroids, vec_col).select(
         F.col(id_col).alias("cent_id"),
         F.col("_qv").alias("cv"),
@@ -580,7 +591,10 @@ def write_ivf_index(
                 f"centroids than the append's; mixed assignments would "
                 f"silently probe the wrong lists"
             )
-    assign = ivf_assign(corpus, id_col, vec_col, centroids=centroids)
+    # spread=True: a one-shot index build amortizes the scan spread
+    # (no-op at scale) over the whole assignment+write — the per-query
+    # probe path in ivf_topk stays unspread (see ivf_assign docstring)
+    assign = ivf_assign(corpus, id_col, vec_col, centroids=centroids, spread=True)
     (
         corpus.select(id_col, vec_col)
         .join(assign, id_col)

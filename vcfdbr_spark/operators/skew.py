@@ -55,7 +55,16 @@ def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     unchanged by construction.
     """
     spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
+    if min_parts is not None:
+        target = min_parts
+    else:
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:
+            # session types without a classic SparkContext (e.g.
+            # Spark Connect): degrade to the documented no-op rather
+            # than raising out of every caller
+            return df
     if target <= 1:
         return df
     try:
@@ -74,45 +83,6 @@ def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     except Exception:
         return df
     if total >= target * _SPREAD_BYTES_PER_SLOT:
-        return df
-    return df.repartition(target)
-
-
-def spread_batch(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """:func:`spread_scan` for micro-batch frames, where the metadata
-    probe cannot run: a ``foreachBatch`` batch frame reports
-    ``inputFiles() == []`` (the file-stream source hides its batch
-    file list), so :func:`spread_scan` has nothing to decide on and
-    leaves the frame alone — which at sf0.1 left every per-batch
-    MinHash signing stage a SINGLE 1.3-2.7 s task while 31 cores sat
-    idle (event-log profile, r14).
-
-    The spread here is unconditional because the CALLER holds the
-    size contract the probe would have checked: a micro-batch is
-    bounded by ``maxFilesPerTrigger`` source files, and the streams
-    that use this helper sign/band every batch row — CPU work per row
-    that dwarfs one keyless exchange of the batch.  At cluster scale
-    the same logic holds: one source file yields at most a handful of
-    scan tasks, and re-spreading `defaultParallelism` ways before the
-    per-row signing is exactly the §2.5 input-parallelism fix.
-    Determinism under task retry follows from
-    ``sortBeforeRepartition`` staying at its default, as in
-    :func:`spread_scan`; every downstream consumer of these batches
-    reduces to set semantics (bands, pair sets, kept-id sets), so
-    intra-batch row order is immaterial.
-
-    Measured honestly (r14, interleaved on/off A/B on
-    ``stream_dedup_pairs`` at sf0.1): wall-time NEUTRAL (ratio 1.01,
-    runs swinging 21-37 s either way — the key is micro-batch
-    machinery + window-noise dominated, and a sf0.1 batch signs in
-    1-2 s even on one core).  The change is kept for the plan shape,
-    not a local win: per-batch signing moves from a single task to
-    ``defaultParallelism`` tasks, which is what matters when a batch
-    is a full-size source file.
-    """
-    spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
-    if target <= 1:
         return df
     return df.repartition(target)
 

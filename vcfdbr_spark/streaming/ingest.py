@@ -887,12 +887,13 @@ def _stream_banded_dedup(
     comp_dir = f"{out_dir}/band_index_compacted"
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch frames hide their file list, so the signing
-        # operators' own spread_scan cannot fire — spread here, where
-        # the micro-batch size contract is known (see spread_batch)
-        from vcfdbr_spark.operators.skew import spread_batch
-
-        batch_df = spread_batch(batch_df)
+        # r14 tried an unconditional defaultParallelism repartition of
+        # the batch here (foreachBatch frames hide their file list, so
+        # the signing operators' own spread_scan can't probe them);
+        # its own interleaved A/B measured wall-time NEUTRAL at sf0.1
+        # (ratio 1.01) and an unconditional shuffle of every batch's
+        # full text is a scale cost, not a win — reverted (r15; large
+        # source files range-split into scan tasks on their own)
         bands = make_bands(batch_df).persist()
         if not bands.take(1):
             # A bandless batch (empty file, or every doc gated out by
@@ -1056,12 +1057,6 @@ def stream_decontaminate(
         _fs.delete_dir(spark, f"{keep_dir}/batch={batch_id}")
         if not batch_df.take(1):
             return
-        # spread AFTER the emptiness guard (no exchange for a husk);
-        # the probe-side signing below is the per-batch CPU heavy
-        # stage the foreachBatch frame otherwise runs on one task
-        from vcfdbr_spark.operators.skew import spread_batch
-
-        batch_df = spread_batch(batch_df)
         kept = decontaminate_batch(
             batch_df, eval_docs, eval_index=eval_index,
             jaccard_threshold=jaccard_threshold,
