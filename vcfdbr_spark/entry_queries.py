@@ -2794,27 +2794,31 @@ def q_stream_dedup_pairs(spark, sf_dir):
     bucket reaches the cap (true at every sf tier tested — sf1's max
     bucket is 102 vs cap 500; the sf1/sf5 gates pin the same equality
     at 10-50x this corpus).  The pair set is near-dup-bounded, so the
-    collect is O(duplicates), never corpus-sized."""
-    import shutil
-    import tempfile
-
+    local materialization is O(duplicates), never corpus-sized (it
+    must be local: the work dir — including the written pairs — is
+    deleted before the frame is consumed).  pandas+Arrow instead of
+    collect()+row-list (r15): the returned frame is a JVM
+    LocalRelation, not a parallelize() RDD paying a Python-worker
+    round trip per downstream action (the dedup_components r14
+    lesson).  Work dir via fs.scratch_dir — see q_stream_batch_parity."""
+    from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.streaming.ingest import stream_fuzzy_dedup
 
-    work = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    work = _fs.scratch_dir(spark, "q_stream_dedup")
     try:
         src = _stream_src(spark, sf_dir, work, ["doc_id", "text"])
         stream_fuzzy_dedup(
             spark, src, f"{work}/out", max_files_per_trigger=1
         )
-        rows = (
+        pdf = (
             spark.read.parquet(f"{work}/out/pairs")
             .select("a", "b")
             .distinct()
-            .collect()
+            .toPandas()
         )
-        return spark.createDataFrame(rows, "a long, b long")
+        return spark.createDataFrame(pdf, "a long, b long")
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        _fs.delete_dir(spark, work)
 
 
 def q_stream_sketch_kmv(spark, sf_dir):
@@ -2824,16 +2828,16 @@ def q_stream_sketch_kmv(spark, sf_dir):
     batch bottom-k) — O(k) state however long the stream runs) and
     return the final sketch's hash values.  The oracle recomputes the
     one-shot bottom-k of the WHOLE corpus in SQL — the monotone fold
-    must equal it hash for hash at any batch split."""
-    import shutil
-    import tempfile
-
+    must equal it hash for hash at any batch split.  Local return via
+    pandas+Arrow and fs.scratch_dir work dir — see
+    q_stream_dedup_pairs."""
+    from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.streaming.ingest import (
         read_stream_sketch,
         stream_sketch,
     )
 
-    work = tempfile.mkdtemp(prefix="q_stream_sketch_")
+    work = _fs.scratch_dir(spark, "q_stream_sketch")
     try:
         src = _stream_src(spark, sf_dir, work, ["doc_id", "text"])
         stream_sketch(
@@ -2841,9 +2845,9 @@ def q_stream_sketch_kmv(spark, sf_dir):
             k=_STREAM_KMV_K, max_files_per_trigger=1,
         )
         got, _ = read_stream_sketch(spark, f"{work}/out")
-        return spark.createDataFrame(got.collect(), "h long")
+        return spark.createDataFrame(got.toPandas(), "h long")
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        _fs.delete_dir(spark, work)
 
 
 # the streaming pair set is DEFINED as equal to one-shot batch banding
@@ -2950,13 +2954,17 @@ def q_stream_batch_parity(spark, sf_dir):
     bucket reaches the cap, true at every tested sf (sf1 max bucket
     102 vs cap 500); cap-firing behavior is pinned by unit fixtures.
     Each digest is md5 over the full sorted result set, so this is
-    value equality, not a count check."""
-    import glob
-    import os
-    import shutil
-    import tempfile
+    value equality, not a count check.
+
+    Work dirs route through ``fs.scratch_dir`` (r15): on a cluster the
+    executors must READ the sources written under the work root, so it
+    must be a shared filesystem — ``spark.vcfdbr.scratch.dir`` — and
+    every path touch below goes through the Hadoop FS API; the local
+    fallback is a driver temp dir, correct exactly when driver and
+    executors share a host."""
     import time as _time
 
+    from vcfdbr_spark import fs as _fs
     from vcfdbr_spark.operators.sampling import split_assign_col
     from vcfdbr_spark.operators.similarity import (
         adaptive_band_bits,
@@ -2969,7 +2977,7 @@ def q_stream_batch_parity(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix="q_stream_parity_")
+    work = _fs.scratch_dir(spark, "q_stream_parity")
 
     # The three sections are INDEPENDENT pipelines over disjoint work
     # dirs — run them as concurrent driver-thread jobs (§2.6: overlap
@@ -3026,22 +3034,33 @@ def q_stream_batch_parity(spark, sf_dir):
         return ("semantic", *_pair_set_digest(se_pairs).first())
 
     def _part_cfilter():
-        # order-dependent -> pinned batch assignment
+        # order-dependent -> pinned batch assignment.  ONE
+        # dynamic-partition write replaces the previous four serial
+        # coalesce(1) jobs (r15): repartition("b") routes each batch
+        # value to a single task, so every b= dir still holds exactly
+        # one file, and batch membership (doc_id % 4) is all the
+        # stream's keep policy depends on — intra-file row order was
+        # never pinned by the old form either.
         cf = docs.select("doc_id", "text", "lang", "source")
-        for i in range(_STREAM_BATCHES):
-            (
-                cf.filter(F.col("doc_id") % _STREAM_BATCHES == i)
-                .coalesce(1)
-                .write.parquet(f"{work}/cf_src/b{i}")
+        (
+            cf.withColumn(
+                "b", (F.col("doc_id") % _STREAM_BATCHES).cast("int")
             )
+            .repartition("b")
+            .write.partitionBy("b")
+            .parquet(f"{work}/cf_src")
+        )
         # distinct ascending mtimes pin the file source's oldest-first
-        # consumption order to the oracle's batch numbering
+        # consumption order to the oracle's batch numbering (Hadoop-FS
+        # setTimes: scheme-portable, unlike os.utime)
         t0 = _time.time()
         for i in range(_STREAM_BATCHES):
-            for fname in glob.glob(f"{work}/cf_src/b{i}/*.parquet"):
-                os.utime(fname, (t0 + 10 * i, t0 + 10 * i))
+            for fname in _fs.list_files(
+                spark, f"{work}/cf_src/b={i}", "part-"
+            ):
+                _fs.set_mtime(spark, fname, t0 + 10 * i)
         stream_corpus_filter(
-            spark, f"{work}/cf_src/b*/*.parquet", f"{work}/cf_out",
+            spark, f"{work}/cf_src/b=*/*.parquet", f"{work}/cf_out",
             max_files_per_trigger=1,
         )
         cf_kept = _read_parquet_or_empty(
@@ -3077,7 +3096,7 @@ def q_stream_batch_parity(spark, sf_dir):
             rows, "part string, n long, digest string"
         )
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        _fs.delete_dir(spark, work)
 
 
 def q_benchmark_contamination(spark, sf_dir):

@@ -80,6 +80,42 @@ def list_files(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
     )
 
 
+def set_mtime(spark: SparkSession, path: str, mtime_sec: float) -> None:
+    """Set a file's modification time (seconds) through the Hadoop FS
+    — the portable ``os.utime`` for pinning a file-stream source's
+    oldest-first consumption order on any scheme."""
+    fs, p = _fs(spark, path)
+    fs.setTimes(p, int(mtime_sec * 1000), -1)
+
+
+def scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """A fresh work directory for a self-contained pipeline run
+    (stream evidence queries: sources, checkpoints, outputs).
+
+    Rooted at ``spark.vcfdbr.scratch.dir`` when set — on a real
+    cluster that must be a shared filesystem (``hdfs://``/``s3a://``)
+    because executors read the sources written under it; a
+    driver-local ``tempfile`` path would be executor-unreadable.
+    Unset (local mode, tests, benches) it falls back to a driver-local
+    temp dir, which IS the shared filesystem when driver and executors
+    share a host.  Remove with :func:`delete_dir` (scheme-portable),
+    never ``shutil.rmtree``."""
+    import uuid
+
+    base = None
+    try:
+        base = spark.conf.get("spark.vcfdbr.scratch.dir")
+    except Exception:
+        base = None
+    if base:
+        path = f"{base.rstrip('/')}/{prefix}-{uuid.uuid4().hex}"
+        makedirs(spark, path)
+        return path
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"{prefix}-")
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> None:
     """Directory/file rename; raises on failure (Hadoop reports
     failure by returning false).  On HDFS a rename is atomic — the

@@ -971,6 +971,7 @@ def band_probe_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     stats: dict | None = None,
     self_pairs: bool = True,
+    pfxs: list | None = None,
 ) -> DataFrame:
     """Candidate pairs of a (persisted) new band frame against a
     stored band index, plus new-vs-new pairs — the probe step shared
@@ -984,6 +985,9 @@ def band_probe_pairs(
     persisted band frame — and pushes them as an ``IN`` filter on the
     partition column, which Catalyst turns into PartitionFilters on
     the parquet scan: only the matching ``pfx=`` directories are read.
+    A caller that already holds that prefix list (the streaming core
+    collects it as its batch-emptiness probe) passes ``pfxs`` to skip
+    the collect job — one fewer Spark job per micro-batch.
 
     ``max_bucket_size`` caps bucket populations on EACH side
     independently (anti-join shape on the index so its scan stays
@@ -1002,14 +1006,15 @@ def band_probe_pairs(
     have different consequences.
     """
     if "pfx" in index.columns:
-        pfxs = [
-            r[0]
-            for r in new_bands.select(
-                band_pfx(F.col("bucket"), n_pfx).alias("p")
-            )
-            .distinct()
-            .collect()
-        ]
+        if pfxs is None:
+            pfxs = [
+                r[0]
+                for r in new_bands.select(
+                    band_pfx(F.col("bucket"), n_pfx).alias("p")
+                )
+                .distinct()
+                .collect()
+            ]
         index = index.filter(F.col("pfx").isin(pfxs)).drop("pfx")
     index = cap_buckets_antijoin(
         index, ("band", "bucket"), max_bucket_size, stats

@@ -859,6 +859,7 @@ def _stream_banded_dedup(
     from vcfdbr_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET_SIZE,
         DEFAULT_N_PFX,
+        band_pfx,
         band_probe_pairs,
         index_n_pfx,
         lsh_candidate_pairs,
@@ -895,7 +896,20 @@ def _stream_banded_dedup(
         # full text is a scale cost, not a win — reverted (r15; large
         # source files range-split into scan tasks on their own)
         bands = make_bands(batch_df).persist()
-        if not bands.take(1):
+        # ONE job doubles as the batch-emptiness probe AND the probe's
+        # pfx collection (band_pfx of a NULL bucket is still non-null,
+        # so "no prefixes" ⇔ "no band rows" — the same truth value the
+        # old take(1) tested); the collect is bounded by n_pfx ints.
+        # Previously these were two separate per-batch jobs.
+        pfxs = [
+            r[0]
+            for r in bands.select(
+                band_pfx(F.col("bucket"), n_pfx).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not pfxs:
             # A bandless batch (empty file, or every doc gated out by
             # a filtering make_bands) must write NO batch=N dirs: an
             # empty partitioned write leaves a dir with no parquet
@@ -949,7 +963,7 @@ def _stream_banded_dedup(
             if post_batch is None:
                 pairs = band_probe_pairs(
                     bands, index, id_col=id_col, n_pfx=n_pfx,
-                    max_bucket_size=max_bucket_size,
+                    max_bucket_size=max_bucket_size, pfxs=pfxs,
                 )
             else:
                 # split probe: the hook consumes cross and in-batch
@@ -958,6 +972,7 @@ def _stream_banded_dedup(
                 cross = band_probe_pairs(
                     bands, index, id_col=id_col, n_pfx=n_pfx,
                     max_bucket_size=max_bucket_size, self_pairs=False,
+                    pfxs=pfxs,
                 ).persist()
                 inbatch = lsh_candidate_pairs(
                     bands, id_col, max_bucket_size=max_bucket_size
@@ -972,11 +987,27 @@ def _stream_banded_dedup(
             pairs = inbatch
         _fs.delete_dir(spark, f"{pairs_dir}/batch={batch_id}")
         _fs.delete_dir(spark, f"{idx_dir}/batch={batch_id}")
-        pairs.write.parquet(f"{pairs_dir}/batch={batch_id}")
-        write_band_index(
-            bands, f"{idx_dir}/batch={batch_id}", n_pfx=n_pfx,
-            mode="errorifexists",
-        )
+        # the pairs and index writes are INDEPENDENT jobs over the
+        # already-materialized band cache — submit them concurrently
+        # (guide §2.6) so one small job's tail/commit back-fills the
+        # other's; job descriptions are thread-local so UI attribution
+        # survives
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_pairs():
+            pairs.write.parquet(f"{pairs_dir}/batch={batch_id}")
+
+        def _w_index():
+            write_band_index(
+                bands, f"{idx_dir}/batch={batch_id}", n_pfx=n_pfx,
+                mode="errorifexists",
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(w) for w in (_w_pairs, _w_index)]
+            errs = [f.exception() for f in futs]
+            if any(errs):
+                raise next(e for e in errs if e is not None)
         if post_batch is not None:
             post_batch(batch_df, cross, inbatch, batch_id)
             if cross is not None:
