@@ -555,12 +555,29 @@ def main() -> None:
 
 COMPACT_BUDGET = 1500  # bytes; driver tail window is 2,000 chars
 
+# Keys pinned into the compact line AHEAD of the greedy cost fill
+# (r14 verdict item 6/8): these are the BASELINE.md-comparable
+# canonical-read workloads, and the greedy most-expensive-first fill
+# rotated cheap-but-reference-comparable keys in and out of the
+# driver's view whenever costs re-ranked ("dropped_from_bench"/
+# "new_in_bench" churn in PERF round-over-round diffs).  Pinning is
+# additions-only: every previously reported key still reports; the
+# pins just cannot be displaced by the budget.
+COMPACT_PINNED = (
+    "filter_test_per_gene_median",
+    "pull_random_ids_1000",
+    "pull_geno_gene",
+    "pull_wide_100x2504",
+    "per_gene_counts_all",
+)
+
 
 def compact_line(full: dict) -> dict:
     """Driver-facing summary: same metric/value/unit/sf, with
-    ``queries`` greedily filled most-expensive-first until the
-    serialized line would exceed :data:`COMPACT_BUDGET` bytes.
-    ``n_queries``/``omitted`` make the truncation explicit."""
+    ``queries`` filled by :data:`COMPACT_PINNED` first, then greedily
+    most-expensive-first until the serialized line would exceed
+    :data:`COMPACT_BUDGET` bytes.  ``n_queries``/``omitted`` make the
+    truncation explicit."""
     timings = full["queries"]
     base = {
         "metric": full["metric"],
@@ -573,12 +590,18 @@ def compact_line(full: dict) -> dict:
         "omitted": 0,
         "queries": {},
     }
-    order = sorted(timings, key=lambda k: (-timings[k], k))
+    pinned = [k for k in COMPACT_PINNED if k in timings]
+    order = pinned + sorted(
+        (k for k in timings if k not in pinned),
+        key=lambda k: (-timings[k], k),
+    )
     kept: dict[str, float] = {}
     for k in order:
         trial = dict(base, queries=dict(kept, **{k: timings[k]}))
         trial["omitted"] = len(timings) - len(trial["queries"])
         if len(json.dumps(trial)) > COMPACT_BUDGET:
+            if k in pinned:
+                continue  # a pin must never evict another pin
             break
         kept[k] = timings[k]
     base["queries"] = kept
