@@ -60,7 +60,10 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     try:
-        old = spark.conf.get(key)
+        # default=None → None when the key was never SET (conf.get
+        # without a default would return the config's built-in
+        # default, and the restore below would then pin it explicitly)
+        old = spark.conf.get(key, None)
     except Exception:
         old = None
     try:
